@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The large-scale training-data path the reference lacks (BASELINE.json
+north star). Design notes for 100 TB:
+  * exact dedup — hash-groupBy on a digest, one shuffle on the digest key
+    (never on the raw text).
+  * MinHash — signatures computed with per-document higher-order
+    functions (transform/aggregate over the shingle array): zero shuffle
+    until the band-bucket join, and the join key is (band_id, band_hash),
+    small and uniform.
+  * SimHash — 64-bit signature via bit-vote aggregation, again pure
+    column math.
+  * n-gram Jaccard — exact pairwise similarity restricted to documents
+    sharing at least one shingle (inverted-index join), never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.operators.text import tokenize
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per key (the smallest ``order_col``).
+
+    row_number over (key) ordered by ``order_col`` — deterministic,
+    one shuffle. For long-text keys, pass a digest column (md5) instead of
+    raw text so the shuffle key is 16 bytes, not the document.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string> (empty if < n words)."""
+    toks = tokenize(text)
+    count = F.size(toks) - (n - 1)
+    # greatest(count, 1): Spark's sequence(1, 0) would count DOWN; the
+    # when() guard discards the dummy gram for short docs.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(count >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _hash_family(shingle: Column, seed: int) -> Column:
+    # xxhash64 with a per-family salt: cheap, JVM-side, well-mixed.
+    return F.xxhash64(shingle, F.lit(seed))
+
+
+def minhash_signature(text: Column | str, num_hashes: int = 32, n: int = 3) -> Column:
+    """MinHash signature (array<long>, length ``num_hashes``) of word shingles.
+
+    signature[i] = min over shingles of xxhash64(shingle, salt_i); null for
+    documents with no shingles. No explode, no shuffle: transform+array_min
+    per row.
+    """
+    sh = word_shingles(text, n)
+    sig = F.array(
+        *[F.array_min(F.transform(sh, lambda s, i=i: _hash_family(s, i))) for i in range(num_hashes)]
+    )
+    return F.when(F.size(sh) > 0, sig)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs with estimated Jaccard ≥ threshold.
+
+    Classic banding: split the signature into ``bands`` rows of
+    ``num_hashes/bands``; documents colliding on any band's hash become
+    candidates (equi-join on (band_id, band_hash)); estimated Jaccard =
+    fraction of equal signature components. Returns (id_a, id_b, est_jaccard)
+    with id_a < id_b.
+    """
+    rows = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+
+    banded = sigs.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(F.slice("sig", b * rows + 1, rows)).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc", "sig", "band.band_id", "band.band_hash")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.filter(F.col("est_jaccard") >= min_est_jaccard)
+
+
+def simhash(text: Column | str, bits: int = 62) -> Column:
+    """SimHash of the token multiset as a non-negative long (≤ 62 bits).
+
+    bit b is set iff Σ over tokens of sign(xxhash64(token ‖ '#' ‖ b)) > 0 —
+    a salted-hash sign-vote family (equivalent locality behavior to
+    bit-extraction simhash; per-bit hashes are independent). Implemented
+    as transform over bit positions + aggregate over tokens — all JVM
+    higher-order functions, no UDF. 62 bits keeps 2^b exact in the
+    double→long power step and the result positive.
+    """
+    if not 1 <= bits <= 62:
+        raise ValueError("bits must be in [1, 62]")
+    toks = tokenize(text)
+    votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.xxhash64(F.concat(t, F.lit("#"), b.cast("string"))) > 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            # 2^b is exact in double for b ≤ 62, so the cast is lossless.
+            lambda v, b: F.when(v > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle, count the intersection, derive |A∪B| = |A|+|B|−|A∩B|.
+
+    ``max_doc_freq`` is the scale lever: shingles appearing in more than
+    that many documents are dropped BEFORE the self-join (and excluded
+    from the per-document set size, i.e. Jaccard is over rare-shingle
+    sets). Frequent shingles aren't discriminative for near-dup detection
+    but create quadratic skew — a shingle shared by 10⁶ docs would emit
+    5·10¹¹ pairs. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    exploded = (
+        df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc", F.explode("shingles").alias("sh"))
+    )
+    if max_doc_freq is not None:
+        freq = Window.partitionBy("sh")
+        exploded = exploded.withColumn("df", F.count(F.lit(1)).over(freq)).filter(
+            F.col("df") <= max_doc_freq
+        ).drop("df")
+    per_doc = Window.partitionBy("doc")
+    sized = exploded.withColumn("n_sh", F.count(F.lit(1)).over(per_doc))
+
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

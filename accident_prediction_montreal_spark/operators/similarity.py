@@ -1,0 +1,94 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast join of the query set
+against the corpus with JVM-side vector math (functions/vectors.py), then
+windowed top-k. At 100 TB this is one map stage over the corpus plus a
+top-k shuffle on query_id, and it is exact.
+
+Scale path: ``BucketedRandomProjectionLSH`` from Spark MLlib buckets both
+sides so candidate generation is an equi-join on hash buckets — the IVF/
+LSH-shaped alternative when the corpus no longer fits a full scan per
+query batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.functions.vectors import cosine_similarity
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k corpus neighbors per query by cosine similarity.
+
+    Returns (query_id, vec_id, cosine, rank). Queries are broadcast — the
+    corpus is scanned once, never shuffled before the per-query top-k.
+    Ties break on corpus id (deterministic).
+    """
+    joined = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "cosine", cosine_similarity(query_vec, corpus_vec)
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def brp_lsh_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN via MLlib BucketedRandomProjectionLSH (euclidean).
+
+    Candidate pairs come from bucket collisions (equi-join on hash
+    buckets), then exact distance ranks the candidates — the LSH-bucketed
+    scale path. Returns (query_id, vec_id, dist, rank). Deterministic for
+    a fixed seed.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    prep = lambda df, idc: df.select(  # noqa: E731
+        F.col(idc), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    corpus_v = prep(corpus, corpus_id)
+    queries_v = prep(queries, "query_id")
+
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(corpus_v)
+    sim = model.approxSimilarityJoin(queries_v, corpus_v, float("inf"), distCol="dist")
+    w = Window.partitionBy("datasetA.query_id").orderBy(
+        F.col("dist").asc(), F.col(f"datasetB.{corpus_id}").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("datasetA.query_id").alias("query_id"),
+            F.col(f"datasetB.{corpus_id}").alias(corpus_id),
+            "dist",
+            "rank",
+        )
+    )

@@ -1,0 +1,137 @@
+"""Spatial composite operators: kNN join and IDW interpolation.
+
+The reference builds both from relational primitives (SURVEY.md §2 J8, A6):
+  * kNN match = crossJoin + haversine + rank-over-window filter
+    (reference src/preprocess.py:59-223)
+  * IDW       = join + NaN-masked weighted products + group-sum + ratio
+    (reference src/preprocess.py:360-398)
+
+This module ships the reference-faithful forms plus the 100-TB scale path:
+a grid-bucketed kNN join that replaces the O(N·M) cross join with an
+equi-join on spatial cells (SURVEY.md §4), so the shuffle is bounded by
+candidate pairs instead of the full cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.functions.geo import haversine_meters
+
+
+def _dist_and_rank(
+    joined: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_coords: tuple[str, str],
+    right_coords: tuple[str, str],
+    k: int,
+) -> DataFrame:
+    joined = joined.withColumn(
+        "distance_m",
+        haversine_meters(left_coords[0], left_coords[1], right_coords[0], right_coords[1]),
+    )
+    # row_number (not rank) + right-id tie-break: deterministic under equal
+    # distances — SURVEY.md §7.4 flags the reference's tie-sensitivity
+    # (src/preprocess.py:91,116) as a parity hazard.
+    order = Window.partitionBy(left_id).orderBy(F.col("distance_m").asc(), F.col(right_id).asc())
+    return joined.withColumn("knn_rank", F.row_number().over(order)).filter(
+        F.col("knn_rank") <= k
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_id: str = "id",
+    right_id: str = "rid",
+    left_coords: tuple[str, str] = ("lat", "lon"),
+    right_coords: tuple[str, str] = ("rlat", "rlon"),
+) -> DataFrame:
+    """Reference-faithful kNN join: crossJoin + haversine + windowed top-k.
+
+    Matches reference src/preprocess.py:74-96 (crossJoin road_centers →
+    distance → rank ≤ k). Correct for any geometry; O(N·M) — use only when
+    one side is small enough to broadcast. The small side is broadcast
+    explicitly so the cartesian product never shuffles the big side.
+    """
+    joined = left.crossJoin(F.broadcast(right))
+    return _dist_and_rank(joined, left_id, right_id, left_coords, right_coords, k)
+
+
+def knn_join_grid(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    cell_deg: float,
+    left_id: str = "id",
+    right_id: str = "rid",
+    left_coords: tuple[str, str] = ("lat", "lon"),
+    right_coords: tuple[str, str] = ("rlat", "rlon"),
+) -> DataFrame:
+    """Scale-path kNN join: equi-join on spatial grid cells (SURVEY.md §4).
+
+    Each right point is replicated into its cell and the 8 neighbors; left
+    points join on their own cell only — every pair within one cell width
+    is a candidate, and the join is a plain hash/sort-merge equi-join that
+    AQE can size. Exact whenever the true k-th neighbor lies within
+    ``cell_deg`` degrees; callers pick ``cell_deg`` from data density
+    (larger cell → closer to exhaustive, smaller → cheaper).
+    """
+    li, lj = F.floor(F.col(left_coords[0]) / cell_deg), F.floor(F.col(left_coords[1]) / cell_deg)
+    left_cells = left.withColumn("cell_i", li.cast("long")).withColumn("cell_j", lj.cast("long"))
+
+    ri = F.floor(F.col(right_coords[0]) / cell_deg).cast("long")
+    rj = F.floor(F.col(right_coords[1]) / cell_deg).cast("long")
+    offsets = F.array(*[F.struct(F.lit(a).alias("di"), F.lit(b).alias("dj"))
+                        for a in (-1, 0, 1) for b in (-1, 0, 1)])
+    right_cells = (
+        right.withColumn("base_i", ri)
+        .withColumn("base_j", rj)
+        .withColumn("off", F.explode(offsets))
+        .select(
+            *right.columns,
+            (F.col("base_i") + F.col("off.di")).alias("cell_i"),
+            (F.col("base_j") + F.col("off.dj")).alias("cell_j"),
+        )
+    )
+    joined = left_cells.join(right_cells, ["cell_i", "cell_j"])
+    out = _dist_and_rank(joined, left_id, right_id, left_coords, right_coords, k)
+    return out.drop("cell_i", "cell_j")
+
+
+def idw_interpolate(
+    samples: DataFrame,
+    stations: DataFrame,
+    value_cols: list[str],
+    sample_id: str = "sample_id",
+    sample_coords: tuple[str, str] = ("lat", "lon"),
+    station_coords: tuple[str, str] = ("station_lat", "station_lon"),
+    power: float = 2.0,
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation of station values to samples.
+
+    For each sample and each value column:  Σ wᵢ·xᵢ / Σ wᵢ with
+    wᵢ = 1/dᵢᵖ, where NaN/null station readings contribute to neither the
+    numerator nor the denominator — matching reference
+    src/preprocess.py:360-398 (incl. the NaN mask at :367-375).
+
+    Stations are broadcast (weather stations ≪ samples at any scale); the
+    aggregation is a single map-side-combinable group-sum per sample, so
+    the only shuffle is on ``sample_id``.
+    """
+    d = haversine_meters(sample_coords[0], sample_coords[1], station_coords[0], station_coords[1])
+    weight = F.lit(1.0) / F.pow(d, F.lit(power))
+
+    joined = samples.crossJoin(F.broadcast(stations)).withColumn("idw_w", weight)
+
+    aggs: list[Column] = []
+    for c in value_cols:
+        x = F.col(c)
+        valid = (~F.isnan(x)) & x.isNotNull()
+        num = F.sum(F.when(valid, F.col("idw_w") * x).otherwise(F.lit(0.0)))
+        den = F.sum(F.when(valid, F.col("idw_w")).otherwise(F.lit(0.0)))
+        aggs.append((num / den).alias(c))
+    return joined.groupBy(sample_id).agg(*aggs)

@@ -1,0 +1,469 @@
+"""Composite-operator inventory (SURVEY.md §2 J8, A6, A7, W4, M8, M9 + §2.9
+composites) as oracle-checked queries.
+
+The testdata has no coordinates, so geo queries derive deterministic
+pseudo-coordinates from integer keys — the SAME closed-form formula in the
+Spark plan and the DuckDB oracle, so both engines see identical inputs.
+All trig outputs are rounded to 6 decimals (meters to 3), far coarser than
+cross-engine libm drift (SURVEY.md §7.4 float-parity note).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.functions.cyclic import cyclic_encode
+from accident_prediction_montreal_spark.functions.geo import haversine_meters
+from accident_prediction_montreal_spark.functions.solar import solar_elevation
+from accident_prediction_montreal_spark.operators.encoding import target_encode
+from accident_prediction_montreal_spark.operators.metrics import (
+    count_rate_model,
+    threshold_sweep,
+)
+from accident_prediction_montreal_spark.operators.spatial import (
+    idw_interpolate,
+    knn_join,
+    knn_join_grid,
+)
+from accident_prediction_montreal_spark.operators.windows import exp_weighted_moving_average
+from accident_prediction_montreal_spark.plans.registry import register
+from accident_prediction_montreal_spark.sources.registry import load_table
+
+# Derived pseudo-coordinates (identical formulas on both sides).
+CUST_LAT = "45.4 + (c_custkey % 997) / 3000.0"
+CUST_LON = "-73.9 + (c_custkey % 1009) / 3000.0"
+SUPP_LAT = "45.4 + (s_suppkey % 89) / 300.0"
+SUPP_LON = "-73.9 + (s_suppkey % 97) / 300.0"
+
+
+def _customers_with_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        (F.lit(45.4) + (F.col("c_custkey") % 997) / 3000.0).alias("lat"),
+        (F.lit(-73.9) + (F.col("c_custkey") % 1009) / 3000.0).alias("lon"),
+    )
+
+
+def _suppliers_with_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        "s_acctbal",
+        (F.lit(45.4) + (F.col("s_suppkey") % 89) / 300.0).alias("rlat"),
+        (F.lit(-73.9) + (F.col("s_suppkey") % 97) / 300.0).alias("rlon"),
+    )
+
+
+def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """DuckDB expression mirroring functions/geo.py::haversine_meters term-for-term."""
+    return f"""(2.0 * 6371000.0) * atan2(
+      sqrt(
+        pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)
+        + cos(radians({lat1})) * cos(radians({lat2}))
+          * pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)
+      ),
+      sqrt(1 - (
+        pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)
+        + cos(radians({lat1})) * cos(radians({lat2}))
+          * pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)
+      ))
+    )"""
+
+
+# --- composite haversine (§2.9) ----------------------------------------------
+
+@register(
+    "geo_haversine",
+    oracle=f"""
+    SELECT c_custkey,
+      ROUND({_haversine_sql(CUST_LAT, CUST_LON, "45.5", "-73.6")}, 3) AS dist_m
+    FROM customer
+    """,
+    description="Haversine distance expression factory (§2.9, road_network.py:311-324)",
+)
+def geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _customers_with_coords(spark, sf_dir)
+    return cust.select(
+        "c_custkey",
+        F.round(haversine_meters("lat", "lon", F.lit(45.5), F.lit(-73.6)), 3).alias("dist_m"),
+    )
+
+
+# --- J8: spatial kNN join (reference + grid-bucketed scale path) --------------
+
+_KNN_ORACLE = f"""
+    WITH samples AS (
+      SELECT c_custkey, {CUST_LAT} AS lat, {CUST_LON} AS lon
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    sites AS (
+      SELECT s_suppkey, {SUPP_LAT} AS rlat, {SUPP_LON} AS rlon FROM supplier
+    ),
+    pairs AS (
+      SELECT c_custkey, s_suppkey,
+        {_haversine_sql("lat", "lon", "rlat", "rlon")} AS distance_m
+      FROM samples CROSS JOIN sites
+    )
+    SELECT c_custkey, s_suppkey, ROUND(distance_m, 3) AS distance_m,
+           CAST(knn_rank AS BIGINT) AS knn_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY c_custkey ORDER BY distance_m ASC, s_suppkey ASC) AS knn_rank
+      FROM pairs
+    ) WHERE knn_rank <= 3
+    """
+
+
+def _knn_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    left = _customers_with_coords(spark, sf_dir).filter(F.col("c_custkey") % 10 == 0)
+    right = _suppliers_with_coords(spark, sf_dir).drop("s_acctbal")
+    return left, right
+
+
+@register(
+    "j8_knn_join",
+    oracle=_KNN_ORACLE,
+    description="Spatial kNN join, reference form: crossJoin + haversine + window top-k "
+    "(J8, preprocess.py:59-223)",
+)
+def j8_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left, right = _knn_inputs(spark, sf_dir)
+    out = knn_join(left, right, k=3, left_id="c_custkey", right_id="s_suppkey")
+    return out.select(
+        "c_custkey",
+        "s_suppkey",
+        F.round("distance_m", 3).alias("distance_m"),
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+    )
+
+
+@register(
+    "j8_knn_join_grid",
+    oracle=_KNN_ORACLE,
+    description="Spatial kNN join, grid-bucketed scale path — identical results to "
+    "j8_knn_join when the cell covers the data spread (SURVEY.md §4)",
+)
+def j8_knn_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left, right = _knn_inputs(spark, sf_dir)
+    # Data spread is ~0.34°; cell 0.5° guarantees every true neighbor is a
+    # candidate, so the grid join is exact here (same oracle).
+    out = knn_join_grid(left, right, k=3, cell_deg=0.5, left_id="c_custkey", right_id="s_suppkey")
+    return out.select(
+        "c_custkey",
+        "s_suppkey",
+        F.round("distance_m", 3).alias("distance_m"),
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+    )
+
+
+# --- A6: IDW interpolation ------------------------------------------------------
+
+@register(
+    "a6_idw_interpolation",
+    oracle=f"""
+    WITH samples AS (
+      SELECT c_custkey, {CUST_LAT} AS lat, {CUST_LON} AS lon FROM customer
+    ),
+    stations AS (
+      SELECT s_suppkey, s_acctbal, {SUPP_LAT} AS slat, {SUPP_LON} AS slon FROM supplier
+    ),
+    pairs AS (
+      SELECT c_custkey, s_acctbal,
+        1.0 / pow({_haversine_sql("lat", "lon", "slat", "slon")}, 2.0) AS w
+      FROM samples CROSS JOIN stations
+    )
+    SELECT c_custkey,
+      ROUND(
+        SUM(CASE WHEN NOT isnan(s_acctbal) AND s_acctbal IS NOT NULL THEN w * s_acctbal ELSE 0.0 END)
+        / SUM(CASE WHEN NOT isnan(s_acctbal) AND s_acctbal IS NOT NULL THEN w ELSE 0.0 END),
+      6) AS acctbal_idw
+    FROM pairs GROUP BY c_custkey
+    """,
+    description="Inverse-distance-weighted interpolation, NaN-masked "
+    "(A6, preprocess.py:360-398)",
+)
+def a6_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    samples = _customers_with_coords(spark, sf_dir)
+    stations = _suppliers_with_coords(spark, sf_dir).select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("acctbal_idw"),
+        F.col("rlat").alias("station_lat"),
+        F.col("rlon").alias("station_lon"),
+    )
+    out = idw_interpolate(
+        samples,
+        stations,
+        value_cols=["acctbal_idw"],
+        sample_id="c_custkey",
+        sample_coords=("lat", "lon"),
+        station_coords=("station_lat", "station_lon"),
+        power=2.0,
+    )
+    return out.select("c_custkey", F.round("acctbal_idw", 6).alias("acctbal_idw"))
+
+
+# --- W4: stacked-lag EWMA ----------------------------------------------------------
+
+_EWMA_WINDOW = 12
+_EWMA_RATE = 0.5
+
+
+def _ewma_oracle() -> str:
+    offsets = range(-(_EWMA_WINDOW - 1), 1)
+    raw = [math.exp(_EWMA_RATE * t) for t in offsets]
+    norm = sum(raw)
+    # Explicit DOUBLE casts: DuckDB parses bare float literals as DECIMAL,
+    # which would silently turn the whole sum into decimal arithmetic.
+    terms = " + ".join(
+        f"COALESCE(LAG(risky, {-t}) OVER w * CAST({wt / norm!r} AS DOUBLE), CAST(0.0 AS DOUBLE))"
+        for t, wt in zip(offsets, raw)
+    )
+    return f"""
+    SELECT user_id, event_id, ROUND({terms}, 6) AS risky_ewma
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN value > 100 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS risky
+      FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@register(
+    "w4_ewma",
+    oracle=_ewma_oracle(),
+    description="Exponentially-weighted moving average via stacked lag windows "
+    "(W4, weather.py:228-244; ordered by (ts, event_id) per §7.4)",
+)
+def w4_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    risky = events.withColumn(
+        "risky", F.when(F.col("value") > 100, 1.0).otherwise(0.0)
+    )
+    ewma = exp_weighted_moving_average(
+        "risky",
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        window_size=_EWMA_WINDOW,
+        rate=_EWMA_RATE,
+    )
+    return risky.select("user_id", "event_id", F.round(ewma, 6).alias("risky_ewma"))
+
+
+# --- §2.9 composites: cyclic + solar features ------------------------------------------
+
+_TWO_PI_24 = 2.0 * math.pi / 24.0
+
+
+@register(
+    "f_cyclic_encode",
+    oracle=f"""
+    SELECT DISTINCT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+      ROUND(cos(EXTRACT(hour FROM ts) * {_TWO_PI_24!r}), 6) + 0.0 AS hour_cos,
+      ROUND(sin(EXTRACT(hour FROM ts) * {_TWO_PI_24!r}), 6) + 0.0 AS hour_sin
+    FROM events
+    """,
+    description="Cyclic (cos, sin) feature encoding (§2.9, preprocess.py:401-419)",
+)
+def f_cyclic_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    hour = F.hour("ts")
+    cos_c, sin_c = cyclic_encode(hour, 24.0)
+    return events.select(
+        hour.cast("long").alias("hour"),
+        # + 0.0 folds IEEE −0.0 into +0.0 (cross-engine repr parity).
+        (F.round(cos_c, 6) + 0.0).alias("hour_cos"),
+        (F.round(sin_c, 6) + 0.0).alias("hour_sin"),
+    ).distinct()
+
+
+def _solar_oracle() -> str:
+    two_pi_365 = 2.0 * math.pi / 365.0
+    doy = "dayofyear(o_orderdate)"
+    decl = f"radians(-23.45 * cos({two_pi_365!r} * ({doy} + 10)))"
+    d = f"({two_pi_365!r} * {doy})"
+    eot = f"(-7.655 * sin({d}) + 9.873 * sin({d} * 2 + 3.588))"
+    tc = f"(4.0 * ((-73.554) - 15.0 * (-5.0)) + {eot})"
+    lsh = f"((o_orderkey % 24) + 0.5 + {tc} / 60.0)"
+    ha = f"(0.2618 * ({lsh} - 12.0))"
+    elev = (
+        f"degrees(asin(sin({decl}) * sin(radians(45.5078)) "
+        f"+ cos({decl}) * cos(radians(45.5078)) * cos({ha})))"
+    )
+    return f"SELECT o_orderkey, ROUND({elev}, 6) + 0.0 AS solar_elev FROM orders"
+
+
+@register(
+    "f_solar_elevation",
+    oracle=_solar_oracle(),
+    description="Solar-elevation geometry pipeline (§2.9, solar_features.py:6-44)",
+)
+def f_solar_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    elev = solar_elevation(
+        date="o_orderdate",
+        hour=F.col("o_orderkey") % 24,
+        lat=F.lit(45.5078),
+        lon=F.lit(-73.554),
+        utc_offset_hours=-5.0,
+    )
+    return orders.select("o_orderkey", (F.round(elev, 6) + 0.0).alias("solar_elev"))
+
+
+# --- M8: single-pass threshold sweep ------------------------------------------------------
+
+_SWEEP_N = 20
+
+_SWEEP_ORACLE = f"""
+    WITH scored AS (
+      SELECT ((o_orderkey * 2654435761) % 1000) / 1000.0 AS prob,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+      FROM orders
+    ),
+    total AS (SELECT COUNT(*) AS n FROM scored),
+    hist AS (
+      SELECT label, CAST(floor(prob * {_SWEEP_N}) AS INT) AS id_bucket, COUNT(*) AS cnt
+      FROM scored GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT CAST(b AS INT) AS id_bucket, l AS label
+      FROM (SELECT UNNEST(range(-1, {_SWEEP_N})) AS b)
+      CROSS JOIN (VALUES (0), (1)) t(l)
+    ),
+    filled AS (
+      SELECT g.id_bucket, g.label, COALESCE(h.cnt, 0) AS cnt
+      FROM grid g LEFT JOIN hist h ON g.id_bucket = h.id_bucket AND g.label = h.label
+    ),
+    cum AS (
+      SELECT id_bucket, label,
+        SUM(cnt) OVER (PARTITION BY label ORDER BY id_bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_below,
+        COALESCE(SUM(cnt) OVER (PARTITION BY label ORDER BY id_bucket
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS n_above
+      FROM filled
+    ),
+    piv AS (
+      SELECT (id_bucket + 1) / {_SWEEP_N}.0 AS threshold,
+        CAST(SUM(CASE WHEN label = 0 THEN n_below END) AS BIGINT) AS true_negative,
+        CAST(SUM(CASE WHEN label = 0 THEN n_above END) AS BIGINT) AS false_positive,
+        CAST(SUM(CASE WHEN label = 1 THEN n_below END) AS BIGINT) AS false_negative,
+        CAST(SUM(CASE WHEN label = 1 THEN n_above END) AS BIGINT) AS true_positive
+      FROM cum GROUP BY id_bucket
+    )
+    SELECT threshold, true_negative, false_positive, false_negative, true_positive,
+      ROUND(CASE WHEN true_positive + false_positive <> 0
+            THEN true_positive / CAST(true_positive + false_positive AS DOUBLE) END, 6)
+        AS precision,
+      ROUND(CASE WHEN true_positive <> 0
+            THEN true_positive / CAST(true_positive + false_negative AS DOUBLE)
+            ELSE 0.0 END, 6) AS recall,
+      ROUND(CASE WHEN false_positive + true_negative <> 0
+            THEN false_positive / CAST(false_positive + true_negative AS DOUBLE) END, 6)
+        AS false_positive_rate,
+      ROUND((true_positive + true_negative) / CAST((SELECT n FROM total) AS DOUBLE), 6)
+        AS accuracy
+    FROM piv
+    """
+
+
+@register(
+    "m8_threshold_sweep",
+    oracle=_SWEEP_ORACLE,
+    description="Single-pass threshold-dependent metrics: histogram + grid outer join "
+    "+ cumulative windows + pivot (M8, random_forest.py:136-221)",
+)
+def m8_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    scored = orders.select(
+        (((F.col("o_orderkey") * 2654435761) % 1000) / 1000.0).alias("prob_positive"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    out = threshold_sweep(spark, scored, n_points=_SWEEP_N)
+    return out.select(
+        "threshold",
+        F.col("true_negative").cast("long").alias("true_negative"),
+        F.col("false_positive").cast("long").alias("false_positive"),
+        F.col("false_negative").cast("long").alias("false_negative"),
+        F.col("true_positive").cast("long").alias("true_positive"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("false_positive_rate", 6).alias("false_positive_rate"),
+        F.round("accuracy", 6).alias("accuracy"),
+    )
+
+
+# --- M9: one-pass count-threshold baseline model ----------------------------------------------
+
+@register(
+    "m9_count_rate_model",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS cnt,
+             MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS label
+      FROM orders GROUP BY o_custkey
+    ),
+    hist AS (
+      SELECT cnt AS threshold, COUNT(*) AS n_total, SUM(label) AS n_pos
+      FROM per_cust GROUP BY cnt
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+      CAST(SUM(n_total) OVER w AS BIGINT) AS n_at_or_above,
+      ROUND(CAST(SUM(n_pos) OVER w AS DOUBLE) / CAST(SUM(n_total) OVER w AS DOUBLE), 6)
+        AS p_positive
+    FROM hist
+    WINDOW w AS (ORDER BY threshold ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    """,
+    description="Empirical P(label | count ≥ t) in one pass: histogram + suffix window "
+    "(M9 rewrite of main_train_base.py:25-51)",
+)
+def m9_count_rate_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("label"),
+    )
+    out = count_rate_model(per_cust, count_col="order_count", label_col="label")
+    return out.select(
+        F.col("threshold").cast("long").alias("threshold"),
+        F.col("n_at_or_above").cast("long").alias("n_at_or_above"),
+        F.round("p_positive", 6).alias("p_positive"),
+    )
+
+
+# --- A7: target / risk encoding -----------------------------------------------------------------
+
+@register(
+    "a7_target_encode",
+    oracle="""
+    WITH stats AS (
+      SELECT COUNT(*) AS n_all,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_pos
+      FROM orders
+    ),
+    risk AS (
+      SELECT o_orderpriority,
+        SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+          / CAST((SELECT n_pos FROM stats) AS DOUBLE)
+        - COUNT(*) / CAST((SELECT n_all FROM stats) AS DOUBLE) AS risk
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, ROUND(risk, 6) + 0.0 AS risk,
+      CAST(ROW_NUMBER() OVER (ORDER BY risk DESC, o_orderpriority ASC) AS BIGINT)
+        AS risk_index
+    FROM risk
+    """,
+    description="Category risk = P(cat|pos) − P(cat|all) + ordinal index "
+    "(A7, preprocess.py:531-556)",
+)
+def a7_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "label", F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    )
+    out = target_encode(orders, category_col="o_orderpriority", label_col="label")
+    return out.select(
+        "o_orderpriority",
+        (F.round("risk", 6) + 0.0).alias("risk"),
+        F.col("risk_index").cast("long").alias("risk_index"),
+    )

@@ -1,0 +1,354 @@
+"""Training-data-pipeline operator inventory (north-star extensions):
+dedup, similarity search, text analysis, event-time windows.
+
+Queries without an ``oracle`` use engine-internal hashing (xxhash64) or
+MLlib models that no ANSI oracle can replicate — the driver records the
+weaker rows-only check for those, and tests/ cover their semantics with
+hand-computed fixtures instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.functions.money import dsum
+from accident_prediction_montreal_spark.functions.vectors import l2_norm
+from accident_prediction_montreal_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from accident_prediction_montreal_spark.operators.sessionize import sessionize
+from accident_prediction_montreal_spark.operators.similarity import brp_lsh_ann, cosine_topk
+from accident_prediction_montreal_spark.operators.text import (
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    text_quality,
+)
+from accident_prediction_montreal_spark.plans.registry import register
+from accident_prediction_montreal_spark.sources.registry import load_table
+
+# DuckDB token expression mirroring operators/text.py::tokenize.
+_SQL_TOKENS = (
+    "CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
+)
+
+
+# --- Text analysis ------------------------------------------------------------
+
+def _stop_in(langcode: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[langcode])
+
+
+@register(
+    "text_quality_signals",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_SQL_TOKENS} AS w FROM documents
+    )
+    SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(w) AS BIGINT) AS n_tokens,
+      ROUND(CASE WHEN len(w) > 0
+        THEN length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) / CAST(len(w) AS DOUBLE)
+        ELSE 0.0 END, 6) AS mean_word_len,
+      ROUND(CASE WHEN length(text) > 0
+        THEN (length(text) - length(regexp_replace(text, '[,.;:!?]', '', 'g')))
+             / CAST(length(text) AS DOUBLE)
+        ELSE 0.0 END, 6) AS punct_ratio,
+      ROUND(CASE WHEN length(text) > 0
+        THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+             / CAST(length(text) AS DOUBLE)
+        ELSE 0.0 END, 6) AS digit_ratio,
+      ROUND(CASE WHEN len(w) > 0
+        THEN len(list_filter(w, t -> t IN ({_stop_in("en")}))) / CAST(len(w) AS DOUBLE)
+        ELSE 0.0 END, 6) AS stopword_ratio
+    FROM toks
+    """,
+    description="Quality scoring: token/char counts, punct/digit/stopword ratios "
+    "(text-analysis north star)",
+)
+def text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    out = text_quality(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(STOPWORDS)  # matches the Spark reduce order
+    hits = ",\n      ".join(
+        f"len(list_filter(w, t -> t IN ({_stop_in(lang)}))) AS h_{lang}" for lang in langs
+    )
+    best = "GREATEST(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    scored AS (SELECT doc_id, {hits} FROM toks)
+    SELECT doc_id,
+      CASE WHEN {best} = 0 THEN 'und' {case} END AS lang_pred
+    FROM scored
+    """
+
+
+@register(
+    "text_language_id",
+    oracle=_lang_id_oracle(),
+    description="Stopword-hit language-ID heuristic, deterministic tie-break "
+    "(text-analysis north star)",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", language_id("text").alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+      md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                              '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    description="Canonicalized md5 document fingerprint (text-analysis north star)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# --- Deduplication ---------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_hash FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) = 1
+    """,
+    description="Exact dedup on content digest, keep smallest id (hash-groupBy dedup)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn("text_hash", F.md5("text"))
+    return exact_dedup(docs, ["text_hash"], "doc_id").select("doc_id", "text_hash")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+        UNNEST(list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks WHERE len(w) >= 3
+    ),
+    rare AS (
+      SELECT doc_id, s FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY s) <= 4
+    ),
+    sized AS (
+      SELECT doc_id, s, COUNT(*) OVER (PARTITION BY doc_id) AS n_sh FROM rare
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      ROUND(COUNT(*) / CAST(ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*) AS DOUBLE), 6)
+        AS jaccard
+    FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) / CAST(ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*) AS DOUBLE) >= 0.05
+    """,
+    description="Exact n-gram Jaccard near-dup pairs over rare shingles "
+    "(inverted-index join; max_doc_freq caps quadratic skew)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    out = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, min_jaccard=0.05, max_doc_freq=4
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=None,  # xxhash64-based signatures have no ANSI oracle; rows-only.
+    description="MinHash+LSH candidate dup pairs: banded signature equi-join "
+    "(shingle→minhash→band→bucket-join)",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3, min_est_jaccard=0.5
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based; rows-only.
+    description="64-bit SimHash signatures via bit-vote aggregation",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", simhash("text").alias("simhash64"))
+
+
+# --- Similarity search --------------------------------------------------------------
+
+@register(
+    "sim_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    pairs AS (
+      SELECT q.query_id, e.vec_id,
+        list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(q.qv, q.qv))
+           * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[])))) AS cosine
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, ROUND(cosine, 6) + 0.0 AS cosine, CAST(rn AS BIGINT) AS "rank"
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+    description="Brute-force cosine top-k ANN baseline: broadcast queries, "
+    "JVM-side vector math, windowed top-k",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk(queries, emb, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        (F.round("cosine", 6) + 0.0).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=None,  # MLlib random hyperplanes; rows-only.
+    description="LSH-bucketed approximate NN (BucketedRandomProjectionLSH scale path)",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brp_lsh_ann(emb, queries, k=5)
+
+
+@register(
+    "sim_embedding_stats",
+    oracle="""
+    SELECT label, COUNT(*) AS n,
+      ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+    description="Per-label embedding norm statistics (vector column hygiene check)",
+)
+def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(l2_norm("embedding")), 6).alias("avg_norm"),
+    )
+
+
+# --- Event-time windows (batch twins of the streaming surface) ------------------------
+
+@register(
+    "st_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+    description="Tumbling event-time window aggregation (streaming §2.12 surface, "
+    "batch-equivalent semantics)",
+)
+def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("value_sum"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "value_sum")
+    )
+
+
+@register(
+    "st_sliding_window",
+    oracle="""
+    WITH expanded AS (
+      SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) - o) * 1800 AS BIGINT) * 1000000)
+               AS win_start,
+             value
+      FROM events CROSS JOIN (SELECT UNNEST(range(0, 2)) AS o)
+    )
+    SELECT win_start, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+    FROM expanded GROUP BY win_start
+    """,
+    description="Sliding (1h / 30min) event-time windows — each event in 2 windows",
+)
+def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("value_sum"))
+        .select(F.col("win.start").alias("win_start"), "n", "value_sum")
+    )
+
+
+@register(
+    "st_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      MIN(ts) AS session_start, MAX(ts) AS session_end,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+    FROM sess GROUP BY user_id, session_id
+    """,
+    description="Sessionization, 30-min gap (gaps-and-islands; batch twin of "
+    "session_window in streaming/)",
+)
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return sessionize(events, gap_seconds=1800)

@@ -1,0 +1,43 @@
+"""Query registry shared by __spark_entry__, bench.py and the tests.
+
+Each entry pairs a Spark implementation with an optional DuckDB oracle.
+Canonicalization contract (SURVEY.md §7.4 — float parity):
+  * money/count aggregates are decimal-exact in BOTH engines
+    (CAST → DECIMAL(38,6) before SUM), so no rounding is needed;
+  * transcendental outputs (trig, ratios of floats) are ROUND()ed to a
+    precision far coarser than the cross-engine ulp drift;
+  * every integer aggregate is cast to BIGINT on both sides (DuckDB's
+    SUM(int) returns HUGEINT otherwise);
+  * every windowed/top-k query carries an explicit tie-break column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One declared operator: Spark impl + (optional) DuckDB oracle SQL."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, description: str = ""):
+    """Decorator: add a query to the registry under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, description=description)
+        return fn
+
+    return deco
