@@ -71,6 +71,34 @@ def minhash_signature(text: Column | str, num_hashes: int = 32, n: int = 3) -> C
     return F.when(F.size(sh) > 0, sig)
 
 
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc, sig) MinHash signatures via explode → hash-once → groupBy-min.
+
+    The column-expression form (``minhash_signature``) re-evaluates the
+    shingle array once per hash family after Catalyst collapses projects —
+    a num_hashes× blowup. Here each shingle is materialized once by
+    ``explode``, string-hashed once, and the per-family hashes are cheap
+    long-pair mixes ``xxhash64(h, i)`` aggregated map-side — the shape
+    that scales: one shuffle of (doc, num_hashes longs).
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("sh"),
+    ).select("doc", F.xxhash64("sh").alias("h"))
+    aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
+    return (
+        exploded.groupBy("doc")
+        .agg(*aggs)
+        .select("doc", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -79,6 +107,7 @@ def minhash_dedup_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     min_est_jaccard: float = 0.5,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard ≥ threshold.
 
@@ -87,12 +116,15 @@ def minhash_dedup_pairs(
     candidates (equi-join on (band_id, band_hash)); estimated Jaccard =
     fraction of equal signature components. Returns (id_a, id_b, est_jaccard)
     with id_a < id_b.
+
+    ``max_bucket_size`` is the skew guard: a band bucket holding > N docs
+    would emit O(N²) candidate pairs; such buckets are dropped (at any
+    realistic banding they indicate boilerplate/degenerate content, and
+    at 100 TB they are the difference between a bounded join and a
+    runaway shuffle).
     """
     rows = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
-    ).filter(F.col("sig").isNotNull())
+    sigs = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n)
 
     banded = sigs.select(
         "doc",
@@ -107,6 +139,11 @@ def minhash_dedup_pairs(
             )
         ).alias("band"),
     ).select("doc", "sig", "band.band_id", "band.band_hash")
+
+    bucket = Window.partitionBy("band_id", "band_hash")
+    banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(bucket)).filter(
+        F.col("bucket_n") <= max_bucket_size
+    ).drop("bucket_n")
 
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (

@@ -1,0 +1,77 @@
+"""Benchmark harness: run the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with a count-style action (the
+plans are lazy; collect() would bill driver transfer, count() bills the
+actual computation). A warm-up query first amortizes JVM/codegen start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from accident_prediction_montreal_spark.plans import REGISTRY
+from accident_prediction_montreal_spark.session import get_session
+
+# Headline set: one per operator family, weighted toward the composites
+# that define the engine (SURVEY.md §2 + north-star extensions).
+HEADLINE = [
+    "a1_pricing_summary",
+    "a1_group_count_zerofill",
+    "j1_join_chain_revenue",
+    "j4_anti_join",
+    "j8_knn_join_grid",
+    "a6_idw_interpolation",
+    "w2_topk_row_number",
+    "w4_ewma",
+    "w5_cumulative_sum",
+    "m8_threshold_sweep",
+    "m9_count_rate_model",
+    "a7_target_encode",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "text_quality_signals",
+    "sim_cosine_topk",
+    "st_session_window",
+    "st_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("bench")
+
+    # Warm up executors / codegen / parquet footer caches.
+    REGISTRY["s1_scan_project_filter"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
