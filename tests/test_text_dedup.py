@@ -1,0 +1,158 @@
+"""Text analysis, dedup (exact / shingles / MinHash / SimHash / Jaccard),
+similarity search, sessionization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_signatures_df,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from accident_prediction_montreal_spark.operators.sessionize import sessionize
+from accident_prediction_montreal_spark.operators.similarity import cosine_topk
+from accident_prediction_montreal_spark.operators.text import (
+    fingerprint,
+    language_id,
+    text_quality,
+    token_count,
+    tokenize,
+)
+
+
+def test_tokenize_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World "), (2, ""), (3, "   "), (4, "one")], ["i", "t"]
+    )
+    rows = {r["i"]: r["toks"] for r in df.select("i", tokenize("t").alias("toks")).collect()}
+    assert rows[1] == ["hello", "world"]
+    assert rows[2] == [] and rows[3] == []
+    assert rows[4] == ["one"]
+
+
+def test_text_quality_hand_computed(spark):
+    df = spark.createDataFrame([(1, "The cat, the hat! 42")], ["doc_id", "text"])
+    r = text_quality(df).first()
+    assert r["n_chars"] == 20
+    assert r["n_tokens"] == 5
+    # punct ',' and '!' → 2/20; digits '4','2' → 2/20
+    assert abs(r["punct_ratio"] - 0.1) < 1e-12
+    assert abs(r["digit_ratio"] - 0.1) < 1e-12
+    # 'the' twice of 5 tokens
+    assert abs(r["stopword_ratio"] - 0.4) < 1e-12
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and that was it"),
+            (2, "le chat est dans la maison et les oiseaux"),
+            (3, "der Hund ist nicht mit der Katze und das"),
+            (4, "xyzzy plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", language_id("text").alias("lang")).collect()}
+    assert got[1] == "en" and got[2] == "fr" and got[3] == "de" and got[4] == "und"
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "other text")], ["i", "t"]
+    )
+    fps = {r["i"]: r["fp"] for r in df.select("i", fingerprint("t").alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_exact_dedup_keeps_min(spark):
+    df = spark.createDataFrame(
+        [(3, "a"), (1, "a"), (2, "b")], ["doc_id", "text"]
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df, ["text"], "doc_id").collect())
+    assert kept == [1, 2]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b"), (3, "x x x x")], ["i", "t"])
+    rows = {r["i"]: r["s"] for r in df.select("i", word_shingles("t", 3).alias("s")).collect()}
+    assert sorted(rows[1]) == ["a b c", "b c d"]
+    assert rows[2] == []
+    assert rows[3] == ["x x x"]  # distinct
+
+
+def test_minhash_identical_docs_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different words entirely unrelated content here now")],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc"]: r["sig"] for r in minhash_signatures_df(df).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    pairs = minhash_dedup_pairs(df, min_est_jaccard=0.9).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["est_jaccard"] == 1.0
+
+
+def test_simhash_locality(spark):
+    a = "the quick brown fox jumps over the lazy dog " * 4
+    b = a + "extra"
+    df = spark.createDataFrame([(1, a), (2, a), (3, b)], ["i", "t"])
+    hs = {r["i"]: r["h"] for r in df.select("i", simhash("t").alias("h")).collect()}
+    assert hs[1] == hs[2]
+    assert hs[1] >= 0
+    # one extra token flips few bits
+    ham = bin(hs[1] ^ hs[3]).count("1")
+    assert ham <= 12
+
+
+def test_ngram_jaccard_hand_computed(spark):
+    # doc1: shingles {a b c, b c d} ; doc2: {a b c, b c e}
+    # intersection 1, union 3 ⇒ jaccard 1/3.
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"])
+    out = ngram_jaccard_pairs(df, min_jaccard=0.0).collect()
+    assert len(out) == 1
+    assert abs(out[0]["jaccard"] - 1 / 3) < 1e-12
+
+
+def test_ngram_jaccard_max_doc_freq_drops_common(spark):
+    # 'a b c' appears in all 3 docs → dropped at max_doc_freq=2; docs 1,2
+    # still share 'b c d'.
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "a b c x")], ["doc_id", "text"]
+    )
+    out = ngram_jaccard_pairs(df, min_jaccard=0.0, max_doc_freq=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+    assert out[0]["jaccard"] == 1.0  # rare-shingle sets are both exactly {'b c d'}
+
+
+def test_cosine_topk_hand_computed(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame([(100, [1.0, 0.0])], ["query_id", "query_vec"])
+    out = cosine_topk(queries, corpus, k=2).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert abs(out[0]["cosine"] - 1.0) < 1e-12
+
+
+def test_sessionize_boundaries(spark):
+    # gap 60 s: delta == 60 stays in-session, 61 starts a new one.
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 1.0),
+        (1, "2024-01-01 00:01:00", 2, 2.0),
+        (1, "2024-01-01 00:02:01", 3, 4.0),
+        (2, "2024-01-01 00:00:00", 4, 8.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_s", "event_id", "value"]).withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    )
+    out = sessionize(df, gap_seconds=60)
+    sess = {(r["user_id"], r["session_id"]): r for r in out.collect()}
+    assert len(sess) == 3
+    assert sess[(1, 1)]["n_events"] == 2 and sess[(1, 1)]["value_sum"] == 3.0
+    assert sess[(1, 2)]["n_events"] == 1 and sess[(1, 2)]["value_sum"] == 4.0
+    assert sess[(2, 1)]["n_events"] == 1
