@@ -1,0 +1,96 @@
+"""Structured Streaming surface (SURVEY.md §2.12 — new in this engine).
+
+The reference is batch-only; its "moving average over hours" is a batch
+window (reference src/weather.py:228-244). This module adds the
+streaming operators the north star names: watermarked tumbling/sliding
+windows, session windows, and within-watermark dedup, over an
+events-shaped stream (event_id, ts, user_id, event_type, value, props).
+
+Every builder takes a streaming DataFrame and returns a streaming
+DataFrame — source/sink wiring stays with the caller, so the same
+transformations run against file, Kafka or rate sources. Batch twins of
+these aggregations (identical result semantics on bounded input) are in
+plans/llm_ops.py (`st_*` queries), which is how the DuckDB oracle
+checks them.
+
+State-store sizing at scale: watermark delay bounds state; session
+windows additionally require `spark.sql.streaming.statefulOperator.
+allowMultiple` semantics left at defaults. Keys are (user_id) or
+(window), both low-cardinality relative to input volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.sources.registry import TABLES
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of events-shaped parquet under ``path``.
+
+    Timestamps must already be micros (the nanos conversion in
+    sources/registry.py applies to batch reads; streaming fixtures are
+    written by the engine itself).
+    """
+    reader = spark.readStream.schema(TABLES["events"])
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window count + sum per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "value_sum")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window count."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+
+
+def session_aggregates(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked session windows per user (F.session_window).
+
+    Batch twin: operators/sessionize.py (same gap semantics: a new
+    session when the time since the previous event exceeds the gap).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("value_sum"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Drop duplicate event_ids arriving within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])

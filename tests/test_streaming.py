@@ -1,0 +1,90 @@
+"""Structured Streaming surface: run the builders against a file-source
+stream (availableNow trigger → memory sink) and check the results match
+the batch twins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.operators.sessionize import sessionize
+from accident_prediction_montreal_spark.sources.registry import TABLES
+from accident_prediction_montreal_spark.streaming.windows import (
+    dedup_within_watermark,
+    read_events_stream,
+    session_aggregates,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def event_fixture(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    rows = [
+        # user 1: two sessions (gap > 30 min between event 2 and 3)
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:10:00", 1, "click", 2.0, "{}"),
+        (3, "2024-01-01 11:00:01", 1, "view", 4.0, "{}"),
+        # user 2: one event + an exact duplicate event_id
+        (4, "2024-01-01 10:20:00", 2, "click", 8.0, "{}"),
+        (4, "2024-01-01 10:20:00", 2, "click", 8.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "user_id", "event_type", "value", "props"]
+    ).select(
+        F.col("event_id").cast("long"),
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        F.col("user_id").cast("long"),
+        "event_type",
+        F.col("value").cast("double"),
+        "props",
+    )
+    df.select(*TABLES["events"].fieldNames()).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream(spark, stream_df, name, mode):
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_counts(spark, event_fixture):
+    # complete mode: with availableNow the watermark never passes the last
+    # window, so append would emit nothing on a finite fixture.
+    stream = read_events_stream(spark, event_fixture)
+    assert stream.isStreaming
+    out = _run_stream(spark, tumbling_counts(stream), "t_tumbling", "complete")
+    rows = {(r["win_start"].hour, r["event_type"]): r["n"] for r in out.collect()}
+    assert rows[(10, "click")] == 4  # duplicate included here (no dedup)
+    assert rows[(11, "view")] == 1
+
+
+def test_session_stream_matches_batch_twin(spark, event_fixture):
+    stream = read_events_stream(spark, event_fixture)
+    out = _run_stream(
+        spark, session_aggregates(stream, gap="30 minutes"), "t_session", "complete"
+    )
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in out.collect()
+    }
+    batch = spark.read.parquet(event_fixture)
+    twin = sessionize(batch, gap_seconds=1800)
+    expected = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in twin.collect()
+    }
+    assert got == expected
+    assert len(got) == 3
+
+
+def test_dedup_within_watermark(spark, event_fixture):
+    stream = read_events_stream(spark, event_fixture)
+    out = _run_stream(spark, dedup_within_watermark(stream), "t_dedup", "append")
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 2, 3, 4]  # duplicate event_id 4 dropped
