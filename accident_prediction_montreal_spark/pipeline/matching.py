@@ -1,0 +1,119 @@
+"""Two-pass spatial matching of accidents to road segments (J8 —
+reference preprocess.py:59-223).
+
+Semantics preserved:
+  pass 1: per accident, preselect top-k nearest street CENTERS, then the
+          closest street POINT among those streets; accept if < 10 m.
+  pass 2: for rejects, densify each candidate street's polyline with
+          rolling midpoints (W3) and re-pick the closest point.
+  final:  one street per accident (closest center among the union),
+          deterministic tie-breaks throughout (§7.4).
+
+Spark-first differences: candidate generation uses the grid-bucketed
+equi-join (knn_join_grid) instead of a full cross join — the 100-TB
+lever called out in SURVEY.md §4 — with ``exhaustive=True`` falling back
+to the reference's crossJoin form for verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.functions.geo import haversine_meters
+from accident_prediction_montreal_spark.operators.spatial import knn_join, knn_join_grid
+
+
+def _top_k_centers(
+    accidents: DataFrame, road_centers: DataFrame, k: int, exhaustive: bool, cell_deg: float
+) -> DataFrame:
+    kwargs = dict(
+        k=k,
+        left_id="accident_id",
+        right_id="street_id",
+        left_coords=("loc_lat", "loc_long"),
+        right_coords=("center_lat", "center_long"),
+    )
+    if exhaustive:
+        out = knn_join(accidents, road_centers, **kwargs)
+    else:
+        out = knn_join_grid(accidents, road_centers, cell_deg=cell_deg, **kwargs)
+    return out.select("accident_id", "loc_lat", "loc_long", "street_id")
+
+
+def _closest_point(candidates: DataFrame) -> DataFrame:
+    """Per accident, the closest (street, point) among candidate rows."""
+    w = Window.partitionBy("accident_id").orderBy(
+        F.col("point_dist").asc(), F.col("street_id").asc()
+    )
+    return (
+        candidates.withColumn(
+            "point_dist",
+            haversine_meters("loc_lat", "loc_long", "coord_lat", "coord_long"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def match_accidents_with_roads(
+    accidents: DataFrame,
+    road_points: DataFrame,
+    k: int = 5,
+    max_distance_m: float = 10.0,
+    exhaustive: bool = False,
+    cell_deg: float = 0.1,
+) -> DataFrame:
+    """(accident_id, street_id) — one street per accident."""
+    road_centers = road_points.select("street_id", "center_lat", "center_long").dropDuplicates()
+    acc = accidents.select("accident_id", "loc_lat", "loc_long")
+    points = road_points.select("street_id", "coord_lat", "coord_long")
+
+    top_k = _top_k_centers(acc, road_centers, k, exhaustive, cell_deg).persist()
+
+    first_match = _closest_point(top_k.join(points, "street_id")).persist()
+    accepted = first_match.filter(F.col("point_dist") < max_distance_m).select(
+        "accident_id", "street_id"
+    )
+
+    # Refine pass: densify candidate streets with rolling midpoints
+    # (reference preprocess.py:159-175) and re-match.
+    rejected_candidates = (
+        first_match.filter(F.col("point_dist") >= max_distance_m)
+        .select("accident_id", "loc_lat", "loc_long")
+        .join(top_k.select("accident_id", "street_id"), "accident_id")
+        .join(points, "street_id")
+    )
+    street_window = Window.partitionBy("accident_id", "street_id").orderBy("coord_long").rowsBetween(0, 1)
+    midpoints = rejected_candidates.select(
+        "accident_id",
+        "street_id",
+        "loc_lat",
+        "loc_long",
+        F.avg("coord_lat").over(street_window).alias("coord_lat"),
+        F.avg("coord_long").over(street_window).alias("coord_long"),
+    )
+    densified = rejected_candidates.unionByName(midpoints).dropDuplicates()
+    refined = _closest_point(densified).select("accident_id", "street_id")
+
+    matched = accepted.unionByName(refined)
+
+    # Final disambiguation: closest center wins (reference preprocess.py:208-223).
+    final_w = Window.partitionBy("accident_id").orderBy(
+        F.col("center_dist").asc(), F.col("street_id").asc()
+    )
+    out = (
+        matched.join(road_centers, "street_id")
+        .join(acc, "accident_id")
+        .withColumn(
+            "center_dist",
+            haversine_meters("loc_lat", "loc_long", "center_lat", "center_long"),
+        )
+        .withColumn("rn", F.row_number().over(final_w))
+        .filter(F.col("rn") == 1)
+        .select("accident_id", "street_id")
+    )
+    top_k.unpersist()
+    first_match.unpersist()
+    return out
