@@ -10,6 +10,7 @@ from accident_prediction_montreal_spark.plans.registry import REGISTRY, QuerySpe
 
 # Populate the registry.
 from accident_prediction_montreal_spark.plans import relational  # noqa: F401,E402
+from accident_prediction_montreal_spark.plans import relational_extra  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import composite  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import llm_ops  # noqa: F401,E402
 

@@ -1,0 +1,211 @@
+"""Additional relational + ML-surface queries: TPC-H classic shapes
+(multi-join + aggregate + top-k pipelines) and the ML feature/weight
+operators that are ANSI-expressible, plus rows-only entries for the
+sampling/approx operators whose randomness or sketches no oracle can
+replicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.functions.money import dsum
+from accident_prediction_montreal_spark.ml.class_weighter import ClassWeighter, balanced_weights
+from accident_prediction_montreal_spark.ml.random_undersampler import RandomUnderSampler
+from accident_prediction_montreal_spark.plans.registry import register
+from accident_prediction_montreal_spark.sources.registry import load_table
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        AS revenue,
+      o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 20
+    """,
+    description="TPC-H Q3 shape: selective 3-way join → revenue agg → global top-k",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    dec4 = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec4(F.col("l_extendedprice")) * dec4(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(20)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    description="TPC-H Q10 shape: returned-items revenue per customer, top 20",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    dec4 = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li.filter(F.col("l_returnflag") == "R"), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(dec4(F.col("l_extendedprice")) * dec4(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+# --- M1: feature assembly (array form — Vector UDT is not oracle-comparable,
+# SURVEY.md §7.4) -------------------------------------------------------------
+
+@register(
+    "m1_feature_assembly",
+    oracle="""
+    SELECT o_orderkey,
+      [o_totalprice / 1024.0,
+       CAST(o_orderkey % 24 AS DOUBLE),
+       CASE WHEN o_orderstatus = 'F' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+      ] AS features
+    FROM orders
+    """,
+    description="Feature-vector assembly as array<double> (M1; arrays instead of "
+    "VectorUDT for oracle comparability). Scaling divisor is a power of two "
+    "so the division is binary-exact — decimal divisors (1e5) land on .5 "
+    "rounding boundaries where engines disagree.",
+)
+def m1_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    arr = F.array(
+        F.col("o_totalprice") / 1024.0,
+        (F.col("o_orderkey") % 24).cast("double"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0),
+    )
+    return orders.select("o_orderkey", arr.alias("features"))
+
+
+# --- M3: class weighting (data-derived balanced weights) ----------------------
+
+@register(
+    "m3_class_weights",
+    oracle="""
+    WITH stats AS (
+      SELECT COUNT(*) AS n,
+        SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS n0,
+        SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n1
+      FROM orders
+    )
+    SELECT o_orderkey,
+      ROUND(CASE WHEN o_orderstatus <> 'F'
+        THEN (SELECT n FROM stats) / (2.0 * (SELECT n0 FROM stats))
+        ELSE (SELECT n FROM stats) / (2.0 * (SELECT n1 FROM stats)) END, 6) AS weight
+    FROM orders
+    """,
+    description="Per-row balanced class weights via ClassWeighter (M3, "
+    "class_weighter.py:38-43 shape)",
+)
+def m3_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "label", F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    )
+    weights = balanced_weights(orders)
+    out = ClassWeighter(classWeight=weights).transform(orders)
+    return out.select("o_orderkey", F.round("weight", 6).alias("weight"))
+
+
+# --- Rows-only: sampling + sketches (no ANSI oracle possible) -----------------
+
+@register(
+    "m2_random_undersampler",
+    oracle=None,  # engine-internal Bernoulli sampling; rows-only.
+    description="RandomUnderSampler fit+transform: seeded undersampling of the "
+    "negative class to a target imbalance ratio (M2)",
+)
+def m2_random_undersampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("index"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("label"),
+    )
+    model = RandomUnderSampler(
+        targetImbalanceRatio=1.0, indexCol="index", labelCol="label", seed=42
+    ).fit(orders)
+    return model.transform(orders)
+
+
+@register(
+    "r2_seeded_sample",
+    oracle=None,  # Bernoulli sample; rows-only.
+    description="Seeded Bernoulli sample (R1/R2) — named-args form so the seed "
+    "actually applies",
+)
+def r2_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.sample(withReplacement=False, fraction=0.1, seed=42).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@register(
+    "r3_random_split",
+    oracle=None,  # randomSplit; rows-only.
+    description="Seeded randomSplit train partition (R3, main mains pattern)",
+)
+def r3_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    train, _test = orders.randomSplit([0.8, 0.2], seed=0)
+    return train.select("o_orderkey")
+
+
+@register(
+    "a8_approx_distinct",
+    oracle=None,  # HLL sketch differs across engines; rows-only.
+    description="approx_count_distinct — the sketch path for distinct counts at "
+    "scale (A8)",
+)
+def a8_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
