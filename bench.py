@@ -37,10 +37,13 @@ HEADLINE = [
     "a7_target_encode",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
     "text_quality_signals",
     "sim_cosine_topk",
     "st_session_window",
     "st_tumbling_window",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
 ]
 
 
