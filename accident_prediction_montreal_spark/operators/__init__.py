@@ -33,6 +33,11 @@ from accident_prediction_montreal_spark.operators.text import (
     fingerprint,
 )
 from accident_prediction_montreal_spark.operators.sessionize import sessionize
+from accident_prediction_montreal_spark.operators.skew import salted_join
+from accident_prediction_montreal_spark.operators.ivf import (
+    build_ivf_index,
+    ivf_cosine_topk,
+)
 
 __all__ = [
     "knn_join",
@@ -58,4 +63,7 @@ __all__ = [
     "language_id",
     "fingerprint",
     "sessionize",
+    "salted_join",
+    "build_ivf_index",
+    "ivf_cosine_topk",
 ]

@@ -1,0 +1,95 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The coarse-quantization scale path for similarity search: k-means
+centroids partition the corpus into cells; a query only scans its
+``n_probe`` nearest cells. Complements the exact brute-force path
+(operators/similarity.py) and MLlib's BRP-LSH:
+
+  * build: one KMeans fit (sampled), one pass to assign cells — the
+    corpus is then bucketed (and at rest can be WRITTEN partitioned by
+    cell, turning probes into partition-pruned scans);
+  * query: centroids are tiny → broadcast; candidate set is
+    |corpus| · n_probe / n_cells on average, an equi-join on cell_id
+    instead of a full scan.
+
+Exactness: recall < 1 when a true neighbor lives in an unprobed cell —
+raise ``n_probe`` to trade cost for recall (n_probe = n_cells ≡ exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.functions.vectors import cosine_similarity
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit centroids and assign every corpus vector to its cell.
+
+    Returns (assigned_corpus with cell_id, centroids(cell_id, centroid)).
+    KMeans fits on a seeded sample when the corpus is large.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = corpus.select(
+        id_col, vec_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v")
+    )
+    fit_on = (
+        vecs
+        if sample_fraction >= 1.0
+        else vecs.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="cell_id").fit(fit_on)
+    assigned = model.transform(vecs).select(id_col, vec_col, "cell_id")
+    centroids = model.clusterCenters()
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell_id INT, centroid ARRAY<DOUBLE>",
+    )
+    return assigned, cent_df
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    assigned_corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine among the ``n_probe`` nearest cells per query."""
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("cell_sim", cosine_similarity(query_vec, "centroid"))
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(
+                    F.col("cell_sim").desc(), F.col("cell_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("probe_rank") <= n_probe)
+        .select(query_id, query_vec, "cell_id")
+    )
+    candidates = probes.join(assigned_corpus, "cell_id")
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
+    return (
+        candidates.withColumn("cosine", cosine_similarity(query_vec, corpus_vec))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

@@ -260,6 +260,26 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_ivf",
+    oracle=None,  # KMeans cells are engine-internal; rows-only.
+    description="IVF approximate NN: k-means coarse cells + n_probe cell scan "
+    "(the partition-pruned ANN scale path)",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_cosine_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assigned, cents = build_ivf_index(emb, n_cells=8)
+    return ivf_cosine_topk(queries, assigned, cents, k=5, n_probe=3)
+
+
+@register(
     "sim_embedding_stats",
     oracle="""
     SELECT label, COUNT(*) AS n,

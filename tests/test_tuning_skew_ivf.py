@@ -1,0 +1,85 @@
+"""Tuning wrappers, salted join, IVF ANN."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.ml.pipelines import assemble_features
+from accident_prediction_montreal_spark.ml.tuning import gbt_pipeline, tuned_rf
+from accident_prediction_montreal_spark.operators.ivf import build_ivf_index, ivf_cosine_topk
+from accident_prediction_montreal_spark.operators.similarity import cosine_topk
+from accident_prediction_montreal_spark.operators.skew import salted_join
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    rows = [(i, float(i % 5 == 0), (i % 50) / 50.0, float(i % 7)) for i in range(300)]
+    return assemble_features(
+        spark.createDataFrame(rows, ["index", "label", "x1", "x2"]), ["x1", "x2"]
+    ).persist()
+
+
+def test_tvs_tuning(labeled):
+    tvs = tuned_rf(max_depths=[3, 5], num_trees=[5], parallelism=2)
+    model = tvs.fit(labeled)
+    assert len(model.validationMetrics) == 2  # 2 grid points
+    best = model.bestModel
+    assert best.getMaxDepth() in (3, 5)
+
+
+def test_cv_tuning(labeled):
+    cv = tuned_rf(max_depths=[3], num_trees=[5], folds=2)
+    model = cv.fit(labeled)
+    assert len(model.avgMetrics) == 1
+
+
+def test_gbt_pipeline(labeled):
+    model = gbt_pipeline(class_weight=[0.5, 2.0], max_iter=3, max_depth=3).fit(labeled)
+    preds = model.transform(labeled)
+    assert preds.filter(F.col("prediction").isNull()).count() == 0
+
+
+def test_salted_join_equals_plain(spark):
+    # skewed big side: 90% of rows share key 1
+    big = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(1000)], ["k", "payload"]
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], ["k", "v"])
+    plain = big.join(small, "k").groupBy("k", "v").count()
+    salted = salted_join(big, small, "k").groupBy("k", "v").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched big rows
+    big2 = big.unionByName(spark.createDataFrame([(99, 0)], ["k", "payload"]))
+    left = salted_join(big2, small, "k", how="left")
+    assert left.filter(F.col("k") == 99).count() == 1
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    rng = random.Random(3)
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(400)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    ).persist()
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assigned, cents = build_ivf_index(corpus, n_cells=8)
+    assert cents.count() == 8
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(queries, corpus, k=5).collect()
+    }
+    # full probe (n_probe = n_cells) must equal brute force
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_cosine_topk(queries, assigned, cents, k=5, n_probe=8).collect()
+    }
+    assert full == exact
+    # partial probe: self-match always found (query's own cell is probed first)
+    part = ivf_cosine_topk(queries, assigned, cents, k=5, n_probe=2)
+    selfhits = part.filter(F.col("query_id") == F.col("vec_id")).count()
+    assert selfhits == 5
+    recall = len({(r["query_id"], r["vec_id"]) for r in part.collect()} & exact) / len(exact)
+    assert recall >= 0.5
