@@ -1,0 +1,74 @@
+"""Training-run result export (reference src/export_results.py:17-46 +
+mains): params, train/test AUPRC/AUROC, threshold-sweep metrics CSV and
+feature importances, written under a fresh numbered run directory.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from accident_prediction_montreal_spark.ml.evaluate import evaluate_binary_classifier
+from accident_prediction_montreal_spark.ml.pipelines import feature_importances
+from accident_prediction_montreal_spark.operators.metrics import threshold_sweep
+
+
+def create_result_dir(base: str, algorithm: str) -> str:
+    """``{base}/{algorithm}_{i}`` with the first free i (reference
+    export_results.py:9-15)."""
+    i = 1
+    while Path(f"{base}/{algorithm}_{i}").is_dir():
+        i += 1
+    path = Path(f"{base}/{algorithm}_{i}")
+    path.mkdir(parents=True)
+    return str(path)
+
+
+def write_params(model, extra: dict[str, object], result_dir: str) -> None:
+    lines = [f"{k}: {v}" for k, v in extra.items()]
+    stages = model.stages if hasattr(model, "stages") else [model]
+    for stage in stages:
+        for param, value in stage.extractParamMap().items():
+            lines.append(f"{param.name}: {value}")
+    Path(result_dir, "params").write_text("\n".join(lines) + "\n")
+
+
+def write_results(
+    spark: SparkSession,
+    model,
+    test_predictions: DataFrame,
+    train_predictions: DataFrame,
+    result_dir: str,
+    feature_cols: list[str] | None = None,
+    n_points: int = 20,
+) -> dict[str, float]:
+    """results + metrics.csv (+ feature_importances.csv); returns the
+    test/train metric dict."""
+    test_m = evaluate_binary_classifier(test_predictions)
+    train_m = evaluate_binary_classifier(train_predictions)
+    Path(result_dir, "results").write_text(
+        "Test set:\n"
+        f"\tArea Under PR = {test_m['areaUnderPR']}\n"
+        f"\tArea Under ROC = {test_m['areaUnderROC']}\n"
+        "Train set:\n"
+        f"\tArea Under PR = {train_m['areaUnderPR']}\n"
+        f"\tArea Under ROC = {train_m['areaUnderROC']}\n"
+    )
+
+    from accident_prediction_montreal_spark.ml.pipelines import prob_positive
+
+    scored = test_predictions.select(
+        prob_positive().alias("prob_positive"), "label"
+    )
+    sweep = threshold_sweep(spark, scored, n_points=n_points)
+    sweep.toPandas().set_index("threshold").to_csv(f"{result_dir}/metrics.csv")
+
+    if feature_cols is not None:
+        feature_importances(model, feature_cols).to_csv(
+            f"{result_dir}/feature_importances.csv", index=False
+        )
+    return {
+        "test": test_m,
+        "train": train_m,
+    }

@@ -199,6 +199,82 @@ def r3_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f_date_parts",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+      CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+      CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom,
+      CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+      CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_spark,
+      CAST(o_orderdate AS DATE) AS d
+    FROM orders
+    """,
+    description="Date-part scalar surface: year/month/day/doy/dow/to_date "
+    "(§2.9 date family; dow normalized to Spark's Sunday=1 convention)",
+)
+def f_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    dow = F.dayofweek("o_orderdate")  # Sunday=1 … Saturday=7
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        # DuckDB dayofweek is Sunday=0…Saturday=6; its +1 in the oracle
+        # matches Spark's Sunday=1…Saturday=7 convention directly.
+        dow.cast("long").alias("dow_spark"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+
+
+@register(
+    "f_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+      upper(c_name) AS name_upper,
+      substr(c_name, 1, 8) AS name_prefix,
+      length(c_name) AS name_len,
+      concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_key,
+      CAST(split_part(c_name, '#', 2) AS BIGINT) AS name_num
+    FROM customer
+    """,
+    description="String scalar surface: upper/substr/length/concat/split "
+    "(§2.9 string family)",
+)
+def f_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat("c_mktsegment", F.lit("#"), F.col("c_nationkey").cast("string")).alias("seg_key"),
+        F.split("c_name", "#")[1].cast("long").alias("name_num"),
+    )
+
+
+@register(
+    "a10_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+      ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+    description="Exact interpolated percentiles per group (A-family extension; "
+    "approx sketch variant is a8_approx_distinct's cousin at scale)",
+)
+def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+@register(
     "a8_approx_distinct",
     oracle=None,  # HLL sketch differs across engines; rows-only.
     description="approx_count_distinct — the sketch path for distinct counts at "
