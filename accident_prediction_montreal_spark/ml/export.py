@@ -61,7 +61,7 @@ def write_results(
     scored = test_predictions.select(
         prob_positive().alias("prob_positive"), "label"
     )
-    sweep = threshold_sweep(spark, scored, n_points=n_points)
+    sweep = threshold_sweep(spark, scored, n_points=n_points).orderBy("threshold")
     sweep.toPandas().set_index("threshold").to_csv(f"{result_dir}/metrics.csv")
 
     if feature_cols is not None:

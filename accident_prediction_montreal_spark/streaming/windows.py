@@ -94,3 +94,13 @@ def session_aggregates(
 def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Drop duplicate event_ids arriving within the watermark horizon."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static join: per-microbatch hash join against a static
+    dimension — the standard enrichment pattern (dim re-read per batch;
+    broadcast when small). No watermark needed for stream-static inner
+    joins."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), key, "left")

@@ -1,0 +1,61 @@
+"""Physical-plan regression guards: the scale properties PERF.md claims
+(pushdown, broadcast placement, bounded exchanges) asserted against the
+actual executed plans so a refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from accident_prediction_montreal_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    # default metadata truncation (100 chars) cuts PushedFilters mid-list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    return REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown(spark):
+    plan = plan_of(spark, "s1_scan_project_filter")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    assert "LessThan(l_shipdate" in pushed and "GreaterThan(l_quantity" in pushed
+    schema = re.search(r"ReadSchema: ([^\n]*)", plan).group(1)
+    assert "l_returnflag" not in schema  # column pruning holds
+
+
+def test_dim_joins_broadcast(spark):
+    plan = plan_of(spark, "j1_join_chain_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at minimum
+    assert "SortMergeJoin" not in plan or plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_knn_grid_is_equi_join(spark):
+    plan = plan_of(spark, "j8_knn_join_grid")
+    assert "CartesianProduct" not in plan  # the whole point of the grid path
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_idw_broadcasts_stations(spark):
+    plan = plan_of(spark, "a6_idw_interpolation")
+    # stations side broadcast: corpus is never shuffled pre-aggregation
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_anti_join_no_extra_exchange(spark):
+    plan = plan_of(spark, "j4_anti_join")
+    assert "LeftAnti" in plan
+
+
+def test_ewma_single_shuffle(spark):
+    plan = plan_of(spark, "w4_ewma")
+    assert plan.count("Exchange hashpartitioning") == 1  # one window partition
+
+
+def test_minhash_no_string_shingles(spark):
+    plan = plan_of(spark, "dedup_minhash_pairs")
+    assert "concat_ws" not in plan  # numeric shingles only

@@ -88,3 +88,15 @@ def test_dedup_within_watermark(spark, event_fixture):
     out = _run_stream(spark, dedup_within_watermark(stream), "t_dedup", "append")
     ids = sorted(r["event_id"] for r in out.collect())
     assert ids == [1, 2, 3, 4]  # duplicate event_id 4 dropped
+
+
+def test_stream_static_enrichment(spark, event_fixture):
+    from accident_prediction_montreal_spark.streaming.windows import enrich_with_dim
+
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], ["user_id", "tier"])
+    stream = read_events_stream(spark, event_fixture)
+    out = _run_stream(spark, enrich_with_dim(stream, dim), "t_enrich", "append")
+    rows = out.collect()
+    assert len(rows) == 5  # all events pass through
+    tiers = {r["user_id"]: r["tier"] for r in rows}
+    assert tiers[1] == "gold" and tiers[2] == "silver"
