@@ -304,7 +304,7 @@ def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS win_start, event_type,
       COUNT(*) AS n,
-      CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+      CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS value_sum
     FROM events GROUP BY 1, 2
     """,
     description="Tumbling event-time window aggregation (streaming §2.12 surface, "
@@ -329,7 +329,7 @@ def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events CROSS JOIN (SELECT UNNEST(range(0, 2)) AS o)
     )
     SELECT win_start, COUNT(*) AS n,
-      CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+      CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS value_sum
     FROM expanded GROUP BY win_start
     """,
     description="Sliding (1h / 30min) event-time windows — each event in 2 windows",
@@ -363,7 +363,7 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
       MIN(ts) AS session_start, MAX(ts) AS session_end,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+      CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS value_sum
     FROM sess GROUP BY user_id, session_id
     """,
     description="Sessionization, 30-min gap (gaps-and-islands; batch twin of "

@@ -21,7 +21,7 @@ from accident_prediction_montreal_spark.sources.registry import load_table
     "tpch_q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
         AS revenue,
       o.o_orderdate, o.o_orderpriority
     FROM customer c
@@ -63,7 +63,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
         AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
