@@ -30,9 +30,12 @@ def threshold_sweep(
     and derived metrics — the same contract as reference
     src/random_forest.py:174-216, with the pivot's generated column names
     (``0_sum(count_negatives)`` …) pinned to explicit aliases instead.
-    """
-    total = scored.count()
 
+    One pass over ``scored``: the accuracy denominator comes from the
+    (persisted, O(n_points)-row) histogram rather than a separate
+    count() action — the reference scans its predictions twice
+    (random_forest.py:154-155 + the histogram).
+    """
     hist = (
         scored.select(
             F.col(label_col).cast("int").alias("label"),
@@ -40,7 +43,9 @@ def threshold_sweep(
         )
         .groupBy("label", "id_bucket")
         .count()
+        .persist()
     )
+    total = hist.agg(F.sum("count")).first()[0] or 0
     grid = (
         spark.range(-1, n_points)
         .select(F.col("id").cast("int").alias("id_bucket"))
