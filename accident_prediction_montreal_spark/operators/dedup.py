@@ -71,6 +71,33 @@ def minhash_signature(text: Column | str, num_hashes: int = 32, n: int = 3) -> C
     return F.when(F.size(sh) > 0, sig)
 
 
+def word_shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """Distinct word-n-gram shingles as 64-bit hashes (array<long>).
+
+    Numeric shingles: hash each token once, then chain n shifted copies
+    with zip_with — a shingle hash mixes n consecutive token hashes with
+    NO per-shingle string building, and tok_h is referenced only n
+    times (element_at-per-gram would re-evaluate the whole array per
+    access: no CSE inside HOF lambdas — measured 2× slower). The mapping
+    from string shingles is injective in practice (64-bit collisions
+    ~|shingles|²/2⁶⁴), so distinct counts — and therefore Jaccard and
+    MinHash — are preserved while shuffle keys shrink from multi-word
+    strings to 8 bytes.
+    """
+    toks = tokenize(F.col(text) if isinstance(text, str) else text)
+    tok_h = F.transform(toks, lambda t: F.xxhash64(t))
+    count = F.size(toks) - (n - 1)
+    safe_count = F.greatest(count, F.lit(0))
+    gram_h = F.slice(tok_h, 1, safe_count)
+    for j in range(1, n):
+        gram_h = F.zip_with(
+            gram_h, F.slice(tok_h, j + 1, safe_count), lambda a, b: F.xxhash64(a, b)
+        )
+    return F.when(count >= 1, F.array_distinct(gram_h)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
 def minhash_signatures_df(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -83,30 +110,13 @@ def minhash_signatures_df(
     The column-expression form (``minhash_signature``) re-evaluates the
     shingle array once per hash family after Catalyst collapses projects —
     a num_hashes× blowup. Here each shingle is materialized once by
-    ``explode``, string-hashed once, and the per-family hashes are cheap
+    ``explode`` as a 64-bit hash, and the per-family hashes are cheap
     long-pair mixes ``xxhash64(h, i)`` aggregated map-side — the shape
     that scales: one shuffle of (doc, num_hashes longs).
     """
-    # Numeric shingles: hash each token once, then chain n shifted copies
-    # with zip_with — a shingle hash mixes n consecutive token hashes with
-    # NO per-shingle string building, and tok_h is referenced only n
-    # times (element_at-per-gram would re-evaluate the whole array per
-    # access: no CSE inside HOF lambdas — measured 2× slower). 64-bit
-    # collisions are negligible for minhashing.
-    toks = tokenize(F.col(text_col) if isinstance(text_col, str) else text_col)
-    tok_h = F.transform(toks, lambda t: F.xxhash64(t))
-    count = F.size(toks) - (shingle_n - 1)
-    safe_count = F.greatest(count, F.lit(0))
-    gram_h = F.slice(tok_h, 1, safe_count)
-    for j in range(1, shingle_n):
-        gram_h = F.zip_with(
-            gram_h, F.slice(tok_h, j + 1, safe_count), lambda a, b: F.xxhash64(a, b)
-        )
-    shingle_hashes = F.when(count >= 1, F.array_distinct(gram_h)).otherwise(
-        F.array().cast("array<long>")
-    )
     exploded = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingle_hashes).alias("h")
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingle_hashes(text_col, shingle_n)).alias("h"),
     )
     aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
     return (
@@ -241,8 +251,11 @@ def ngram_jaccard_pairs(
     but create quadratic skew — a shingle shared by 10⁶ docs would emit
     5·10¹¹ pairs. Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    # 64-bit shingle hashes instead of multi-word strings: halves the
+    # shuffle payload; distinct counts (hence Jaccard) are preserved —
+    # see word_shingle_hashes on collision odds.
     exploded = (
-        df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles"))
+        df.select(F.col(id_col).alias("doc"), word_shingle_hashes(text_col, n).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .select("doc", F.explode("shingles").alias("sh"))
     )
