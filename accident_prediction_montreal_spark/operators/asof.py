@@ -1,0 +1,100 @@
+"""As-of (temporal) join — SURVEY.md §2 J9, absent from the reference
+("events testdata enables adding range-join later"); a first-class
+operator here because training pipelines constantly need
+"latest state at or before event time" semantics.
+
+Implementation is the sort-based union trick, not a range join:
+  1. tag right rows 0 and left rows 1, union on (by, ts, tag, tie);
+  2. one window per key carries the last non-null right payload forward
+     (last_value IGNORE NULLS, unbounded preceding → current);
+  3. keep left rows; optionally null out matches older than a tolerance.
+
+Cost: ONE shuffle+sort on the key — no per-row range scan, no interval
+explosion, skew handled by AQE like any window. Equal timestamps match
+(right sorts before left at the same ts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, the most recent right row (same ``by`` keys,
+    right.ts ≤ left.ts, within ``tolerance_seconds`` if given).
+
+    Returns all left columns plus ``{v}{suffix}`` for each value column
+    and ``{ts_col}{suffix}`` (the matched right timestamp) — null when no
+    right row qualifies.
+
+    Determinism contract: the right side must be unique per (by, ts) —
+    pre-dedup with a window if it isn't (equal-timestamp right rows have
+    no defined winner otherwise).
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in by and c != ts_col
+    ]
+    rts = f"{ts_col}{suffix}"
+
+    right_tagged = right.select(
+        *by,
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        F.unix_micros(F.col(ts_col)).alias("__tie"),
+        F.col(ts_col).alias(rts),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    left_cols = left.columns
+    left_tagged = left.select(
+        "*",
+        F.lit(1).alias("__side"),
+        F.unix_micros(F.col(ts_col)).alias("__tie"),
+        F.lit(None).cast(dict(right_tagged.dtypes)[rts]).alias(rts),
+        *[
+            F.lit(None).cast(dict(right_tagged.dtypes)[f"{c}{suffix}"]).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    allrows = left_tagged.unionByName(
+        right_tagged, allowMissingColumns=True
+    )
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [rts] + [f"{c}{suffix}" for c in value_cols]
+    out = allrows
+    for c in carried:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = out.filter(F.col("__side") == 1).drop("__side", "__tie")
+
+    if tolerance_seconds is not None:
+        # Materialize the staleness flag BEFORE nulling anything: the loop
+        # overwrites rts first, and a flag recomputed from the nulled rts
+        # would stop firing for the remaining columns.
+        out = out.withColumn(
+            "__too_old",
+            F.coalesce(
+                F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(rts))
+                > tolerance_seconds * 1_000_000,
+                F.lit(False),
+            ),
+        )
+        for c in carried:
+            out = out.withColumn(
+                c, F.when(F.col("__too_old"), F.lit(None)).otherwise(F.col(c))
+            )
+        out = out.drop("__too_old")
+
+    return out.select(*left_cols, *carried)

@@ -99,6 +99,51 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j9_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    errors AS (
+      SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'error'
+    )
+    SELECT e.user_id, e.event_id,
+      c.event_id AS click_event_id,
+      ROUND(c.value, 6) AS click_value
+    FROM errors e
+    ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    description="As-of join (J9, new vs reference): latest click at or before "
+    "each error per user — union + carry-forward window (one shuffle), "
+    "checked against DuckDB's native ASOF JOIN",
+)
+def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from accident_prediction_montreal_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = asof_join(errors, clicks, by=["user_id"], value_cols=["event_id", "value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("event_id_right").alias("click_event_id"),
+        F.round("value_right", 6).alias("click_value"),
+    )
+
+
+@register(
     "tpch_q6_forecast_revenue",
     oracle="""
     SELECT
