@@ -9,11 +9,16 @@ SQL for each ANSI-expressible query. See
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from accident_prediction_montreal_spark.plans import REGISTRY
+# Importable regardless of the driver's working directory.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from accident_prediction_montreal_spark.plans import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
