@@ -19,9 +19,17 @@ def target_encode(
     category_col: str,
     label_col: str = "label",
 ) -> DataFrame:
-    """Return (category, risk, risk_index) — deterministic via category tie-break."""
-    n_all = df.count()
-    n_pos = df.filter(F.col(label_col) == 1).count()
+    """Return (category, risk, risk_index) — deterministic via category tie-break.
+
+    The global totals come from ONE agg action (count + conditional sum in
+    the same job) — two separate count() actions would scan the full
+    dataset twice at 100 TB.
+    """
+    totals = df.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("n_pos"),
+    ).first()
+    n_all, n_pos = totals["n_all"], totals["n_pos"] or 0
 
     all_counts = df.groupBy(category_col).agg(F.count(F.lit(1)).alias("n_cat"))
     pos_counts = (

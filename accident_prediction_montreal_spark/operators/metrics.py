@@ -26,15 +26,19 @@ def threshold_sweep(
     """Threshold-dependent confusion metrics in one pass.
 
     ``scored`` needs a double P(positive) column and a 0/1 label. Output:
-    one row per threshold (i+1)/n for i in −1…n−1, with tn/fp/fn/tp counts
-    and derived metrics — the same contract as reference
+    one row per threshold (i+1)/n for each populated or grid bucket i in
+    −1…n−1 (plus bucket n when some prob is exactly 1.0), with tn/fp/fn/tp
+    counts and derived metrics — the same contract as reference
     src/random_forest.py:174-216, with the pivot's generated column names
     (``0_sum(count_negatives)`` …) pinned to explicit aliases instead.
 
-    One pass over ``scored``: the accuracy denominator comes from the
-    (persisted, O(n_points)-row) histogram rather than a separate
-    count() action — the reference scans its predictions twice
-    (random_forest.py:154-155 + the histogram).
+    The grid join is OUTER, matching the reference: rows with prob exactly
+    1.0 land in bucket n (outside the grid) and must still feed the
+    cumulative windows — a left join would silently drop them from tp/fp
+    at every threshold. One pass over ``scored``, no driver actions: the
+    accuracy denominator is tp+tn+fp+fn (constant = total examples at
+    every threshold), so no separate count() is needed — the reference
+    scans its predictions twice (random_forest.py:154-155 + histogram).
     """
     hist = (
         scored.select(
@@ -43,15 +47,13 @@ def threshold_sweep(
         )
         .groupBy("label", "id_bucket")
         .count()
-        .persist()
     )
-    total = hist.agg(F.sum("count")).first()[0] or 0
     grid = (
         spark.range(-1, n_points)
         .select(F.col("id").cast("int").alias("id_bucket"))
         .crossJoin(spark.createDataFrame([(0,), (1,)], ["label"]))
     )
-    full = grid.join(hist, ["id_bucket", "label"], "left").na.fill(0, ["count"])
+    full = grid.join(hist, ["id_bucket", "label"], "outer").na.fill(0, ["count"])
 
     w = Window.partitionBy("label").orderBy("id_bucket")
     below = F.sum("count").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -78,7 +80,10 @@ def threshold_sweep(
         pivoted.withColumn("precision", safe(tp, tp + fp))
         .withColumn("recall", F.when(tp != 0, tp / (tp + fn)).otherwise(F.lit(0.0)))
         .withColumn("false_positive_rate", safe(fp, fp + tn))
-        .withColumn("accuracy", (tp + tn) / F.lit(float(total)))
+        # tn+fn+fp+tp sums to the total example count at every threshold,
+        # so accuracy needs no separate count() action (reference
+        # random_forest.py:205-213 computes the same ratio).
+        .withColumn("accuracy", (tp + tn) / (tp + tn + fp + fn))
         .withColumn(
             "f1_score",
             safe(

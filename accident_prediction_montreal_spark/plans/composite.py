@@ -318,11 +318,10 @@ _SWEEP_N = 20
 
 _SWEEP_ORACLE = f"""
     WITH scored AS (
-      SELECT ((o_orderkey * 2654435761) % 1000) / 1000.0 AS prob,
+      SELECT ((o_orderkey * 2654435761) % 1001) / 1000.0 AS prob,
              CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
       FROM orders
     ),
-    total AS (SELECT COUNT(*) AS n FROM scored),
     hist AS (
       SELECT label, CAST(floor(prob * {_SWEEP_N}) AS INT) AS id_bucket, COUNT(*) AS cnt
       FROM scored GROUP BY 1, 2
@@ -333,8 +332,11 @@ _SWEEP_ORACLE = f"""
       CROSS JOIN (VALUES (0), (1)) t(l)
     ),
     filled AS (
-      SELECT g.id_bucket, g.label, COALESCE(h.cnt, 0) AS cnt
-      FROM grid g LEFT JOIN hist h ON g.id_bucket = h.id_bucket AND g.label = h.label
+      SELECT COALESCE(g.id_bucket, h.id_bucket) AS id_bucket,
+             COALESCE(g.label, h.label) AS label,
+             COALESCE(h.cnt, 0) AS cnt
+      FROM grid g FULL OUTER JOIN hist h
+        ON g.id_bucket = h.id_bucket AND g.label = h.label
     ),
     cum AS (
       SELECT id_bucket, label,
@@ -345,11 +347,14 @@ _SWEEP_ORACLE = f"""
       FROM filled
     ),
     piv AS (
+      -- COALESCE 0: at the bucket-n row only labels that actually hit
+      -- prob=1.0 exist; Spark's pivot([0,1]) + fill(0) zero-fills the
+      -- missing label slot (reference random_forest.py:176-184 na.fill).
       SELECT (id_bucket + 1) / {_SWEEP_N}.0 AS threshold,
-        CAST(SUM(CASE WHEN label = 0 THEN n_below END) AS BIGINT) AS true_negative,
-        CAST(SUM(CASE WHEN label = 0 THEN n_above END) AS BIGINT) AS false_positive,
-        CAST(SUM(CASE WHEN label = 1 THEN n_below END) AS BIGINT) AS false_negative,
-        CAST(SUM(CASE WHEN label = 1 THEN n_above END) AS BIGINT) AS true_positive
+        CAST(COALESCE(SUM(CASE WHEN label = 0 THEN n_below END), 0) AS BIGINT) AS true_negative,
+        CAST(COALESCE(SUM(CASE WHEN label = 0 THEN n_above END), 0) AS BIGINT) AS false_positive,
+        CAST(COALESCE(SUM(CASE WHEN label = 1 THEN n_below END), 0) AS BIGINT) AS false_negative,
+        CAST(COALESCE(SUM(CASE WHEN label = 1 THEN n_above END), 0) AS BIGINT) AS true_positive
       FROM cum GROUP BY id_bucket
     )
     SELECT threshold, true_negative, false_positive, false_negative, true_positive,
@@ -362,7 +367,8 @@ _SWEEP_ORACLE = f"""
       ROUND(CASE WHEN false_positive + true_negative <> 0
             THEN false_positive / CAST(false_positive + true_negative AS DOUBLE) END, 6)
         AS false_positive_rate,
-      ROUND((true_positive + true_negative) / CAST((SELECT n FROM total) AS DOUBLE), 6)
+      ROUND((true_positive + true_negative)
+            / CAST(true_positive + true_negative + false_positive + false_negative AS DOUBLE), 6)
         AS accuracy
     FROM piv
     """
@@ -371,13 +377,15 @@ _SWEEP_ORACLE = f"""
 @register(
     "m8_threshold_sweep",
     oracle=_SWEEP_ORACLE,
-    description="Single-pass threshold-dependent metrics: histogram + grid outer join "
-    "+ cumulative windows + pivot (M8, random_forest.py:136-221)",
+    description="Single-pass threshold-dependent metrics: histogram + grid OUTER join "
+    "+ cumulative windows + pivot (M8, random_forest.py:136-221). The prob "
+    "formula lands on exactly 1.0 for some rows, exercising the bucket-n "
+    "path the reference's outer join preserves.",
 )
 def m8_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     scored = orders.select(
-        (((F.col("o_orderkey") * 2654435761) % 1000) / 1000.0).alias("prob_positive"),
+        (((F.col("o_orderkey") * 2654435761) % 1001) / 1000.0).alias("prob_positive"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
     )
     out = threshold_sweep(spark, scored, n_points=_SWEEP_N)

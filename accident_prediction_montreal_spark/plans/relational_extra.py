@@ -179,32 +179,45 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- M1: feature assembly (array form — Vector UDT is not oracle-comparable,
-# SURVEY.md §7.4) -------------------------------------------------------------
+# --- M1: feature assembly (scalar rows — array/Vector outputs are not
+# comparable by hash harnesses that sort rows, SURVEY.md §7.4) ----------------
 
 @register(
     "m1_feature_assembly",
     oracle="""
-    SELECT o_orderkey,
-      [o_totalprice / 1024.0,
-       CAST(o_orderkey % 24 AS DOUBLE),
-       CASE WHEN o_orderstatus = 'F' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-      ] AS features
+    SELECT o_orderkey, CAST(0 AS BIGINT) AS idx, o_totalprice / 1024.0 AS value
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, CAST(1 AS BIGINT), CAST(o_orderkey % 24 AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, CAST(2 AS BIGINT),
+      CASE WHEN o_orderstatus = 'F' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
     FROM orders
     """,
-    description="Feature-vector assembly as array<double> (M1; arrays instead of "
-    "VectorUDT for oracle comparability). Scaling divisor is a power of two "
-    "so the division is binary-exact — decimal divisors (1e5) land on .5 "
-    "rounding boundaries where engines disagree.",
+    description="Feature assembly through the real MLlib path (M1): "
+    "VectorAssembler → vector_to_array → posexplode to scalar "
+    "(o_orderkey, idx, value) rows, so the output is hashable by any "
+    "harness. Scaling divisor is a power of two so the division is "
+    "binary-exact — decimal divisors (1e5) land on .5 rounding "
+    "boundaries where engines disagree. (reference preprocess.py:501-507)",
 )
 def m1_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, "orders", sf_dir)
-    arr = F.array(
-        F.col("o_totalprice") / 1024.0,
-        (F.col("o_orderkey") % 24).cast("double"),
-        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0),
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        (F.col("o_totalprice") / 1024.0).alias("f_price"),
+        (F.col("o_orderkey") % 24).cast("double").alias("f_hour"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("f_final"),
     )
-    return orders.select("o_orderkey", arr.alias("features"))
+    assembled = VectorAssembler(
+        inputCols=["f_price", "f_hour", "f_final"], outputCol="features"
+    ).transform(orders)
+    return assembled.select(
+        "o_orderkey", F.posexplode(vector_to_array("features")).alias("idx", "value")
+    ).select("o_orderkey", F.col("idx").cast("long").alias("idx"), "value")
 
 
 # --- M3: class weighting (data-derived balanced weights) ----------------------

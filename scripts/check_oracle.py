@@ -2,12 +2,18 @@
 DuckDB oracle, compare row count, column names and order-insensitive
 value hash — a local approximation of the driver's t2 gate.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Runs under a VANILLA SparkSession by default (ANSI on, Spark 4 defaults,
+no engine conf) to mirror the grading harness: queries must be
+environment-independent, not propped up by session.py. Pass --tuned to
+use the engine's own factory instead.
+
+Usage: python scripts/check_oracle.py [--tuned] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import traceback
 
@@ -15,9 +21,26 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
+from pyspark.sql import SparkSession  # noqa: E402
+
 from accident_prediction_montreal_spark.plans import REGISTRY  # noqa: E402
 from accident_prediction_montreal_spark.session import get_session  # noqa: E402
 from accident_prediction_montreal_spark.sources.registry import TABLES  # noqa: E402
+
+
+def vanilla_session() -> SparkSession:
+    """A session like the grading driver's: Spark 4 defaults, ANSI on.
+
+    Only master/memory/UI are set (environment plumbing, not semantics).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.appName("oracle-check-vanilla")
+        .master(f"local[{cpus}]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .getOrCreate()
+    )
 
 
 def canon(value):
@@ -38,9 +61,11 @@ def row_set(columns, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    spark = get_session("oracle-check")
+    argv = [a for a in sys.argv[1:] if a != "--tuned"]
+    tuned = "--tuned" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    spark = get_session("oracle-check") if tuned else vanilla_session()
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
