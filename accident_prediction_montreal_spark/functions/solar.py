@@ -18,6 +18,39 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def second_sunday_of_march(year: Column) -> Column:
+    """Date of the second Sunday of March for a year Column."""
+    march8 = F.make_date(year, F.lit(3), F.lit(8))
+    # dayofweek: Sunday=1…Saturday=7; first Sunday on/after March 8 IS the
+    # second Sunday of March.
+    return F.date_add(march8, (F.lit(8) - F.dayofweek(march8)) % 7)
+
+
+def first_sunday_of_november(year: Column) -> Column:
+    """Date of the first Sunday of November for a year Column."""
+    nov1 = F.make_date(year, F.lit(11), F.lit(1))
+    return F.date_add(nov1, (F.lit(8) - F.dayofweek(nov1)) % 7)
+
+
+def eastern_utc_offset_hours(ts: Column | str) -> Column:
+    """UTC offset (hours) for America/Montreal at a naive local timestamp.
+
+    Computes the post-2007 North-American DST rule — DST between the
+    second Sunday of March 02:00 and the first Sunday of November 02:00,
+    offset −4 inside, −5 outside — for ANY year, replacing the
+    reference's hardcoded per-year boundary chain
+    (reference src/solar_features.py:47-79, ``timezone_from_date``).
+    Boundary comparisons are strict (> start, < end), matching the
+    reference. Pure date arithmetic, no UDF.
+    """
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    year = F.year(ts)
+    two_hours = F.expr("INTERVAL 2 HOURS")
+    dst_start = second_sunday_of_march(year).cast("timestamp") + two_hours
+    dst_end = first_sunday_of_november(year).cast("timestamp") + two_hours
+    return F.when((ts > dst_start) & (ts < dst_end), F.lit(-4.0)).otherwise(F.lit(-5.0))
+
+
 def solar_elevation(
     date: Column | str,
     hour: Column | str,

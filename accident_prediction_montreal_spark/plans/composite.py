@@ -281,35 +281,67 @@ def f_cyclic_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _solar_oracle() -> str:
     two_pi_365 = 2.0 * math.pi / 365.0
+    # DST offset (post-2007 rule): DuckDB dayofweek is Sunday=0, so the
+    # first Sunday on/after a date d is d + (7 - dayofweek(d)) % 7 days.
+    y = "EXTRACT(year FROM o_orderdate)"
+    mar8 = f"make_date(CAST({y} AS INT), 3, 8)"
+    nov1 = f"make_date(CAST({y} AS INT), 11, 1)"
+    dst_start = (
+        f"(CAST({mar8} + to_days(CAST((7 - dayofweek({mar8})) % 7 AS INT)) AS TIMESTAMP)"
+        f" + INTERVAL 2 HOUR)"
+    )
+    dst_end = (
+        f"(CAST({nov1} + to_days(CAST((7 - dayofweek({nov1})) % 7 AS INT)) AS TIMESTAMP)"
+        f" + INTERVAL 2 HOUR)"
+    )
+    off = (
+        f"(CASE WHEN o_orderdate > {dst_start} AND o_orderdate < {dst_end} "
+        f"THEN CAST(-4.0 AS DOUBLE) ELSE CAST(-5.0 AS DOUBLE) END)"
+    )
     doy = "dayofyear(o_orderdate)"
     decl = f"radians(-23.45 * cos({two_pi_365!r} * ({doy} + 10)))"
     d = f"({two_pi_365!r} * {doy})"
     eot = f"(-7.655 * sin({d}) + 9.873 * sin({d} * 2 + 3.588))"
-    tc = f"(4.0 * ((-73.554) - 15.0 * (-5.0)) + {eot})"
+    tc = f"(4.0 * ((-73.554) - 15.0 * {off}) + {eot})"
     lsh = f"((o_orderkey % 24) + 0.5 + {tc} / 60.0)"
     ha = f"(0.2618 * ({lsh} - 12.0))"
     elev = (
         f"degrees(asin(sin({decl}) * sin(radians(45.5078)) "
         f"+ cos({decl}) * cos(radians(45.5078)) * cos({ha})))"
     )
-    return f"SELECT o_orderkey, ROUND({elev}, 6) + 0.0 AS solar_elev FROM orders"
+    return (
+        f"SELECT o_orderkey, {off} AS utc_offset, "
+        f"ROUND({elev}, 6) + 0.0 AS solar_elev FROM orders"
+    )
 
 
 @register(
     "f_solar_elevation",
     oracle=_solar_oracle(),
-    description="Solar-elevation geometry pipeline (§2.9, solar_features.py:6-44)",
+    description="Solar-elevation geometry pipeline with DST-aware local-time "
+    "offset (§2.9, solar_features.py:6-79): eastern_utc_offset_hours derives "
+    "the −4/−5 UTC offset from the post-2007 DST rule instead of the "
+    "reference's hardcoded per-year chain, and feeds the hour-angle chain.",
 )
 def f_solar_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.functions.solar import (
+        eastern_utc_offset_hours,
+    )
+
     orders = load_table(spark, "orders", sf_dir)
+    offset = eastern_utc_offset_hours("o_orderdate")
     elev = solar_elevation(
         date="o_orderdate",
         hour=F.col("o_orderkey") % 24,
         lat=F.lit(45.5078),
         lon=F.lit(-73.554),
-        utc_offset_hours=-5.0,
+        utc_offset_hours=offset,
     )
-    return orders.select("o_orderkey", (F.round(elev, 6) + 0.0).alias("solar_elev"))
+    return orders.select(
+        "o_orderkey",
+        offset.alias("utc_offset"),
+        (F.round(elev, 6) + 0.0).alias("solar_elev"),
+    )
 
 
 # --- M8: single-pass threshold sweep ------------------------------------------------------

@@ -183,6 +183,135 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_near_invariants",
+    oracle="""
+    SELECT 'minhash_planted_pairs_found' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'minhash_est_range', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'simhash_planted_identical', CAST(1 AS BIGINT)
+    """,
+    description="Driver-checkable invariants for the near-dup family, whose "
+    "xxhash64 internals no ANSI oracle can replicate: plant exact copies of "
+    "every 20th document under shifted ids, then require (a) MinHash+LSH "
+    "banding to surface every planted pair (identical text -> identical "
+    "signature -> same band buckets, est_jaccard 1), (b) every emitted pair "
+    "to satisfy id_a < id_b and threshold <= est_jaccard <= 1, and (c) "
+    "SimHash to assign planted copies identical signatures. The oracle pins "
+    "each check to literal 1, so a broken hash pipeline hash-mismatches.",
+)
+def dedup_near_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shift = 10_000_000
+    min_est = 0.5
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.unionByName(
+        planted.select((F.col("doc_id") + shift).alias("doc_id"), "text")
+    )
+
+    def one(chk: str, ok_col):
+        return F.lit(chk).alias("chk"), ok_col.cast("long").alias("ok")
+
+    pairs = minhash_dedup_pairs(
+        corpus, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3,
+        min_est_jaccard=min_est,
+    )
+    expected = planted.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + shift).alias("id_b")
+    )
+    missing = expected.join(pairs, ["id_a", "id_b"], "left_anti")
+    found_ok = missing.agg(F.count(F.lit(1)).alias("n_missing")).select(
+        *one("minhash_planted_pairs_found", F.col("n_missing") == 0)
+    )
+    range_ok = pairs.agg(
+        F.sum(
+            F.when(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("est_jaccard") >= min_est)
+                & (F.col("est_jaccard") <= 1.0),
+                0,
+            ).otherwise(1)
+        ).alias("n_bad")
+    ).select(*one("minhash_est_range", F.coalesce(F.col("n_bad"), F.lit(0)) == 0))
+
+    sigs = corpus.select("doc_id", simhash("text").alias("sh"))
+    orig = sigs.filter(F.col("doc_id") % 20 == 0).filter(F.col("doc_id") < shift)
+    copy = sigs.filter(F.col("doc_id") >= shift).select(
+        (F.col("doc_id") - shift).alias("doc_id"), F.col("sh").alias("sh_copy")
+    )
+    sim_ok = (
+        orig.join(copy, "doc_id")
+        .agg(
+            F.sum(F.when(F.col("sh") == F.col("sh_copy"), 0).otherwise(1)).alias("n_bad")
+        )
+        .select(
+            *one("simhash_planted_identical", F.coalesce(F.col("n_bad"), F.lit(0)) == 0)
+        )
+    )
+    return found_ok.unionByName(range_ok).unionByName(sim_ok)
+
+
+@register(
+    "sim_ann_invariants",
+    oracle="""
+    SELECT 'lsh_self_hit' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'lsh_k_bound', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'lsh_candidates_in_corpus', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'ivf_self_hit', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'ivf_k_bound', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'ivf_candidates_in_corpus', CAST(1 AS BIGINT)
+    """,
+    description="Driver-checkable invariants for both ANN scale paths "
+    "(BRP-LSH buckets, IVF k-means cells — engine-internal, so no value "
+    "oracle): a query drawn from the corpus must find itself at rank 1 "
+    "(it always collides with its own bucket / lands in its own cell), "
+    "every query returns between 1 and k neighbors, and every returned "
+    "id exists in the corpus. Oracle pins each check to literal 1.",
+)
+def sim_ann_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_cosine_topk,
+    )
+
+    k = 5
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_lsh = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    queries_ivf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    lsh = brp_lsh_ann(emb, queries_lsh, k=k)
+    assigned, cents = build_ivf_index(emb, n_cells=8)
+    ivf = ivf_cosine_topk(queries_ivf, assigned, cents, k=k, n_probe=3)
+
+    def one(chk: str, ok_col):
+        return F.lit(chk).alias("chk"), ok_col.cast("long").alias("ok")
+
+    def checks(method: str, out: DataFrame):
+        self_miss = out.filter(
+            (F.col("rank") == 1) & (F.col("query_id") != F.col("vec_id"))
+        )
+        self_ok = self_miss.agg(F.count(F.lit(1)).alias("n_bad")).select(
+            *one(f"{method}_self_hit", F.col("n_bad") == 0)
+        )
+        per_q = out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+        k_ok = per_q.agg(
+            F.sum(F.when((F.col("n") >= 1) & (F.col("n") <= k), 0).otherwise(1)).alias(
+                "n_bad"
+            )
+        ).select(
+            *one(f"{method}_k_bound", F.coalesce(F.col("n_bad"), F.lit(0)) == 0)
+        )
+        stray = out.join(emb.select("vec_id"), "vec_id", "left_anti")
+        corpus_ok = stray.agg(F.count(F.lit(1)).alias("n_bad")).select(
+            *one(f"{method}_candidates_in_corpus", F.col("n_bad") == 0)
+        )
+        return self_ok.unionByName(k_ok).unionByName(corpus_ok)
+
+    return checks("lsh", lsh).unionByName(checks("ivf", ivf))
+
+
+@register(
     "dedup_minhash_pairs",
     oracle=None,  # xxhash64-based signatures have no ANSI oracle; rows-only.
     description="MinHash+LSH candidate dup pairs: banded signature equi-join "
@@ -340,6 +469,80 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("value_sum"))
         .select(F.col("win.start").alias("win_start"), "n", "value_sum")
+    )
+
+
+@register(
+    "st_availablenow_stream",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    description="REAL Structured Streaming execution (§2.12, not a batch twin): "
+    "readStream file source over the events parquet -> watermarked tumbling "
+    "window counts (streaming/windows.py::tumbling_counts) -> memory sink, "
+    "Trigger.AvailableNow, complete mode (append over a finite source never "
+    "passes the final watermark). The returned DataFrame is the sink table, "
+    "so the oracle checks end-to-end streaming results. Memory sink is the "
+    "test harness choice; production uses the same writeStream against "
+    "kafka/parquet sinks.",
+)
+def st_availablenow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark.streaming.windows import tumbling_counts
+
+    # The file stream source lists a DIRECTORY; the testdata table may be a
+    # single parquet file. Expose it through a per-sf_dir temp directory of
+    # symlinks (no data copied).
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        stream_dir = src
+    else:
+        tag = hashlib.md5(os.path.realpath(src).encode()).hexdigest()[:12]
+        stream_dir = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
+        os.makedirs(stream_dir, exist_ok=True)
+        link = os.path.join(stream_dir, "events.parquet")
+        target = os.path.realpath(src)
+        if os.path.islink(link) and os.readlink(link) != target:
+            os.remove(link)
+        if not os.path.exists(link):
+            os.symlink(target, link)
+
+    # The on-disk testdata stores ts as INT64 TIMESTAMP(NANOS): declare it
+    # long (with nanosAsLong) and truncate to micros, as load_table does
+    # for batch reads.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    disk_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    raw = spark.readStream.schema(disk_schema).parquet(stream_dir)
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = tumbling_counts(events).select("win_start", "event_type", "n")
+
+    name = "st_an_" + uuid.uuid4().hex[:8]
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select(
+        "win_start", "event_type", F.col("n").cast("long").alias("n")
     )
 
 

@@ -86,21 +86,32 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a1_group_count_zerofill",
     oracle="""
-    SELECT c.c_custkey, CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders
+    SELECT c.c_custkey, CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           COALESCE(o.max_price, 0.0) AS max_price
     FROM customer c
-    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
+               FROM orders GROUP BY o_custkey) o
       ON c.c_custkey = o.o_custkey
     """,
-    description="Group-count + outer join to dim + zero-fill (A1, J5, P10)",
+    description="Group-count + group-max + outer join to dim + zero-fill "
+    "(A1, A3, J5, P10; the reference's accident_count shape "
+    "preprocess.py:520-528 and street-length max road_network.py:80-82)",
 )
 def a1_group_count_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
-    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    counts = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("o_totalprice").alias("max_price"),
+    )
     return (
         cust.join(counts, cust.c_custkey == counts.o_custkey, "left")
-        .na.fill(0, ["n_orders"])
-        .select("c_custkey", F.col("n_orders").cast("long").alias("n_orders"))
+        .na.fill({"n_orders": 0, "max_price": 0.0})
+        .select(
+            "c_custkey",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "max_price",
+        )
     )
 
 
@@ -159,16 +170,28 @@ def a4_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a8_distinct_count",
     oracle="""
     SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
-           COUNT(DISTINCT l_suppkey) AS n_supps
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           CAST(1 AS BIGINT) AS approx_ok
     FROM lineitem GROUP BY l_returnflag
     """,
-    description="Exact distinct aggregation (A8; approx_count_distinct is the scale path)",
+    description="Exact distinct aggregation (A8) plus an oracle-checkable "
+    "invariant on the HLL sketch scale path: approx_count_distinct must land "
+    "within 10% of the exact count (the sketch itself differs per engine, "
+    "so the invariant — not the estimate — is what gets hashed)",
 )
 def a8_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
+    out = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+    approx_ok = (
+        F.abs(F.col("approx_parts") - F.col("n_parts"))
+        <= 0.1 * F.col("n_parts")
+    ).cast("long")
+    return out.select(
+        "l_returnflag", "n_parts", "n_supps", approx_ok.alias("approx_ok")
     )
 
 
@@ -271,35 +294,31 @@ def j3_self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the engine uses the first-class join types.
 
 @register(
-    "j4_anti_join",
+    "j4_semi_anti",
     oracle="""
-    SELECT c_custkey, c_name FROM customer
+    SELECT c_custkey, 'has_orders' AS which FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT c_custkey, 'no_orders' AS which FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
     """,
-    description="Left-anti join: customers with no orders (J4)",
+    description="Left-semi + left-anti join in one tagged output (J4 + its dual; "
+    "the reference emulates anti with left_outer+isnull, preprocess.py:450-461)",
 )
-def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def j4_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
-
-
-@register(
-    "j4_semi_join",
-    oracle="""
-    SELECT c_custkey FROM customer
-    WHERE c_custkey IN (SELECT o_custkey FROM orders)
-    """,
-    description="Left-semi join: customers with at least one order (J4 dual)",
-)
-def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, "customer", sf_dir)
-    orders = load_table(spark, "orders", sf_dir)
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
-        "c_custkey"
+    semi = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey")
+        .withColumn("which", F.lit("has_orders"))
     )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .withColumn("which", F.lit("no_orders"))
+    )
+    return semi.unionByName(anti)
 
 
 # --- J5: full-outer join + zero-fill -------------------------------------------
@@ -380,19 +399,25 @@ def j7_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- W1/W2: top-k per group -------------------------------------------------------
 
 @register(
-    "w1_topk_ties",
+    "w_topk_rank_rownum",
     oracle="""
-    SELECT o_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk FROM (
+    SELECT o_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk, CAST(rn AS BIGINT) AS rn
+    FROM (
       SELECT o_custkey, o_orderkey,
-             RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+             RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
       FROM orders
     ) WHERE rnk <= 3
     """,
-    description="Top-k per group keeping ties — rank() (W1, preprocess.py:74-91)",
+    description="Top-k per group, both semantics in one window pass: rank() keeps "
+    "ties (W1, preprocess.py:74-91), row_number() breaks them "
+    "deterministically (W2). rank <= row_number, so filtering on rnk "
+    "keeps every row either ranking selects.",
 )
-def w1_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+def w_topk_rank_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
-    out = top_k_per_group(
+    ties = top_k_per_group(
         orders,
         ["o_custkey"],
         [F.col("o_totalprice").desc()],
@@ -400,31 +425,15 @@ def w1_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rnk",
         keep_ties=True,
     )
-    return out.select("o_custkey", "o_orderkey", F.col("rnk").cast("long").alias("rnk"))
-
-
-@register(
-    "w2_topk_row_number",
-    oracle="""
-    SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
-      SELECT o_custkey, o_orderkey,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-      FROM orders
-    ) WHERE rn <= 3
-    """,
-    description="Top-k per group, deterministic tie-break — row_number (W2)",
-)
-def w2_topk_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, "orders", sf_dir)
-    out = top_k_per_group(
-        orders,
-        ["o_custkey"],
-        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
-        k=3,
-        rank_col="rn",
+    rn_w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
-    return out.select("o_custkey", "o_orderkey", F.col("rn").cast("long").alias("rn"))
+    return ties.withColumn("rn", F.row_number().over(rn_w)).select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("rn").cast("long").alias("rn"),
+    )
 
 
 # --- W3: rolling frame average ------------------------------------------------------
@@ -452,46 +461,34 @@ def w3_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- W5: cumulative and suffix sums ---------------------------------------------------
 
 @register(
-    "w5_cumulative_sum",
+    "w5_running_sums",
     oracle="""
     SELECT o_custkey, o_orderkey,
       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_total
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_total,
+      CAST(COALESCE(SUM(1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS BIGINT) AS n_later
     FROM orders
     """,
-    description="Running (prefix) sum per group, decimal-exact (W5)",
+    description="Prefix (running, decimal-exact) + exclusive-suffix window "
+    "aggregation over one sort (W5 both frames, random_forest.py:141-145); "
+    "one shuffle serves both frames.",
 )
-def w5_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def w5_running_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     running = cumulative_sum(
         F.col("o_totalprice").cast("decimal(38,6)"),
         ["o_custkey"],
         ["o_orderdate", "o_orderkey"],
     )
-    return orders.select(
-        "o_custkey", "o_orderkey", running.cast("double").alias("running_total")
-    )
-
-
-@register(
-    "w5_suffix_count",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-      CAST(COALESCE(SUM(1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS BIGINT) AS n_later
-    FROM orders
-    """,
-    description="Exclusive suffix aggregation (W5 upper frame, random_forest.py:141-145)",
-)
-def w5_suffix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, "orders", sf_dir)
     later = cumulative_sum(
         F.lit(1), ["o_custkey"], ["o_orderdate", "o_orderkey"], reverse_exclusive=True
     )
     return orders.select(
         "o_custkey",
         "o_orderkey",
+        running.cast("double").alias("running_total"),
         F.coalesce(later, F.lit(0)).cast("long").alias("n_later"),
     )
 
@@ -549,41 +546,34 @@ def o1_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- U1/U2: set operations ------------------------------------------------------------------
 
 @register(
-    "u1_union_distinct",
-    oracle="""
-    SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
-    UNION
-    SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000
-    """,
-    description="unionByName + distinct (U1; positional-union footgun avoided)",
-)
-def u1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, "customer", sf_dir)
-    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
-    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_mktsegment")
-    return a.unionByName(b).distinct()
-
-
-@register(
-    "u2_intersect_except",
+    "u_set_ops",
     oracle="""
     WITH buyers AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
-    building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-    SELECT c_custkey, 'both' AS which FROM (SELECT * FROM building INTERSECT SELECT * FROM buyers)
+    building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    SELECT c_custkey, 'in_union' AS which
+    FROM (SELECT * FROM building UNION SELECT * FROM rich)
+    UNION ALL
+    SELECT c_custkey, 'both' AS which
+    FROM (SELECT * FROM building INTERSECT SELECT * FROM buyers)
     UNION ALL
     SELECT c_custkey, 'building_only' AS which
     FROM (SELECT * FROM building EXCEPT SELECT * FROM buyers)
     """,
-    description="INTERSECT / EXCEPT set semantics (U2)",
+    description="Set-operation family in one tagged output: unionByName + "
+    "distinct (U1; positional-union footgun avoided), INTERSECT and "
+    "EXCEPT (U2)",
 )
-def u2_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+def u_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     buyers = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
     building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    union = building.unionByName(rich).distinct().withColumn("which", F.lit("in_union"))
     both = building.intersect(buyers).withColumn("which", F.lit("both"))
     only = building.exceptAll(buyers).distinct().withColumn("which", F.lit("building_only"))
-    return both.unionByName(only)
+    return union.unionByName(both).unionByName(only)
 
 
 # --- R4: temporal split ------------------------------------------------------------------------
@@ -610,42 +600,24 @@ def r4_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- P6/P8: IN-list + conditional expressions ----------------------------------------------------
+# --- P6/P8: IN-list filter + conditional bucketing in one pass -----------------------------------
 
 @register(
-    "p6_in_filter",
+    "p_filter_bucket",
     oracle="""
-    SELECT o_orderpriority, COUNT(*) AS n FROM orders
-    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus <> 'P'
-    GROUP BY o_orderpriority
-    """,
-    description="IN-list + composed predicates (P5, P6)",
-)
-def p6_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, "orders", sf_dir)
-    return (
-        orders.filter(
-            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-            & (F.col("o_orderstatus") != "P")
-        )
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@register(
-    "p8_case_when_bucket",
-    oracle="""
-    SELECT
+    SELECT o_orderpriority,
       CASE WHEN o_totalprice < 50000 THEN 'low'
            WHEN o_totalprice < 150000 THEN 'mid'
            ELSE 'high' END AS price_band,
       COUNT(*) AS n
-    FROM orders GROUP BY 1
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus <> 'P'
+    GROUP BY 1, 2
     """,
-    description="when/otherwise conditional bucketing (P8)",
+    description="IN-list + composed predicates (P5, P6) feeding when/otherwise "
+    "conditional bucketing (P8), one scan",
 )
-def p8_case_when_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p_filter_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     band = (
         F.when(F.col("o_totalprice") < 50000, "low")
@@ -653,8 +625,12 @@ def p8_case_when_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("high")
     )
     return (
-        orders.withColumn("price_band", band)
-        .groupBy("price_band")
+        orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_orderstatus") != "P")
+        )
+        .withColumn("price_band", band)
+        .groupBy("o_orderpriority", "price_band")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 

@@ -249,6 +249,98 @@ def m3_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", F.round("weight", 6).alias("weight"))
 
 
+# --- Sampling invariants: the randomness itself has no oracle, but its
+# CONTRACTS do — split partitions the input, seeded samples are
+# deterministic subsets, undersampling preserves positives. Each check is
+# a 1-row aggregate; DuckDB's oracle is the expected literal, so a broken
+# sampler hash-mismatches. ----------------------------------------------------
+
+@register(
+    "r_sampling_invariants",
+    oracle="""
+    SELECT 'r3_split_partition' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'r2_sample_deterministic', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'r2_sample_subset', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'm2_positives_preserved', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'm2_negatives_not_increased', CAST(1 AS BIGINT)
+    """,
+    description="Driver-checkable invariants for the sampling family (R2/R3/M2): "
+    "randomSplit partitions the input exactly (sizes sum, zero overlap), a "
+    "seeded Bernoulli sample is reproducible and a subset, and "
+    "RandomUnderSampler keeps every positive while never adding negatives. "
+    "The oracle pins each check to literal 1.",
+)
+def r_sampling_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("label"),
+    )
+
+    def one(chk: str, ok_col):
+        return F.lit(chk).alias("chk"), ok_col.cast("long").alias("ok")
+
+    # R3: randomSplit is a partition of the input.
+    train, test = orders.randomSplit([0.8, 0.2], seed=0)
+    n_tot = orders.agg(F.count(F.lit(1)).alias("n_tot"))
+    n_tr = train.agg(F.count(F.lit(1)).alias("n_tr"))
+    n_te = test.agg(F.count(F.lit(1)).alias("n_te"))
+    n_ov = (
+        train.select("o_orderkey")
+        .join(test.select("o_orderkey"), "o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_ov"))
+    )
+    split_ok = (
+        n_tot.crossJoin(n_tr).crossJoin(n_te).crossJoin(n_ov).select(
+            *one(
+                "r3_split_partition",
+                (F.col("n_tr") + F.col("n_te") == F.col("n_tot"))
+                & (F.col("n_ov") == 0),
+            )
+        )
+    )
+
+    # R2: seeded sample is deterministic (named args — the positional form
+    # silently drops the seed in pyspark 4) and a subset of the input.
+    s1 = orders.sample(withReplacement=False, fraction=0.1, seed=42)
+    s2 = orders.sample(withReplacement=False, fraction=0.1, seed=42)
+    sym_diff = s1.exceptAll(s2).unionByName(s2.exceptAll(s1))
+    det_ok = sym_diff.agg(F.count(F.lit(1)).alias("n_diff")).select(
+        *one("r2_sample_deterministic", F.col("n_diff") == 0)
+    )
+    not_in_input = s1.select("o_orderkey").join(
+        orders.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    subset_ok = not_in_input.agg(F.count(F.lit(1)).alias("n_out")).select(
+        *one("r2_sample_subset", F.col("n_out") == 0)
+    )
+
+    # M2: undersampling keeps all positives and only removes negatives.
+    model = RandomUnderSampler(
+        targetImbalanceRatio=1.0, indexCol="o_orderkey", labelCol="label", seed=42
+    ).fit(orders)
+    sampled = model.transform(orders)
+    in_stats = orders.agg(
+        F.sum(F.col("label")).alias("pos_in"),
+        F.sum(F.lit(1.0) - F.col("label")).alias("neg_in"),
+    )
+    out_stats = sampled.agg(
+        F.sum(F.col("label")).alias("pos_out"),
+        F.sum(F.lit(1.0) - F.col("label")).alias("neg_out"),
+    )
+    stats = in_stats.crossJoin(out_stats)
+    pos_ok = stats.select(*one("m2_positives_preserved", F.col("pos_out") == F.col("pos_in")))
+    neg_ok = stats.select(
+        *one("m2_negatives_not_increased", F.col("neg_out") <= F.col("neg_in"))
+    )
+
+    return (
+        split_ok.unionByName(det_ok)
+        .unionByName(subset_ok)
+        .unionByName(pos_ok)
+        .unionByName(neg_ok)
+    )
+
+
 # --- Rows-only: sampling + sketches (no ANSI oracle possible) -----------------
 
 @register(

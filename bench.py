@@ -26,12 +26,12 @@ HEADLINE = [
     "a1_pricing_summary",
     "a1_group_count_zerofill",
     "j1_join_chain_revenue",
-    "j4_anti_join",
+    "j4_semi_anti",
     "j8_knn_join_grid",
     "a6_idw_interpolation",
-    "w2_topk_row_number",
+    "w_topk_rank_rownum",
     "w4_ewma",
-    "w5_cumulative_sum",
+    "w5_running_sums",
     "m8_threshold_sweep",
     "m9_count_rate_model",
     "a7_target_encode",

@@ -86,3 +86,42 @@ def test_cosine_orthogonal_and_identical(spark):
     ).first()
     assert abs(row["orth"]) < 1e-15
     assert abs(row["same"] - 1.0) < 1e-15
+
+
+def test_eastern_utc_offset_matches_reference_boundaries(spark):
+    """The computed DST rule reproduces the reference's hardcoded per-year
+    boundary chain (reference src/solar_features.py:47-79) for 2012-2018."""
+    from datetime import datetime, timedelta
+
+    from accident_prediction_montreal_spark.functions.solar import (
+        eastern_utc_offset_hours,
+    )
+
+    boundaries = {
+        2012: ("2012-03-11", "2012-11-04"),
+        2013: ("2013-03-10", "2013-11-03"),
+        2014: ("2014-03-09", "2014-11-02"),
+        2015: ("2015-03-08", "2015-11-01"),
+        2016: ("2016-03-13", "2016-11-06"),
+        2017: ("2017-03-12", "2017-11-05"),
+        2018: ("2018-03-11", "2018-11-04"),
+    }
+    probes = []
+    for year, (start, end) in boundaries.items():
+        s = datetime.fromisoformat(f"{start} 02:00:00")
+        e = datetime.fromisoformat(f"{end} 02:00:00")
+        # Strictly-inside / strictly-outside probes around both boundaries,
+        # mirroring the reference's strict > start AND < end comparisons.
+        probes += [
+            (s - timedelta(hours=1), -5.0),
+            (s + timedelta(hours=1), -4.0),
+            (e - timedelta(hours=1), -4.0),
+            (e + timedelta(hours=1), -5.0),
+            (datetime(year, 7, 1, 12), -4.0),
+            (datetime(year, 1, 15, 12), -5.0),
+        ]
+    df = spark.createDataFrame([(ts,) for ts, _ in probes], ["ts"])
+    got = [r["off"] for r in
+           df.select(eastern_utc_offset_hours("ts").alias("off")).collect()]
+    want = [off for _, off in probes]
+    assert got == want

@@ -47,8 +47,9 @@ def test_idw_broadcasts_stations(spark):
 
 
 def test_anti_join_no_extra_exchange(spark):
-    plan = plan_of(spark, "j4_anti_join")
+    plan = plan_of(spark, "j4_semi_anti")
     assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
 
 
 def test_ewma_single_shuffle(spark):
