@@ -207,30 +207,49 @@ def dedup_near_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         planted.select((F.col("doc_id") + shift).alias("doc_id"), "text")
     )
 
-    def one(chk: str, ok_col):
-        return F.lit(chk).alias("chk"), ok_col.cast("long").alias("ok")
-
+    # Both minhash checks come out of ONE pass over the candidate pairs
+    # (a full-outer join against the expected planted pairs, then a single
+    # aggregate): re-using the `pairs` DataFrame in two agg branches would
+    # recompute the whole shingle→signature→band pipeline per branch —
+    # Spark re-executes shared lineage per action branch, a 2x waste at
+    # 100 TB.
     pairs = minhash_dedup_pairs(
         corpus, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3,
         min_est_jaccard=min_est,
     )
     expected = planted.select(
-        F.col("doc_id").alias("id_a"), (F.col("doc_id") + shift).alias("id_b")
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + shift).alias("id_b"),
+        F.lit(1).alias("planted"),
     )
-    missing = expected.join(pairs, ["id_a", "id_b"], "left_anti")
-    found_ok = missing.agg(F.count(F.lit(1)).alias("n_missing")).select(
-        *one("minhash_planted_pairs_found", F.col("n_missing") == 0)
+    pair_valid = (
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("est_jaccard") >= min_est)
+        & (F.col("est_jaccard") <= 1.0)
     )
-    range_ok = pairs.agg(
+    minhash_stats = pairs.join(expected, ["id_a", "id_b"], "full_outer").agg(
         F.sum(
-            F.when(
-                (F.col("id_a") < F.col("id_b"))
-                & (F.col("est_jaccard") >= min_est)
-                & (F.col("est_jaccard") <= 1.0),
-                0,
-            ).otherwise(1)
-        ).alias("n_bad")
-    ).select(*one("minhash_est_range", F.coalesce(F.col("n_bad"), F.lit(0)) == 0))
+            F.when(F.col("planted").isNotNull() & F.col("est_jaccard").isNull(), 1)
+            .otherwise(0)
+        ).alias("n_missing"),
+        F.sum(
+            F.when(F.col("est_jaccard").isNotNull() & ~pair_valid, 1).otherwise(0)
+        ).alias("n_bad"),
+    )
+    minhash_checks = minhash_stats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("minhash_planted_pairs_found").alias("chk"),
+                    (F.col("n_missing") == 0).cast("long").alias("ok"),
+                ),
+                F.struct(
+                    F.lit("minhash_est_range").alias("chk"),
+                    (F.col("n_bad") == 0).cast("long").alias("ok"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.chk", "c.ok")
 
     sigs = corpus.select("doc_id", simhash("text").alias("sh"))
     orig = sigs.filter(F.col("doc_id") % 20 == 0).filter(F.col("doc_id") < shift)
@@ -243,10 +262,11 @@ def dedup_near_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("sh") == F.col("sh_copy"), 0).otherwise(1)).alias("n_bad")
         )
         .select(
-            *one("simhash_planted_identical", F.coalesce(F.col("n_bad"), F.lit(0)) == 0)
+            F.lit("simhash_planted_identical").alias("chk"),
+            (F.coalesce(F.col("n_bad"), F.lit(0)) == 0).cast("long").alias("ok"),
         )
     )
-    return found_ok.unionByName(range_ok).unionByName(sim_ok)
+    return minhash_checks.unionByName(sim_ok)
 
 
 @register(
@@ -284,29 +304,66 @@ def sim_ann_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, cents = build_ivf_index(emb, n_cells=8)
     ivf = ivf_cosine_topk(queries_ivf, assigned, cents, k=k, n_probe=3)
 
-    def one(chk: str, ok_col):
-        return F.lit(chk).alias("chk"), ok_col.cast("long").alias("ok")
-
     def checks(method: str, out: DataFrame):
-        self_miss = out.filter(
-            (F.col("rank") == 1) & (F.col("query_id") != F.col("vec_id"))
-        )
-        self_ok = self_miss.agg(F.count(F.lit(1)).alias("n_bad")).select(
-            *one(f"{method}_self_hit", F.col("n_bad") == 0)
-        )
-        per_q = out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
-        k_ok = per_q.agg(
-            F.sum(F.when((F.col("n") >= 1) & (F.col("n") <= k), 0).otherwise(1)).alias(
-                "n_bad"
+        # All three checks from ONE pass over the ANN output: reusing `out`
+        # in three agg branches would re-run the whole LSH/IVF pipeline per
+        # branch (Spark re-executes shared lineage per action branch).
+        corpus_ids = emb.select("vec_id", F.lit(1).alias("in_corpus"))
+        per_q = (
+            out.join(F.broadcast(corpus_ids), "vec_id", "left")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(
+                    F.when(
+                        (F.col("rank") == 1) & (F.col("query_id") == F.col("vec_id")), 1
+                    ).otherwise(0)
+                ).alias("self_hit"),
+                F.sum(F.when(F.col("in_corpus").isNull(), 1).otherwise(0)).alias(
+                    "n_stray"
+                ),
             )
-        ).select(
-            *one(f"{method}_k_bound", F.coalesce(F.col("n_bad"), F.lit(0)) == 0)
         )
-        stray = out.join(emb.select("vec_id"), "vec_id", "left_anti")
-        corpus_ok = stray.agg(F.count(F.lit(1)).alias("n_bad")).select(
-            *one(f"{method}_candidates_in_corpus", F.col("n_bad") == 0)
+        # Anchor on the query-id set: a query with ZERO result rows would
+        # otherwise vanish from the groupBy and evade both checks.
+        anchored = queries_ivf.select("query_id").join(per_q, "query_id", "left")
+        stats = anchored.agg(
+            F.sum(
+                F.when(F.coalesce(F.col("self_hit"), F.lit(0)) == 0, 1).otherwise(0)
+            ).alias("n_no_self"),
+            F.sum(
+                F.when(
+                    (F.coalesce(F.col("n"), F.lit(0)) >= 1)
+                    & (F.coalesce(F.col("n"), F.lit(0)) <= k),
+                    0,
+                ).otherwise(1)
+            ).alias("n_bad_k"),
+            F.sum(F.coalesce(F.col("n_stray"), F.lit(0))).alias("n_stray"),
         )
-        return self_ok.unionByName(k_ok).unionByName(corpus_ok)
+        return stats.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(f"{method}_self_hit").alias("chk"),
+                        (F.coalesce(F.col("n_no_self"), F.lit(0)) == 0)
+                        .cast("long")
+                        .alias("ok"),
+                    ),
+                    F.struct(
+                        F.lit(f"{method}_k_bound").alias("chk"),
+                        (F.coalesce(F.col("n_bad_k"), F.lit(0)) == 0)
+                        .cast("long")
+                        .alias("ok"),
+                    ),
+                    F.struct(
+                        F.lit(f"{method}_candidates_in_corpus").alias("chk"),
+                        (F.coalesce(F.col("n_stray"), F.lit(0)) == 0)
+                        .cast("long")
+                        .alias("ok"),
+                    ),
+                )
+            ).alias("c")
+        ).select("c.chk", "c.ok")
 
     return checks("lsh", lsh).unionByName(checks("ivf", ivf))
 
