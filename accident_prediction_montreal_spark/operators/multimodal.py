@@ -98,6 +98,39 @@ def extract_media_features(
     )
 
 
+def payload_stats(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, n_bytes, payload_md5) via Arrow-batched ``mapInPandas``.
+
+    The checkable core of the multimodal path: byte-level stats computed
+    in Python over binary payloads, one pandas DataFrame per Arrow batch
+    (never per-row). Unlike the decode stub this is value-checkable
+    against any SQL engine (md5/length of the same bytes), so it puts the
+    F7/F8 pandas-UDF machinery under the oracle gate.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("payload_md5", T.StringType()),
+        ]
+    )
+
+    def stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [p if p is not None else b"" for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": [len(p) for p in payloads],
+                    "payload_md5": [hashlib.md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(stat_batches, schema=out_schema)
+
+
 def media_metadata_stats(media: DataFrame, include_payload_size: bool = False) -> DataFrame:
     """Metadata aggregation. With the default ``include_payload_size=False``
     the plan never references the payload column, so the Parquet scan

@@ -45,6 +45,38 @@ def cosine_topk(
     )
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: (id_a, id_b, cosine) with
+    id_a < id_b and cosine ≥ threshold.
+
+    EXACT form: a self-join over all pairs — O(n²), the verification
+    baseline and the right tool when one side fits in a broadcast. The
+    100-TB path is the same predicate over LSH bucket candidates
+    (``brp_lsh_ann``) or IVF cells (``operators/ivf.py``): hash first,
+    compute cosine only within colliding buckets. Cosine is computed in
+    double precision so results are engine-portable.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", cosine_similarity("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def brp_lsh_ann(
     corpus: DataFrame,
     queries: DataFrame,

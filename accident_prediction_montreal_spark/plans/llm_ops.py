@@ -483,6 +483,69 @@ def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH planted AS (
+      SELECT vec_id + 10000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM planted
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            5) + 0.0 AS cosine
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.95
+    """,
+    description="Embedding-cosine near-dup pairs (LLM-pipeline north star): "
+    "planted copies of every 50th vector must pair with their originals at "
+    "cosine ~1; random high-dim pairs sit near 0, far from the 0.95 "
+    "threshold, so the filter is engine-portable. Exact O(n^2) verification "
+    "baseline — the scale path runs the same predicate inside LSH buckets "
+    "(brp_lsh_ann) or IVF cells.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.similarity import (
+        embedding_cosine_pairs,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    out = embedding_cosine_pairs(corpus, threshold=0.95)
+    return out.select("id_a", "id_b", (F.round("cosine", 5) + 0.0).alias("cosine"))
+
+
+@register(
+    "mm_payload_stats",
+    oracle="""
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS payload_md5
+    FROM documents
+    """,
+    description="Arrow-batched pandas-UDF path under the oracle gate (F7/F8, "
+    "multimodal north star): text bytes as an opaque binary payload -> "
+    "mapInPandas computes per-payload byte length + md5 in Python, one "
+    "pandas DataFrame per Arrow batch -- value-identical to the SQL "
+    "engine's md5/strlen over the same bytes.",
+)
+def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.multimodal import payload_stats
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return payload_stats(docs, id_col="doc_id", payload_col="payload")
+
+
 # --- Event-time windows (batch twins of the streaming surface) ------------------------
 
 @register(
