@@ -341,6 +341,41 @@ def r_sampling_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j_salted_skew_join",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_orders,
+      CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    description="Salted skew join (X-family scale pattern): the fact side gets a "
+    "deterministic per-row salt, the dim side is replicated salt_buckets "
+    "times, and the join runs on (key, salt) — so one hot nation key "
+    "spreads over salt_buckets tasks instead of one straggler. Salting "
+    "must be RESULT-NEUTRAL, which is exactly what the oracle (a plain "
+    "unsalted join) verifies.",
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.skew import salted_join
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    enriched = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_totalprice", "c_nationkey"
+    )
+    salted = salted_join(enriched, nation, key="c_nationkey", salt_buckets=8)
+    return salted.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
 # --- Rows-only: sampling + sketches (no ANSI oracle possible) -----------------
 
 @register(
