@@ -53,11 +53,13 @@ _PRIORITY = [
     "sim_cosine_topk",
     "sim_ann_invariants",
     "sim_embedding_stats",
-    # Streaming surface (batch twins + real availableNow execution).
+    # Streaming surface: real availableNow execution (windowed + custom
+    # stateful) + batch twins. st_sliding_window sits in the tail — its
+    # semantics are covered by st_tumbling_window + the real stream.
     "st_tumbling_window",
-    "st_sliding_window",
     "st_session_window",
     "st_availablenow_stream",
+    "st_stateful_running",
     # ML surface + sampling contracts.
     "m1_feature_assembly",
     "m3_class_weights",

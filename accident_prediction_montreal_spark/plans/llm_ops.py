@@ -592,6 +592,70 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events testdata table.
+
+    The file stream source lists a DIRECTORY; the testdata table may be a
+    single parquet file — expose it through a per-sf_dir temp directory of
+    symlinks (no data copied). The on-disk testdata stores ts as INT64
+    TIMESTAMP(NANOS): declare it long (with nanosAsLong) and truncate to
+    micros, as load_table does for batch reads.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        stream_dir = src
+    else:
+        tag = hashlib.md5(os.path.realpath(src).encode()).hexdigest()[:12]
+        stream_dir = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
+        os.makedirs(stream_dir, exist_ok=True)
+        link = os.path.join(stream_dir, "events.parquet")
+        target = os.path.realpath(src)
+        if os.path.islink(link) and os.readlink(link) != target:
+            os.remove(link)
+        if not os.path.exists(link):
+            os.symlink(target, link)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    disk_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    raw = spark.readStream.schema(disk_schema).parquet(stream_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory_sink(
+    spark: SparkSession, agg: DataFrame, output_mode: str
+) -> DataFrame:
+    """Execute a streaming plan to completion (availableNow) into a memory
+    sink; return the sink table. The table name is unique per invocation
+    so repeated runs in one session never collide."""
+    import uuid
+
+    name = "st_an_" + uuid.uuid4().hex[:8]
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 @register(
     "st_availablenow_stream",
     oracle="""
@@ -608,61 +672,55 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kafka/parquet sinks.",
 )
 def st_availablenow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-    import uuid
-
-    from pyspark.sql import types as T
-
     from accident_prediction_montreal_spark.streaming.windows import tumbling_counts
 
-    # The file stream source lists a DIRECTORY; the testdata table may be a
-    # single parquet file. Expose it through a per-sf_dir temp directory of
-    # symlinks (no data copied).
-    src = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(src):
-        stream_dir = src
-    else:
-        tag = hashlib.md5(os.path.realpath(src).encode()).hexdigest()[:12]
-        stream_dir = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
-        os.makedirs(stream_dir, exist_ok=True)
-        link = os.path.join(stream_dir, "events.parquet")
-        target = os.path.realpath(src)
-        if os.path.islink(link) and os.readlink(link) != target:
-            os.remove(link)
-        if not os.path.exists(link):
-            os.symlink(target, link)
-
-    # The on-disk testdata stores ts as INT64 TIMESTAMP(NANOS): declare it
-    # long (with nanosAsLong) and truncate to micros, as load_table does
-    # for batch reads.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    disk_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    raw = spark.readStream.schema(disk_schema).parquet(stream_dir)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = _events_stream(spark, sf_dir)
     agg = tumbling_counts(events).select("win_start", "event_type", "n")
+    # complete mode: append over a finite source never passes the final
+    # watermark, so nothing would be emitted.
+    out = _run_to_memory_sink(spark, agg, "complete")
+    return out.select("win_start", "event_type", F.col("n").cast("long").alias("n"))
 
-    name = "st_an_" + uuid.uuid4().hex[:8]
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+
+@register(
+    "st_stateful_running",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+      ROUND((1 - pow(exp(-0.5), COUNT(*))) / (1 - exp(-0.5)), 6) AS activity
+    FROM events GROUP BY user_id
+    """,
+    description="REAL custom stateful streaming (§2.12 escape hatch): "
+    "applyInPandasWithState keeps per-user (count, sum, exponentially "
+    "decayed activity) across micro-batches, update mode, availableNow "
+    "(streaming/stateful.py::running_user_stats). The per-event decay "
+    "recurrence a' = a*exp(-0.5) + 1 telescopes to the closed form "
+    "(1 - d^n)/(1 - d), which the oracle computes from the batch count — "
+    "so the stateful operator's cross-batch arithmetic is value-checked, "
+    "not just row-counted. The final state per user is selected as the "
+    "row with the highest event count (update mode emits one row per "
+    "user per batch).",
+)
+def st_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from accident_prediction_montreal_spark.streaming.stateful import (
+        running_user_stats,
     )
-    query.awaitTermination()
-    return spark.table(name).select(
-        "win_start", "event_type", F.col("n").cast("long").alias("n")
+
+    events = _events_stream(spark, sf_dir)
+    out = _run_to_memory_sink(spark, running_user_stats(events), "update")
+    # update mode appends one row per user per micro-batch; the final
+    # state is the row with the largest n_events.
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return final.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("activity", 6).alias("activity"),
     )
 
 
