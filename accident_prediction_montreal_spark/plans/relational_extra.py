@@ -376,6 +376,194 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    description="TPC-H Q5 shape: 6-way join cycle (customer and supplier must "
+    "share a nation), region filter pushed to the broadcast side, "
+    "decimal-exact revenue per nation",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    dec4 = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec4(F.col("l_extendedprice")) * dec4(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT
+      ROUND(100.0 * CAST(CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+          THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))
+          ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE),
+      6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    description="TPC-H Q14 shape: conditional decimal-exact aggregate ratio "
+    "(promo revenue share), month filter pushed to the scan, part side "
+    "broadcast",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    dec4 = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    disc_price = dec4(F.col("l_extendedprice")) * dec4(F.lit(1) - F.col("l_discount"))
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), disc_price
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 250
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+      CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    description="TPC-H Q18 shape: HAVING-subquery semi-reduction (big orders by "
+    "summed quantity) joined back for customer detail — the aggregate "
+    "filter runs BEFORE the wide join, so only qualifying orders shuffle",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    # Rename the reduction's key: `big` shares lineage with `li`, and a
+    # second join against `li` would otherwise be an ambiguous self-join.
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.big_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+    )
+
+
+@register(
+    "m7_auc_evaluator",
+    oracle="""
+    WITH scored AS (
+      SELECT ((o_orderkey * 2654435761) % 1001) / 1000.0 AS prob,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+      FROM orders
+    ),
+    ranked AS (
+      SELECT label,
+        RANK() OVER (ORDER BY prob) + (COUNT(*) OVER (PARTITION BY prob) - 1) / 2.0
+          AS r_avg
+      FROM scored
+    ),
+    stats AS (
+      SELECT CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+             SUM(CASE WHEN label = 1 THEN r_avg ELSE 0 END) AS rank_sum
+      FROM ranked
+    )
+    SELECT 'areaUnderROC' AS metric,
+      ROUND((rank_sum - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6) AS value
+    FROM stats
+    """,
+    description="MLlib BinaryClassificationEvaluator under the value oracle "
+    "(M7, random_forest.py evaluator usage): trapezoidal ROC AUC over "
+    "score-grouped thresholds equals the tie-averaged Mann-Whitney "
+    "statistic (rank_sum - n1(n1+1)/2) / (n1*n0), which the oracle "
+    "computes with window ranks — so the evaluator's result is checked "
+    "against an independent closed form, not against itself.",
+)
+def m7_auc_evaluator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    orders = load_table(spark, "orders", sf_dir)
+    scored = orders.select(
+        (((F.col("o_orderkey") * 2654435761) % 1001) / 1000.0).alias("prob"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("label"),
+    )
+    auc = BinaryClassificationEvaluator(
+        rawPredictionCol="prob", labelCol="label", metricName="areaUnderROC"
+    ).evaluate(scored)
+    return spark.createDataFrame(
+        [("areaUnderROC", round(auc, 6))], ["metric", "value"]
+    )
+
+
 # --- Rows-only: sampling + sketches (no ANSI oracle possible) -----------------
 
 @register(
