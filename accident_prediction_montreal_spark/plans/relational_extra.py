@@ -564,6 +564,72 @@ def m7_auc_evaluator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "m_rf_pipeline_invariants",
+    oracle="""
+    SELECT 'importances_sum_to_one' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'probabilities_valid', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'predictions_cover_input', CAST(1 AS BIGINT)
+    """,
+    description="Contract checks for the full ML pipeline (M4/M5/M10, "
+    "main_train_brf.py shape): train ClassWeighter -> weighted "
+    "RandomForest on deterministic features, then require feature "
+    "importances to sum to 1, every P(positive) to lie in [0,1], and the "
+    "transform to emit exactly one prediction per input row. Model "
+    "internals have no value oracle; these invariants hold for ANY "
+    "correctly-wired pipeline, so the oracle pins them to literal 1.",
+)
+def m_rf_pipeline_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.ml.pipelines import (
+        assemble_features,
+        balanced_random_forest_pipeline,
+        prob_positive,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        (F.col("o_totalprice") / 1024.0).alias("f_price"),
+        (F.col("o_orderkey") % 24).cast("double").alias("f_hour"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("label"),
+    )
+    data = assemble_features(orders, ["f_price", "f_hour"])
+    pipeline = balanced_random_forest_pipeline(
+        class_weight=[1.0, 1.0], num_trees=5, max_depth=4
+    )
+    model = pipeline.fit(data)
+    scored = model.transform(data).withColumn("p1", prob_positive())
+
+    rf = model.stages[-1]
+    imp_sum = float(sum(rf.featureImportances.toArray()))
+    imp_ok = spark.createDataFrame(
+        [("importances_sum_to_one", 1 if abs(imp_sum - 1.0) < 1e-6 else 0)],
+        ["chk", "ok"],
+    )
+    stats = scored.agg(
+        F.sum(
+            F.when((F.col("p1") >= 0.0) & (F.col("p1") <= 1.0), 0).otherwise(1)
+        ).alias("n_bad_prob"),
+        F.count(F.lit(1)).alias("n_out"),
+    ).crossJoin(orders.agg(F.count(F.lit(1)).alias("n_in")))
+    checks = stats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("probabilities_valid").alias("chk"),
+                    (F.coalesce(F.col("n_bad_prob"), F.lit(0)) == 0)
+                    .cast("long")
+                    .alias("ok"),
+                ),
+                F.struct(
+                    F.lit("predictions_cover_input").alias("chk"),
+                    (F.col("n_out") == F.col("n_in")).cast("long").alias("ok"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.chk", "c.ok")
+    return imp_ok.select("chk", F.col("ok").cast("long")).unionByName(checks)
+
+
 # --- Rows-only: sampling + sketches (no ANSI oracle possible) -----------------
 
 @register(
