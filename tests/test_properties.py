@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis): operators vs naive Python models.
+
+Each property generates small inputs, computes the expected answer with
+a direct per-row Python model, and checks the distributed operator
+produces exactly that. Examples are capped (Spark round-trips are
+~0.5 s each); the generators still explore edge shapes a hand-written
+fixture would miss — empty groups, all-ties, single-row groups,
+boundary thresholds.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.operators.asof import asof_join
+from accident_prediction_montreal_spark.operators.metrics import threshold_sweep
+from accident_prediction_montreal_spark.operators.sessionize import sessionize
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+BASE = datetime(2024, 1, 1)
+
+
+# --- as-of join ---------------------------------------------------------------
+
+left_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500)), min_size=1, max_size=25
+)
+right_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(-99, 99)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(**SETTINGS)
+@given(left=left_rows, right=right_rows)
+def test_asof_join_matches_naive_scan(spark, left, right):
+    # Dedup right per (key, ts): the operator's determinism contract.
+    right_map = {}
+    for key, ts, val in right:
+        right_map[(key, ts)] = val
+    right_list = [(k, t, v) for (k, t), v in right_map.items()]
+
+    ldf = spark.createDataFrame(
+        [(i, k, BASE + timedelta(seconds=t)) for i, (k, t) in enumerate(left)],
+        ["row_id", "user_id", "ts"],
+    )
+    rdf = spark.createDataFrame(
+        [(k, BASE + timedelta(seconds=t), float(v)) for k, t, v in right_list]
+        or [(0, BASE, 0.0)],
+        ["user_id", "ts", "value"],
+    )
+    if not right_list:
+        rdf = rdf.filter(F.lit(False))
+
+    out = {
+        r["row_id"]: r["value_right"]
+        for r in asof_join(ldf, rdf, by=["user_id"], value_cols=["value"]).collect()
+    }
+
+    for i, (k, t) in enumerate(left):
+        candidates = [(ts, v) for (key, ts), v in right_map.items() if key == k and ts <= t]
+        expected = max(candidates)[1] if candidates else None
+        got = out[i]
+        assert (got is None and expected is None) or got == float(expected), (
+            f"row {i}: expected {expected}, got {got}"
+        )
+
+
+# --- sessionize ---------------------------------------------------------------
+
+event_times = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 10_000)), min_size=1, max_size=30
+)
+
+
+@settings(**SETTINGS)
+@given(events=event_times)
+def test_sessionize_matches_naive_gap_scan(spark, events):
+    gap = 600
+    rows = [
+        (i, k, BASE + timedelta(seconds=t), 1.0) for i, (k, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    got = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in sessionize(df, gap_seconds=gap).collect()
+    }
+
+    expected: dict[tuple[int, int], int] = {}
+    for key in {k for k, _ in events}:
+        times = sorted(
+            (t, i) for i, (k, t) in enumerate(events) if k == key
+        )
+        session = 0
+        prev = None
+        for t, _ in times:
+            if prev is None or t - prev > gap:
+                session += 1
+                expected[(key, session)] = 0
+            expected[(key, session)] += 1
+            prev = t
+    assert got == expected
+
+
+# --- threshold sweep ----------------------------------------------------------
+
+scored_rows = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 1)), min_size=1, max_size=40
+)
+
+
+@settings(**SETTINGS)
+@given(scored=scored_rows)
+def test_threshold_sweep_matches_naive_confusion(spark, scored):
+    n = 10
+    # probs on the bucket grid INCLUDING exactly 1.0 (the outer-join path).
+    rows = [(b / 20.0, lab) for b, lab in scored]
+    df = spark.createDataFrame(rows, ["prob_positive", "label"])
+    out = threshold_sweep(spark, df, n_points=n).collect()
+
+    for r in out:
+        # operator contract: bucket b holds probs in [b/n, (b+1)/n), so at
+        # threshold (b+1)/n "positive" means prob >= threshold.
+        thr = r["threshold"]
+        tp = sum(1 for p, lab in rows if lab == 1 and p >= thr)
+        fn = sum(1 for p, lab in rows if lab == 1 and p < thr)
+        fp = sum(1 for p, lab in rows if lab == 0 and p >= thr)
+        tn = sum(1 for p, lab in rows if lab == 0 and p < thr)
+        assert (r["true_positive"], r["false_negative"], r["false_positive"],
+                r["true_negative"]) == (tp, fn, fp, tn), f"threshold {thr}"
