@@ -683,6 +683,39 @@ def st_availablenow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_ids
+    FROM events GROUP BY event_type
+    """,
+    description="REAL streaming dedup (§2.12): two readStreams over the same "
+    "events source are unioned — every 10th event arrives TWICE — then "
+    "dropDuplicatesWithinWatermark on event_id removes the planted "
+    "duplicates before an append-mode memory sink; the sink table is "
+    "batch-aggregated per event_type. Counts equal the plain base table's, "
+    "so the dedup state machine is value-checked: a broken dedup inflates "
+    "n and hash-mismatches.",
+)
+def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+
+    base = _events_stream(spark, sf_dir)
+    dups = _events_stream(spark, sf_dir).filter(F.col("event_id") % 10 == 0)
+    merged = base.unionByName(dups)
+    deduped = dedup_within_watermark(merged).select("event_id", "ts", "event_type")
+    # append mode: dedup is the only stateful operator, rows flow through
+    # as they clear the state store; the aggregation runs as a batch query
+    # over the sink table.
+    out = _run_to_memory_sink(spark, deduped, "append")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )
+
+
+@register(
     "st_stateful_running",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
