@@ -106,3 +106,47 @@ def fingerprint(text: Column | str) -> Column:
     norm = F.regexp_replace(norm, r"[^a-z0-9\s]", "")
     norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
     return F.md5(norm)
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs, each
+# optionally preceded by one space (the GPT-2 pattern family, restricted
+# to ASCII classes so the same regex runs identically on Java regex and
+# RE2-based SQL engines).
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Token count under the BPE-ish regex (north-star token counting).
+
+    Whitespace tokenization (``token_count``) undercounts for BPE-style
+    vocabularies; this matches the pre-tokenization split those
+    vocabularies start from. Pure JVM regexp — no UDF.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0))).cast(
+        "long"
+    )
+
+
+def rolling_hash(text: Column | str, modulus: int = 1_000_003) -> Column:
+    """Polynomial rolling hash over the character stream (north-star
+    document fingerprinting, rolling-hash form).
+
+    h = fold(h * 31 + ascii(char)) mod ``modulus`` — the Rabin-Karp
+    polynomial evaluated left-to-right with JVM higher-order functions
+    (sequence → transform → aggregate), no UDF. The modulus keeps every
+    intermediate below 2^63 so the fold is overflow-safe under ANSI
+    mode. Empty/null text hashes to 0.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    # NB: F.sequence(1, 0) counts DOWN (negative default step) — guard
+    # the empty case instead of relying on an empty sequence.
+    folded = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.ascii(col.substr(i, F.lit(1))).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda h, c: (h * 31 + c) % modulus,
+    )
+    return F.when(F.length(col) > 0, folded).otherwise(F.lit(0).cast("long"))

@@ -128,6 +128,41 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint("text").alias("fp"))
 
 
+@register(
+    "text_token_hash",
+    oracle="""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+           AS BIGINT) AS n_bpe_tokens,
+      CAST(CASE WHEN strlen(text) > 0 THEN
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, strlen(text) + 1),
+                           i -> CAST(ascii(text[i]) AS BIGINT))),
+          (h, c) -> (h * 31 + c) % 1000003)
+      ELSE 0 END AS BIGINT) AS roll_hash
+    FROM documents
+    """,
+    description="BPE-ish regex token counting + Rabin-Karp rolling hash over the "
+    "character stream (north-star token counting / fingerprinting): both "
+    "pure JVM expressions (regexp_extract_all; sequence->transform->"
+    "aggregate fold), overflow-safe under ANSI, mirrored term-for-term in "
+    "the oracle's regexp/list_reduce.",
+)
+def text_token_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.text import (
+        bpe_token_count,
+        rolling_hash,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        rolling_hash("text").alias("roll_hash"),
+    )
+
+
 # --- Deduplication ---------------------------------------------------------------
 
 @register(
@@ -712,6 +747,39 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("event_id").alias("n_ids"),
+    )
+
+
+@register(
+    "st_stream_static_join",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+      CAST(MAX(strlen(event_type)) AS BIGINT) AS type_weight
+    FROM events GROUP BY event_type
+    """,
+    description="REAL stream-static enrichment (§2.12): events readStream "
+    "joined per micro-batch against a broadcast static dimension "
+    "(streaming/windows.py::enrich_with_dim), append-mode sink, "
+    "batch-aggregated. Every stream row must pick up its dimension "
+    "attribute — a broken join drops or nulls rows and hash-mismatches.",
+)
+def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.streaming.windows import enrich_with_dim
+
+    # Static dim derived from the batch table: one row per event_type
+    # with a deterministic attribute.
+    dim = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type").cast("long"))
+    )
+    stream = _events_stream(spark, sf_dir).select("event_id", "event_type")
+    enriched = enrich_with_dim(stream, dim, key="event_type")
+    out = _run_to_memory_sink(spark, enriched, "append")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("type_weight").alias("type_weight"),
     )
 
 

@@ -156,3 +156,39 @@ def test_sessionize_boundaries(spark):
     assert sess[(1, 1)]["n_events"] == 2 and sess[(1, 1)]["value_sum"] == 3.0
     assert sess[(1, 2)]["n_events"] == 1 and sess[(1, 2)]["value_sum"] == 4.0
     assert sess[(2, 1)]["n_events"] == 1
+
+
+def test_bpe_token_count_and_rolling_hash(spark):
+    from accident_prediction_montreal_spark.operators.text import (
+        bpe_token_count,
+        rolling_hash,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "hello world"),        # 2 letter runs
+            (1, "a1b!"),               # letters/digits/punct split: a, 1, b, !
+            (2, ""),                   # empty -> 0 tokens, hash 0
+            (3, "it's 42%"),           # it, ', s, " 42", %
+        ],
+        ["i", "t"],
+    )
+    rows = {r["i"]: r for r in df.select(
+        "i",
+        bpe_token_count("t").alias("n"),
+        rolling_hash("t").alias("h"),
+    ).collect()}
+    assert rows[0]["n"] == 2
+    assert rows[1]["n"] == 4
+    assert rows[2]["n"] == 0 and rows[2]["h"] == 0
+    assert rows[3]["n"] == 5
+
+    # rolling hash reference model
+    def rh(s, m=1_000_003):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % m
+        return h
+
+    for i, text in [(0, "hello world"), (1, "a1b!"), (3, "it's 42%")]:
+        assert rows[i]["h"] == rh(text)
