@@ -60,3 +60,32 @@ def test_ewma_single_shuffle(spark):
 def test_minhash_no_string_shingles(spark):
     plan = plan_of(spark, "dedup_minhash_pairs")
     assert "concat_ws" not in plan  # numeric shingles only
+
+
+def test_salted_join_single_aggregation_exchange(spark):
+    plan = plan_of(spark, "j_salted_skew_join")
+    # the dim replication + (key, salt) join must not add exchanges: the
+    # only shuffle is the final groupBy
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q5_broadcast_cycle(spark):
+    plan = plan_of(spark, "tpch_q5_local_supplier_volume")
+    # nation/region (and supplier at this scale) broadcast; one agg shuffle
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_merged_windows_single_shuffle(spark):
+    # rank+row_number over one sort, prefix+suffix frames over one sort:
+    # the second window function must ride the existing partitioning
+    for name in ("w_topk_rank_rownum", "w5_running_sums"):
+        plan = plan_of(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+
+
+def test_threshold_sweep_no_extra_scan(spark):
+    # one scan of orders; the accuracy denominator must not add a branch
+    plan = plan_of(spark, "m8_threshold_sweep")
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2  # orders + grid range
