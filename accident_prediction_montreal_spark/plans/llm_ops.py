@@ -581,6 +581,42 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_stats(docs, id_col="doc_id", payload_col="payload")
 
 
+@register(
+    "st_time_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, date_trunc('hour', ts) AS hour_start,
+      COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS value_sum,
+      CAST(GROUPING(date_trunc('hour', ts)) AS BIGINT) AS lvl
+    FROM events
+    GROUP BY ROLLUP (CAST(ts AS DATE), date_trunc('hour', ts))
+    HAVING GROUPING(CAST(ts AS DATE)) = 0
+    """,
+    description="Hypertable-style multi-resolution time rollup (north-star "
+    "custom operator): hourly and daily continuous aggregates from ONE "
+    "pass — ROLLUP over derived (day, hour) grains is one Expand + one "
+    "shuffle, not one scan per resolution. lvl=0 rows are hourly, lvl=1 "
+    "daily. The all-NULL grand-total row is filtered on both sides.",
+)
+def st_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    grained = events.select(
+        F.col("ts").cast("date").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        "value",
+    )
+    return (
+        grained.rollup("day", "hour_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("value_sum"),
+            F.grouping("hour_start").cast("long").alias("lvl"),
+        )
+        .filter(F.grouping("day") == 0)
+        .select("day", "hour_start", "n", "value_sum", "lvl")
+    )
+
+
 # --- Event-time windows (batch twins of the streaming surface) ------------------------
 
 @register(

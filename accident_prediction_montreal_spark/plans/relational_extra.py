@@ -518,6 +518,34 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_approx_percentile_invariant",
+    oracle="""
+    SELECT o_orderstatus,
+      ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+      CAST(1 AS BIGINT) AS approx_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+    description="Sketch-path percentile invariant (A-family scale path): "
+    "percentile_approx's median estimate must land between the exact p25 "
+    "and p75 per group — the t-digest style sketch differs per engine, so "
+    "the ORDERING contract is what gets hashed, alongside the exact "
+    "quartiles.",
+)
+def a_approx_percentile_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    out = orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias("ap50"),
+    )
+    ok = ((F.col("ap50") >= F.col("p25")) & (F.col("ap50") <= F.col("p75"))).cast(
+        "long"
+    )
+    return out.select("o_orderstatus", "p25", "p75", ok.alias("approx_ok"))
+
+
+@register(
     "m7_auc_evaluator",
     oracle="""
     WITH scored AS (
