@@ -26,16 +26,18 @@ def threshold_sweep(
     """Threshold-dependent confusion metrics in one pass.
 
     ``scored`` needs a double P(positive) column and a 0/1 label. Output:
-    one row per threshold (i+1)/n for each populated or grid bucket i in
-    −1…n−1 (plus bucket n when some prob is exactly 1.0), with tn/fp/fn/tp
-    counts and derived metrics — the same contract as reference
+    one row per threshold (i+1)/n for each grid bucket i in −1…n, with
+    tn/fp/fn/tp counts and derived metrics — the same contract as reference
     src/random_forest.py:174-216, with the pivot's generated column names
     (``0_sum(count_negatives)`` …) pinned to explicit aliases instead.
 
-    The grid join is OUTER, matching the reference: rows with prob exactly
-    1.0 land in bucket n (outside the grid) and must still feed the
-    cumulative windows — a left join would silently drop them from tp/fp
-    at every threshold. One pass over ``scored``, no driver actions: the
+    The grid spans −1…n inclusive: rows with prob exactly 1.0 land in
+    bucket n and must still feed the cumulative windows. Crucially BOTH
+    labels need a grid row at bucket n — if only the populated label had
+    one (the reference's bare outer join), the other label's cumulative
+    ``n_below`` would be missing there and pivot-coalesce to 0, silently
+    zeroing tn or fn at the top threshold. The join stays OUTER as a guard
+    for out-of-range probs. One pass over ``scored``, no driver actions: the
     accuracy denominator is tp+tn+fp+fn (constant = total examples at
     every threshold), so no separate count() is needed — the reference
     scans its predictions twice (random_forest.py:154-155 + histogram).
@@ -49,7 +51,7 @@ def threshold_sweep(
         .count()
     )
     grid = (
-        spark.range(-1, n_points)
+        spark.range(-1, n_points + 1)
         .select(F.col("id").cast("int").alias("id_bucket"))
         .crossJoin(spark.createDataFrame([(0,), (1,)], ["label"]))
     )

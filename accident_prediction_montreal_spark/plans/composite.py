@@ -360,7 +360,7 @@ _SWEEP_ORACLE = f"""
     ),
     grid AS (
       SELECT CAST(b AS INT) AS id_bucket, l AS label
-      FROM (SELECT UNNEST(range(-1, {_SWEEP_N})) AS b)
+      FROM (SELECT UNNEST(range(-1, {_SWEEP_N} + 1)) AS b)
       CROSS JOIN (VALUES (0), (1)) t(l)
     ),
     filled AS (
@@ -379,9 +379,10 @@ _SWEEP_ORACLE = f"""
       FROM filled
     ),
     piv AS (
-      -- COALESCE 0: at the bucket-n row only labels that actually hit
-      -- prob=1.0 exist; Spark's pivot([0,1]) + fill(0) zero-fills the
-      -- missing label slot (reference random_forest.py:176-184 na.fill).
+      -- COALESCE 0 mirrors Spark's pivot([0,1]) + fill(0) zero-fill of a
+      -- missing label slot (reference random_forest.py:176-184 na.fill);
+      -- the grid spans -1..n inclusive so both labels have cumulative
+      -- rows even at the prob=1.0 bucket.
       SELECT (id_bucket + 1) / {_SWEEP_N}.0 AS threshold,
         CAST(COALESCE(SUM(CASE WHEN label = 0 THEN n_below END), 0) AS BIGINT) AS true_negative,
         CAST(COALESCE(SUM(CASE WHEN label = 0 THEN n_above END), 0) AS BIGINT) AS false_positive,

@@ -83,7 +83,9 @@ def test_threshold_sweep_hand_computed(spark):
         [(0.1, 0), (0.3, 0), (0.6, 1), (0.9, 1)], ["prob_positive", "label"]
     )
     out = {r["threshold"]: r for r in threshold_sweep(spark, df, n_points=2).collect()}
-    assert set(out) == {0.0, 0.5, 1.0}
+    assert set(out) == {0.0, 0.5, 1.0, 1.5}
+    top = out[1.5]  # above-the-grid threshold: nothing predicted positive
+    assert (top["true_positive"], top["false_positive"], top["true_negative"], top["false_negative"]) == (0, 0, 2, 2)
     mid = out[0.5]
     assert (mid["true_positive"], mid["false_positive"], mid["true_negative"], mid["false_negative"]) == (2, 0, 2, 0)
     assert mid["precision"] == 1.0 and mid["recall"] == 1.0 and mid["accuracy"] == 1.0
