@@ -1,0 +1,106 @@
+"""Connected components over an edge list: near-dup cluster assignment.
+
+The missing half of pair-based dedup: LSH / Jaccard emit PAIRS, but a
+keep-one-per-group policy needs CLUSTERS (a~b, b~c => keep one of
+{a,b,c}).  Implemented as the alternating large-star / small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) — converges in O(log n) rounds on any graph, each
+round two shuffles, no vertex ever materializes its full neighbor list
+(min-over-window, not collect_list), so a 10^9-edge near-dup graph at
+100 TB runs in ~30 bounded Spark stages.
+
+Per-round ``localCheckpoint`` truncates lineage (iterative plans
+otherwise grow exponentially) and the convergence test is one tiny
+aggregate action per round — the same driver-action pattern MLlib's
+iterative algorithms use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every larger neighbor to the neighborhood minimum.
+
+    Input/output edges oriented (u > v). Symmetrize, then for each node
+    u emit (v, m) for neighbors v > u, where m = min(u, neighbors).
+    """
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
+    return (
+        sym.withColumn("m", m)
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor to the minimum.
+
+    Input edges oriented (u > v): all of u's listed neighbors are
+    smaller, so m = min neighbor; emit (v, m) for each neighbor v != m
+    plus (u, m). Orientation (first > second) is preserved.
+    """
+    mm = e.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    moved = mm.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    root = mm.select("u", F.col("m").alias("v"))
+    return moved.union(root).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = min id.
+
+    Alternating star rounds until the edge set reaches its fixpoint (a
+    forest of min-rooted stars), detected by an order-insensitive
+    (count, xor-of-hashes) checksum. Isolated nodes don't appear in an
+    edge list; callers wanting them union the node table afterwards.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor, not sum: order-insensitive and cannot overflow under ANSI
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = checksum(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+    children = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .join(children.select("node"), "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    return children.union(roots)

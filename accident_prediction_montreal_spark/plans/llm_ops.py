@@ -9,11 +9,12 @@ hand-computed fixtures instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from accident_prediction_montreal_spark.functions.money import dsum
 from accident_prediction_montreal_spark.functions.vectors import l2_norm
+from accident_prediction_montreal_spark.operators.components import connected_components
 from accident_prediction_montreal_spark.operators.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
@@ -178,10 +179,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, ["text_hash"], "doc_id").select("doc_id", "text_hash")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle="""
-    WITH toks AS (
+# Shared DuckDB CTE chain computing the exact rare-shingle Jaccard pairs
+# (mirrors ngram_jaccard_pairs(n=3, min_jaccard=0.05, max_doc_freq=4)).
+# Used by the pair query AND as the edge set of the clustering oracle.
+_JACCARD_CTES = """
+    toks AS (
       SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
       FROM documents
@@ -198,13 +200,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sized AS (
       SELECT doc_id, s, COUNT(*) OVER (PARTITION BY doc_id) AS n_sh FROM rare
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        COUNT(*) / CAST(ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*) AS DOUBLE)
+          AS jaccard
+      FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) / CAST(ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*) AS DOUBLE) >= 0.05
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      ROUND(COUNT(*) / CAST(ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*) AS DOUBLE), 6)
-        AS jaccard
-    FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-    HAVING COUNT(*) / CAST(ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*) AS DOUBLE) >= 0.05
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_CTES}
+    SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM pairs
     """,
     description="Exact n-gram Jaccard near-dup pairs over rare shingles "
     "(inverted-index join; max_doc_freq caps quadratic skew)",
@@ -215,6 +227,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, min_jaccard=0.05, max_doc_freq=4
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    -- transitive min-label closure; only labels below the target node
+    -- propagate (the component minimum always does), keeping the
+    -- recursion linear in practice
+    reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+      WHERE reach.r < e.b
+    ),
+    comp AS (SELECT node, MIN(r) AS component_id FROM reach GROUP BY node)
+    SELECT node AS doc_id, component_id,
+      CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS cluster_size
+    FROM comp
+    """,
+    description="Near-dup CLUSTERS from the Jaccard pair graph: alternating "
+    "large-star/small-star connected components (O(log n) rounds, two "
+    "shuffles each, no neighbor-list materialization) — the keep-one-per-"
+    "group step pair-based dedup needs. Oracle: DuckDB recursive min-label "
+    "closure over the same edges.",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, min_jaccard=0.05, max_doc_freq=4
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .cast("long")
+        .alias("cluster_size"),
+    )
 
 
 @register(

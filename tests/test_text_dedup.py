@@ -192,3 +192,36 @@ def test_bpe_token_count_and_rolling_hash(spark):
 
     for i, text in [(0, "hello world"), (1, "a1b!"), (3, "it's 42%")]:
         assert rows[i]["h"] == rh(text)
+
+
+def test_connected_components_chain_clique_pair(spark):
+    from accident_prediction_montreal_spark.operators.components import (
+        connected_components,
+    )
+
+    # transitivity chain (a~b~c~d), a triangle, an isolated pair, a self-loop
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20), (30, 30)],
+        ["src", "dst"],
+    )
+    got = sorted(
+        (r["node"], r["component"]) for r in connected_components(edges).collect()
+    )
+    assert got == sorted(
+        [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)]
+    )
+
+
+def test_connected_components_long_path_converges_logarithmically(spark):
+    from accident_prediction_montreal_spark.operators.components import (
+        connected_components,
+    )
+
+    # A 64-node path is the worst case for label propagation (63 rounds);
+    # the star algorithm must still finish inside max_iter=10.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["src", "dst"]
+    )
+    out = connected_components(edges, max_iter=10).collect()
+    assert {r["component"] for r in out} == {0}
+    assert sorted(r["node"] for r in out) == list(range(65))
