@@ -150,3 +150,46 @@ def rolling_hash(text: Column | str, modulus: int = 1_000_003) -> Column:
         lambda h, c: (h * 31 + c) % modulus,
     )
     return F.when(F.length(col) > 0, folded).otherwise(F.lit(0).cast("long"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Overlapping token-window chunks: (id, chunk_id, chunk_text, n_tokens).
+
+    The context-window splitting step of a pre-training pipeline: chunk k
+    covers tokens [k*stride + 1, k*stride + chunk_size]; the last start is
+    the first one whose window reaches the end of the document, so the
+    tail is always covered and no chunk is a strict subset of its
+    predecessor. Empty documents emit no chunks.
+
+    Pure map stage — sequence/transform/slice/posexplode, no shuffle, no
+    UDF: output size scales with input tokens x (chunk_size/stride), the
+    same plan at 100 TB.
+    """
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    # number of strides past the first window, ceil((n - size) / stride)
+    n_extra = F.floor(
+        (F.greatest(n - chunk_size, F.lit(0)) + (stride - 1)) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_extra),
+        lambda k: F.slice(toks, k * stride + 1, chunk_size),
+    )
+    return (
+        df.where(n > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_toks"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
+            F.size("chunk_toks").cast("long").alias("n_tokens"),
+        )
+    )

@@ -164,6 +164,40 @@ def text_token_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24
+
+
+@register(
+    "text_chunking",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    starts AS (
+      SELECT doc_id, w,
+        UNNEST(range(0,
+          ((GREATEST(len(w) - {_CHUNK_SIZE}, 0) + {_CHUNK_STRIDE} - 1)
+           // {_CHUNK_STRIDE}) + 1)) AS k
+      FROM toks WHERE len(w) > 0
+    )
+    SELECT doc_id, CAST(k AS INT) AS chunk_id,
+      array_to_string(w[(k*{_CHUNK_STRIDE} + 1):(k*{_CHUNK_STRIDE} + {_CHUNK_SIZE})], ' ')
+        AS chunk_text,
+      CAST(LEAST(k*{_CHUNK_STRIDE} + {_CHUNK_SIZE}, len(w)) - k*{_CHUNK_STRIDE} AS BIGINT)
+        AS n_tokens
+    FROM starts
+    """,
+    description="Overlapping token-window chunking (context-window splitting for "
+    "pre-training): chunk k = tokens [k*stride+1, k*stride+size], tail always "
+    "covered. sequence->slice->posexplode map stage, no shuffle, no UDF.",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+
+
 # --- Deduplication ---------------------------------------------------------------
 
 @register(

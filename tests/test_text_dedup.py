@@ -225,3 +225,29 @@ def test_connected_components_long_path_converges_logarithmically(spark):
     out = connected_components(edges, max_iter=10).collect()
     assert {r["component"] for r in out} == {0}
     assert sorted(r["node"] for r in out) == list(range(65))
+
+
+def test_chunk_documents_boundaries(spark):
+    from accident_prediction_montreal_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(13))),  # 13 toks: [1-8], [5-12], [9-13]
+            (2, "a b"),  # single short chunk
+            (3, ""),  # no chunks
+            (4, " ".join(f"x{i}" for i in range(8))),  # exactly one window
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, chunk_size=8, stride=4)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"].split()[0])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): (8, "t0"),
+        (1, 1): (8, "t4"),
+        (1, 2): (5, "t8"),
+        (2, 0): (2, "a"),
+        (4, 0): (8, "x0"),
+    }
