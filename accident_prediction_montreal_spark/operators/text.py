@@ -9,7 +9,7 @@ at 100 TB (a pure map stage, no shuffle at all).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny, deliberately-unambiguous stopword sets per language. The heuristic
@@ -191,5 +191,51 @@ def chunk_documents(
             "chunk_id",
             F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
             F.size("chunk_toks").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (id, term, tf, df, tfidf, rank).
+
+    Smoothed sklearn-style idf = ln((N+1)/(df+1)) + 1. Three shuffles,
+    each on a small key: explode -> groupBy(doc, term) with map-side
+    combine (never shuffles raw text, only (doc, term, count)); document
+    frequency as count-over-window on the distinct (doc, term) rows —
+    reusing that shuffle's output rather than a groupBy+join-back; and
+    the per-doc top-k row_number. The corpus size N is a one-row
+    aggregate broadcast into the score expression. Ties break by term
+    ascending, so top-k is deterministic.
+    """
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round("tfidf", 6).alias("tfidf"),
+            "rank",
         )
     )

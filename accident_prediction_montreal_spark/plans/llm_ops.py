@@ -198,6 +198,42 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id AS doc, UNNEST({_SQL_TOKENS}) AS term FROM documents
+    ),
+    counts AS (
+      SELECT doc, term, COUNT(*) AS tf FROM tf GROUP BY doc, term
+    ),
+    scored AS (
+      SELECT doc, term, tf,
+        CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+      FROM counts
+    )
+    SELECT doc AS doc_id, term, tf, df,
+      ROUND(tf * (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1), 6) AS tfidf,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc
+        ORDER BY tf * (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1) DESC, term ASC
+      ) AS INT) AS rank
+    FROM scored CROSS JOIN n
+    QUALIFY rank <= 3
+    """,
+    description="Top-3 TF-IDF terms per document (smoothed sklearn idf): "
+    "explode -> map-side-combined groupBy(doc, term), document frequency as "
+    "count-over-window on the same shuffle output, broadcast scalar corpus "
+    "size, deterministic term-ascending tie-break.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.text import tfidf_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tfidf_topk(docs, "doc_id", "text", k=3)
+
+
 # --- Deduplication ---------------------------------------------------------------
 
 @register(

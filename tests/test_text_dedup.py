@@ -251,3 +251,24 @@ def test_chunk_documents_boundaries(spark):
         (2, 0): (2, "a"),
         (4, 0): (8, "x0"),
     }
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    from accident_prediction_montreal_spark.operators.text import tfidf_topk
+
+    # 3 docs; "common" in all, "rare" only in doc 1 (twice).
+    df = spark.createDataFrame(
+        [(1, "rare rare common"), (2, "common other"), (3, "common other")],
+        ["doc_id", "text"],
+    )
+    out = {(r["doc_id"], r["term"]): r for r in tfidf_topk(df, k=2).collect()}
+    rare = out[(1, "rare")]
+    assert rare["tf"] == 2 and rare["df"] == 1 and rare["rank"] == 1
+    assert abs(rare["tfidf"] - round(2 * (math.log(4 / 2) + 1), 6)) < 1e-9
+    common = out[(1, "common")]
+    assert common["tf"] == 1 and common["df"] == 3 and common["rank"] == 2
+    assert abs(common["tfidf"] - round(math.log(4 / 4) + 1, 6)) < 1e-9
+    # doc 2: tie between common and other on tf; df differs -> other wins
+    assert out[(2, "other")]["rank"] == 1 and out[(2, "common")]["rank"] == 2
