@@ -342,6 +342,70 @@ def r_sampling_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r_stratified_sample_invariants",
+    oracle="""
+    SELECT 'strat_deterministic' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'strat_subset', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'strat_zero_fraction_empty', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'strat_counts_in_bounds', CAST(1 AS BIGINT)
+    """,
+    description="Stratified sampling (sampleBy) contracts: per-stratum Bernoulli "
+    "sampling is seed-deterministic within a session, a subset of the input, "
+    "empty for zero-fraction strata, and each stratum's sampled count sits "
+    "within 10 standard deviations of fraction*stratum_size (holds for ANY "
+    "partitioning of the scan, so the check is environment-independent). "
+    "The oracle pins each check to literal 1.",
+)
+def r_stratified_sample_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fractions = {"F": 0.5, "O": 0.2, "P": 0.0}
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderstatus")
+    s1 = orders.sampleBy("o_orderstatus", fractions, seed=7)
+    s2 = orders.sampleBy("o_orderstatus", fractions, seed=7)
+
+    def one(chk: str, ok_col):
+        return F.lit(chk).alias("chk"), ok_col.cast("long").alias("ok")
+
+    sym_diff = s1.exceptAll(s2).unionByName(s2.exceptAll(s1))
+    det_ok = sym_diff.agg(F.count(F.lit(1)).alias("n_diff")).select(
+        *one("strat_deterministic", F.col("n_diff") == 0)
+    )
+    not_in_input = s1.select("o_orderkey").join(
+        orders.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    subset_ok = not_in_input.agg(F.count(F.lit(1)).alias("n_out")).select(
+        *one("strat_subset", F.col("n_out") == 0)
+    )
+    zero_ok = (
+        s1.filter(F.col("o_orderstatus") == "P")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+        .select(*one("strat_zero_fraction_empty", F.col("n_p") == 0))
+    )
+
+    frac = F.element_at(
+        F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv]),
+        F.col("o_orderstatus"),
+    )
+    per_in = orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_in"))
+    per_s = s1.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_got"))
+    bounds_ok = (
+        per_in.join(per_s, "o_orderstatus", "left")
+        .na.fill(0, ["n_got"])
+        .withColumn("f", frac)
+        # 10 sigma of Binomial(n_in, f), +1 slack for tiny strata
+        .withColumn(
+            "bad",
+            (
+                F.abs(F.col("n_got") - F.col("f") * F.col("n_in"))
+                > F.lit(10.0) * F.sqrt(F.col("n_in") * F.col("f") * (1 - F.col("f"))) + 1
+            ).cast("int"),
+        )
+        .agg(F.sum("bad").alias("n_bad"))
+        .select(*one("strat_counts_in_bounds", F.col("n_bad") == 0))
+    )
+    return det_ok.unionByName(subset_ok).unionByName(zero_ok).unionByName(bounds_ok)
+
+
+@register(
     "j_salted_skew_join",
     oracle="""
     SELECT n.n_name, COUNT(*) AS n_orders,
