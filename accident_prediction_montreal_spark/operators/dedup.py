@@ -62,40 +62,59 @@ def minhash_signature(text: Column | str, num_hashes: int = 32, n: int = 3) -> C
 
     signature[i] = min over shingles of xxhash64(shingle, salt_i); null for
     documents with no shingles. No explode, no shuffle: transform+array_min
-    per row.
+    per row, with the shingle array bound once across the num_hashes
+    families (``_bind_once``).
     """
-    sh = word_shingles(text, n)
-    sig = F.array(
-        *[F.array_min(F.transform(sh, lambda s, i=i: _hash_family(s, i))) for i in range(num_hashes)]
-    )
-    return F.when(F.size(sh) > 0, sig)
+
+    def body(sh: Column) -> Column:
+        sig = F.array(
+            *[
+                F.array_min(F.transform(sh, lambda s, i=i: _hash_family(s, i)))
+                for i in range(num_hashes)
+            ]
+        )
+        return F.when(F.size(sh) > 0, sig)
+
+    return _bind_once(word_shingles(text, n), body)
+
+
+def _bind_once(value: Column, body) -> Column:
+    """Evaluate ``value`` once and feed it to ``body`` as a lambda variable.
+
+    Catalyst does NO common-subexpression elimination across higher-order
+    -function lambdas: an expression referenced k times is computed k
+    times. Wrapping it as the sole element of an array and applying
+    ``body`` via transform binds it to a NamedLambdaVariable, which IS
+    evaluated once — measured 2x on the shingle map stage at sf0.1.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
 
 
 def word_shingle_hashes(text: Column | str, n: int = 3) -> Column:
     """Distinct word-n-gram shingles as 64-bit hashes (array<long>).
 
-    Numeric shingles: hash each token once, then chain n shifted copies
-    with zip_with — a shingle hash mixes n consecutive token hashes with
-    NO per-shingle string building, and tok_h is referenced only n
-    times (element_at-per-gram would re-evaluate the whole array per
-    access: no CSE inside HOF lambdas — measured 2× slower). The mapping
-    from string shingles is injective in practice (64-bit collisions
-    ~|shingles|²/2⁶⁴), so distinct counts — and therefore Jaccard and
-    MinHash — are preserved while shuffle keys shrink from multi-word
-    strings to 8 bytes.
+    Numeric shingles: hash each token once (``_bind_once`` keeps it to
+    exactly once — see its CSE note), then chain n shifted copies with
+    zip_with — a shingle hash mixes n consecutive token hashes with NO
+    per-shingle string building. The mapping from string shingles is
+    injective in practice (64-bit collisions ~|shingles|²/2⁶⁴), so
+    distinct counts — and therefore Jaccard and MinHash — are preserved
+    while shuffle keys shrink from multi-word strings to 8 bytes.
     """
     toks = tokenize(F.col(text) if isinstance(text, str) else text)
-    tok_h = F.transform(toks, lambda t: F.xxhash64(t))
-    count = F.size(toks) - (n - 1)
-    safe_count = F.greatest(count, F.lit(0))
-    gram_h = F.slice(tok_h, 1, safe_count)
-    for j in range(1, n):
-        gram_h = F.zip_with(
-            gram_h, F.slice(tok_h, j + 1, safe_count), lambda a, b: F.xxhash64(a, b)
-        )
-    return F.when(count >= 1, F.array_distinct(gram_h)).otherwise(
-        F.array().cast("array<long>")
-    )
+
+    def body(th: Column) -> Column:
+        count = F.size(th) - (n - 1)
+        safe_count = F.greatest(count, F.lit(0))
+        gram_h = F.slice(th, 1, safe_count)
+        for j in range(1, n):
+            gram_h = F.zip_with(
+                gram_h, F.slice(th, j + 1, safe_count), lambda a, b: F.xxhash64(a, b)
+            )
+        # short docs: safe_count 0 -> empty slice -> empty array
+        return F.array_distinct(gram_h)
+
+    return _bind_once(F.transform(toks, lambda t: F.xxhash64(t)), body)
 
 
 def minhash_signatures_df(
@@ -206,29 +225,33 @@ def simhash(text: Column | str, bits: int = 62) -> Column:
     """
     if not 1 <= bits <= 62:
         raise ValueError("bits must be in [1, 62]")
-    # Hash tokens to longs ONCE; per-bit votes mix (token_hash, bit) as a
-    # long pair — no per-(token, bit) string building.
-    tok_h = F.transform(tokenize(text), lambda t: F.xxhash64(t))
-    votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.aggregate(
-            tok_h,
-            F.lit(0),
-            lambda acc, h: acc + F.when(F.xxhash64(h, b) > 0, 1).otherwise(-1),
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            votes,
+    # Hash tokens to longs ONCE — _bind_once, or the per-bit lambdas
+    # re-evaluate the token hashing `bits` times (no CSE in HOF lambdas).
+    # Per-bit votes mix (token_hash, bit) as a long pair — no
+    # per-(token, bit) string building.
+    def body(tok_h: Column) -> Column:
+        votes = F.transform(
             F.sequence(F.lit(0), F.lit(bits - 1)),
-            # 2^b is exact in double for b ≤ 62, so the cast is lossless.
-            lambda v, b: F.when(v > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(
-                F.lit(0).cast("long")
+            lambda b: F.aggregate(
+                tok_h,
+                F.lit(0),
+                lambda acc, h: acc + F.when(F.xxhash64(h, b) > 0, 1).otherwise(-1),
             ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+        )
+        return F.aggregate(
+            F.zip_with(
+                votes,
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                # 2^b is exact in double for b ≤ 62, so the cast is lossless.
+                lambda v, b: F.when(v > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return _bind_once(F.transform(tokenize(text), lambda t: F.xxhash64(t)), body)
 
 
 def ngram_jaccard_pairs(
