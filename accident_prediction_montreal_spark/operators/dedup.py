@@ -66,12 +66,15 @@ def minhash_signature(text: Column | str, num_hashes: int = 32, n: int = 3) -> C
     families (``_bind_once``).
     """
 
+    def family(i: int):
+        # closure per family — NOT `lambda s, i=i`: a two-parameter lambda
+        # makes pyspark pass the ELEMENT INDEX as the second argument,
+        # silently rebinding i and collapsing every family to the same hash
+        return lambda s: _hash_family(s, i)
+
     def body(sh: Column) -> Column:
         sig = F.array(
-            *[
-                F.array_min(F.transform(sh, lambda s, i=i: _hash_family(s, i)))
-                for i in range(num_hashes)
-            ]
+            *[F.array_min(F.transform(sh, family(i))) for i in range(num_hashes)]
         )
         return F.when(F.size(sh) > 0, sig)
 
@@ -126,12 +129,17 @@ def minhash_signatures_df(
 ) -> DataFrame:
     """(doc, sig) MinHash signatures via explode → hash-once → groupBy-min.
 
-    The column-expression form (``minhash_signature``) re-evaluates the
-    shingle array once per hash family after Catalyst collapses projects —
-    a num_hashes× blowup. Here each shingle is materialized once by
-    ``explode`` as a 64-bit hash, and the per-family hashes are cheap
-    long-pair mixes ``xxhash64(h, i)`` aggregated map-side — the shape
-    that scales: one shuffle of (doc, num_hashes longs).
+    signature[i] = min over 64-bit shingle hashes h of xxhash64(h, i).
+    Each shingle is materialized once by ``explode``; the per-family
+    hashes are cheap long-pair mixes aggregated map-side, so the shuffle
+    carries (doc, num_hashes longs). A map-only column form (32 inlined
+    array_min(transform(...)) families, HOF-bound once) computes the same
+    values with zero shuffle but loses in practice: the fused expression
+    falls out of whole-stage codegen and runs interpreted — measured
+    slower end-to-end at sf0.1 than this shuffle + tiny agg. The
+    Aggregate is also a project-collapse barrier: downstream consumers
+    reference ``sig`` as a materialized attribute instead of re-inlining
+    (and re-evaluating) the signature math per reference.
     """
     exploded = df.select(
         F.col(id_col).alias("doc"),
@@ -186,28 +194,43 @@ def minhash_dedup_pairs(
         ).alias("band"),
     ).select("doc", "sig", "band.band_id", "band.band_hash")
 
-    bucket = Window.partitionBy("band_id", "band_hash")
-    banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(bucket)).filter(
-        F.col("bucket_n") <= max_bucket_size
-    ).drop("bucket_n")
-
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
-                        lambda v: v == 1,
-                    )
-                )
-                / F.lit(float(num_hashes))
-            ).alias("est_jaccard"),
+    # Pairs come from collect_list per bucket + nested-HOF combination
+    # generation, NOT a self-join: the join form re-evaluates the whole
+    # scan->shingle->signature map stage once per side (AQE broadcasts
+    # the "small" side, so the exchange is never reused), and needs an
+    # extra window shuffle for the bucket-size guard. Here one shuffle
+    # does everything; collect_list is safe because the guard drops any
+    # bucket over max_bucket_size (<=200 members x 32 longs per group).
+    # Measured 1.8s -> 0.75s at sf0.1.
+    def pair(x: Column, y: Column) -> Column:
+        n_eq = F.size(
+            F.filter(
+                F.zip_with(x["sig"], y["sig"], lambda p, q: (p == q).cast("int")),
+                lambda v: v == 1,
+            )
         )
+        return F.struct(
+            F.least(x["doc"], y["doc"]).alias("id_a"),
+            F.greatest(x["doc"], y["doc"]).alias("id_b"),
+            (n_eq / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+
+    ms = F.col("ms")
+    combos = F.flatten(
+        # two-param lambda ON PURPOSE: pyspark passes the element index
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)), lambda y: pair(x, y)
+            ),
+        )
+    )
+    pairs = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.collect_list(F.struct("doc", "sig")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket_size))
+        .select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b", "p.est_jaccard")
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs.filter(F.col("est_jaccard") >= min_est_jaccard)

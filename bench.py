@@ -58,7 +58,7 @@ def main() -> None:
     # min over BENCH_RUNS repetitions: the first execution of a query pays
     # one-off plan compilation; steady-state is what a resident engine
     # serves and what the 2x-of-baseline gate should measure.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
