@@ -300,37 +300,52 @@ def ngram_jaccard_pairs(
     # 64-bit shingle hashes instead of multi-word strings: halves the
     # shuffle payload; distinct counts (hence Jaccard) are preserved —
     # see word_shingle_hashes on collision odds.
-    exploded = (
-        df.select(F.col(id_col).alias("doc"), word_shingle_hashes(text_col, n).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select("doc", F.explode("shingles").alias("sh"))
+    #
+    # Postings are grouped per shingle (collect_list of the doc ids —
+    # bounded by max_doc_freq, and a doc lists each distinct shingle
+    # once) and intra-bucket pairs generated with nested HOFs. The
+    # earlier inverted-index SELF-JOIN evaluated the whole
+    # tokenize/hash/explode map stage once per join side (AQE broadcasts
+    # the "small" side, so the exchange was never reused) and needed a
+    # doc-frequency window on top; this form runs the map exactly once.
+    post = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingle_hashes(text_col, n)).alias("sh"),
     )
-    # Frequency filter + per-doc sizes as count-over-window, NOT
-    # groupBy+join-back: a self-referencing join would recompute the
-    # shingle explosion (the expensive map stage) once per branch —
-    # measured 4.5× slower at sf0.1. The window form shuffles the
-    # postings once and every downstream step reuses that lineage.
+    grouped = post.groupBy("sh").agg(F.collect_list("doc").alias("ds"))
     if max_doc_freq is not None:
-        freq = Window.partitionBy("sh")
-        exploded = (
-            exploded.withColumn("df", F.count(F.lit(1)).over(freq))
-            .filter(F.col("df") <= max_doc_freq)
-            .drop("df")
-        )
-    per_doc = Window.partitionBy("doc")
-    sized = exploded.withColumn("n_sh", F.count(F.lit(1)).over(per_doc))
+        grouped = grouped.filter(F.size("ds") <= max_doc_freq)
 
-    a, b = sized.alias("a"), sized.alias("b")
-    return (
-        a.join(b, "sh")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+    # Per-doc set sizes count ALL surviving shingles (incl. singletons):
+    # Jaccard is over each doc's rare-shingle set.
+    sizes = (
+        grouped.select(F.explode("ds").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+
+    ds = F.col("ds")
+    combos = F.flatten(
+        # two-param lambda ON PURPOSE: pyspark passes the element index
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
         )
+    )
+    common = (
+        grouped.filter(F.size("ds") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         .select(
             "id_a",
             "id_b",
