@@ -35,8 +35,9 @@ _PRIORITY = [
     "tpch_q3_shipping_priority",
     "tpch_q10_returned_items",
     "tpch_q6_forecast_revenue",
-    # Spatial / temporal composites.
-    "j8_knn_join",
+    # Spatial / temporal composites. (j8_knn_join, the exhaustive
+    # broadcast twin, sits in the tail — the grid form is the scale path
+    # and shares its oracle.)
     "j8_knn_join_grid",
     "a6_idw_interpolation",
     "j9_asof_join",
@@ -46,13 +47,15 @@ _PRIORITY = [
     # LLM-pipeline north star: text, dedup, similarity.
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_cluster_components",
     "dedup_near_invariants",
     "text_quality_signals",
     "text_language_id",
     "text_fingerprint",
+    "text_chunking",
+    "text_tfidf_topk",
     "sim_cosine_topk",
     "sim_ann_invariants",
-    "sim_embedding_stats",
     # Streaming surface: real availableNow execution (windowed + custom
     # stateful) + batch twins. st_sliding_window sits in the tail — its
     # semantics are covered by st_tumbling_window + the real stream.
@@ -64,6 +67,7 @@ _PRIORITY = [
     "m1_feature_assembly",
     "m3_class_weights",
     "r_sampling_invariants",
+    "r_stratified_sample_invariants",
     # Join family.
     "j1_join_chain_revenue",
     "j2_multikey_join",
@@ -71,12 +75,13 @@ _PRIORITY = [
     "j4_semi_anti",
     "j5_full_outer_zerofill",
     "j7_theta_join",
-    # Window family.
+    # Window family. (w5_running_sums sits in the tail: m9's suffix-
+    # cumulative window is the same W5 shape, checked in-window.
+    # a1_group_count_zerofill likewise: A1 via a1_pricing_summary,
+    # zero-fill via j5_full_outer_zerofill.)
     "w_topk_rank_rownum",
     "w3_rolling_avg",
-    "w5_running_sums",
     # Aggregation family.
-    "a1_group_count_zerofill",
     "a4_pivot",
     "a8_distinct_count",
     "a9_cube",
