@@ -56,13 +56,14 @@ _PRIORITY = [
     "text_tfidf_topk",
     "sim_cosine_topk",
     "sim_ann_invariants",
-    # Streaming surface: real availableNow execution (windowed + custom
-    # stateful) + batch twins. st_sliding_window sits in the tail — its
-    # semantics are covered by st_tumbling_window + the real stream.
-    "st_tumbling_window",
+    # Streaming surface: real availableNow execution (windowed, custom
+    # stateful, stream-stream join) + the session batch twin.
+    # st_tumbling_window and st_sliding_window sit in the tail — tumbling
+    # through the real engine is st_availablenow_stream.
     "st_session_window",
     "st_availablenow_stream",
     "st_stateful_running",
+    "st_stream_stream_join",
     # ML surface + sampling contracts.
     "m1_feature_assembly",
     "m3_class_weights",

@@ -914,6 +914,42 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_stream_stream_join",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(value * 3 AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        AS value_sum
+    FROM events GROUP BY event_type
+    """,
+    description="REAL stream-stream inner join (§2.12): two readStreams over "
+    "the events source, both watermarked, joined on event_id with an "
+    "event-time range bound (the canonical bounded-state recipe); the "
+    "right stream carries value*2, so every joined row must pair each "
+    "event with exactly its twin — value_sum = 3x the base table's, and "
+    "any dropped or duplicated join state hash-mismatches. Append sink, "
+    "batch-aggregated per event_type.",
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.streaming.windows import (
+        stream_stream_join,
+    )
+
+    left = _events_stream(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    right = _events_stream(spark, sf_dir).select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+        (F.col("value") * 2).alias("r_value"),
+    )
+    joined = stream_stream_join(left, right).select(
+        "event_type", (F.col("value") + F.col("r_value")).alias("v")
+    )
+    out = _run_to_memory_sink(spark, joined, "append")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("v").alias("value_sum")
+    )
+
+
+@register(
     "st_stream_static_join",
     oracle="""
     SELECT event_type, COUNT(*) AS n,

@@ -104,3 +104,32 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, key: str = "user_id") -> 
     from pyspark.sql import functions as F
 
     return events.join(F.broadcast(dim), key, "left")
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str = "event_id",
+    right_key: str = "r_event_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    watermark: str = "2 hours",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join on a key + event-time range.
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time skew (|l.ts − r.ts| ≤ ``within``), so each side's join
+    state is evicted once the other stream's watermark passes — bounded
+    state regardless of stream length, the canonical Spark
+    stream-stream join recipe. Column names must be disjoint across
+    sides (pre-alias the right side).
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {within}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")

@@ -100,3 +100,29 @@ def test_stream_static_enrichment(spark, event_fixture):
     assert len(rows) == 5  # all events pass through
     tiers = {r["user_id"]: r["tier"] for r in rows}
     assert tiers[1] == "gold" and tiers[2] == "silver"
+
+
+def test_stream_stream_join_pairs_every_event(spark, events_stream_fixture=None):
+    import pyspark.sql.functions as F
+
+    from accident_prediction_montreal_spark.streaming.windows import (
+        stream_stream_join,
+    )
+
+    # batch semantics of the builder: same condition, bounded skew
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 1.0),
+        (2, datetime(2024, 1, 1, 11, 0), 2.0),
+    ]
+    left = spark.createDataFrame(rows, ["event_id", "ts", "value"])
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 30), 10.0),   # within 1h -> match
+            (2, datetime(2024, 1, 1, 12, 30), 20.0),   # 90min off -> dropped
+        ],
+        ["r_event_id", "r_ts", "r_value"],
+    )
+    out = stream_stream_join(left, right).select("event_id", "r_value").collect()
+    assert [(r["event_id"], r["r_value"]) for r in out] == [(1, 10.0)]
