@@ -239,3 +239,88 @@ def tfidf_topk(
             "rank",
         )
     )
+
+
+def word_gram_hashes(text: Column | str, n: int = 2) -> Column:
+    """ALL word n-grams (duplicates kept) as 64-bit hashes (array<long>).
+
+    The multiset counterpart of dedup.word_shingle_hashes: token hashes
+    chained with zip_with, bound once (no HOF re-evaluation), no
+    array_distinct — repetition analysis needs the duplicates.
+    """
+    toks = tokenize(F.col(text) if isinstance(text, str) else text)
+
+    def body(th: Column) -> Column:
+        count = F.size(th) - (n - 1)
+        safe = F.greatest(count, F.lit(0))
+        g = F.slice(th, 1, safe)
+        for j in range(1, n):
+            g = F.zip_with(g, F.slice(th, j + 1, safe), lambda a, b: F.xxhash64(a, b))
+        return g
+
+    # evaluate the token-hash array exactly once (no CSE in HOF lambdas)
+    return F.element_at(
+        F.transform(F.array(F.transform(toks, lambda t: F.xxhash64(t))), body), 1
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals over word n-grams.
+
+    Per document (with >= 1 n-gram):
+      n_grams, n_distinct, dup_frac = 1 - distinct/total (mass of
+      repeated grams), top_frac = count of the most frequent gram /
+      total (boilerplate loops score high on both).
+
+    Rae et al. 2021 (Gopher) filter pre-training text on exactly these
+    ratios. explode -> (doc, gram) counts with map-side combine ->
+    per-doc aggregate: two bounded shuffles, no text ever shuffled (the
+    grams are 8-byte hashes).
+    """
+    counts = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_gram_hashes(F.col(text_col), n)).alias("g"),
+        )
+        .groupBy("doc", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.groupBy("doc")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_cnt"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_grams",
+            "n_distinct",
+            F.round(1 - F.col("n_distinct") / F.col("n_grams"), 6).alias("dup_frac"),
+            F.round(F.col("top_cnt") / F.col("n_grams"), 6).alias("top_frac"),
+        )
+    )
+
+
+# PII scrubbing patterns — deliberately backreference/lookaround-free so
+# the same pattern runs identically on Java regex (Spark) and RE2-based
+# engines (the DuckDB oracle).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def mask_pii(text: Column | str) -> Column:
+    """Replace email addresses then phone-shaped digit runs with sentinels.
+
+    The pre-training scrub step: pure JVM regexp_replace chain, no UDF.
+    Emails first — a phone-shaped digit run inside an address must not
+    split the address before the email pass sees it.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    masked = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(masked, PHONE_PATTERN, "<PHONE>")

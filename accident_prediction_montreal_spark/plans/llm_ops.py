@@ -234,6 +234,84 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, "doc_id", "text", k=3)
 
 
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+        UNNEST(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+      FROM toks WHERE len(w) >= 2
+    ),
+    counts AS (SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g)
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+      CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      ROUND(1 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 6) AS dup_frac,
+      ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_frac
+    FROM counts GROUP BY doc_id
+    """,
+    description="Gopher-style within-document repetition signals (Rae et al. "
+    "2021): duplicate-bigram mass and most-frequent-bigram fraction per "
+    "document. Grams travel as 8-byte hashes (equality-preserving), "
+    "explode -> map-side-combined counts -> per-doc aggregate: two bounded "
+    "shuffles, no text shuffled. Oracle computes the same ratios over "
+    "string bigrams.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.text import repetition_signals
+
+    docs = load_table(spark, "documents", sf_dir)
+    return repetition_signals(docs, "doc_id", "text", n=2)
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+        text || ' contact user' || doc_id || '@example.com or +1 (514) 555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      md5(regexp_replace(regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g')) AS masked_md5
+    FROM planted
+    """,
+    description="PII scrubbing (pre-training text scrub): plant a deterministic "
+    "email + phone per document, then mask emails and phone-shaped runs "
+    "with a pure regexp_replace chain (no UDF, patterns chosen to behave "
+    "identically on Java regex and RE2). The oracle re-plants, re-masks "
+    "and compares match counts + md5 of the scrubbed text — a divergent "
+    "mask hash-mismatches.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.text import (
+        EMAIL_PATTERN,
+        mask_pii,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (514) 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return planted.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+        F.md5(mask_pii("t")).alias("masked_md5"),
+    )
+
+
 # --- Deduplication ---------------------------------------------------------------
 
 @register(

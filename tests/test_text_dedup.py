@@ -272,3 +272,38 @@ def test_tfidf_topk_hand_computed(spark):
     assert abs(common["tfidf"] - round(math.log(4 / 4) + 1, 6)) < 1e-9
     # doc 2: tie between common and other on tf; df differs -> other wins
     assert out[(2, "other")]["rank"] == 1 and out[(2, "common")]["rank"] == 2
+
+
+def test_repetition_signals_hand_computed(spark):
+    from accident_prediction_montreal_spark.operators.text import repetition_signals
+
+    # doc 1: "a b a b a" -> bigrams [ab, ba, ab, ba] : n=4, distinct=2,
+    # dup=0.5, top=0.5 ; doc 2: all-unique bigrams ; doc 3: single token -> none
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z"), (3, "solo")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["n_grams"], out[1]["n_distinct"]) == (4, 2)
+    assert out[1]["dup_frac"] == 0.5 and out[1]["top_frac"] == 0.5
+    assert (out[2]["n_grams"], out[2]["n_distinct"]) == (2, 2)
+    assert out[2]["dup_frac"] == 0.0
+
+
+def test_mask_pii(spark):
+    import pyspark.sql.functions as F
+
+    from accident_prediction_montreal_spark.operators.text import mask_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@mail.example.org today"),
+            (2, "call +1 (514) 555-0199 now"),
+            (3, "no pii here"),
+        ],
+        ["i", "t"],
+    )
+    got = {r["i"]: r["m"] for r in df.select("i", mask_pii("t").alias("m")).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "call <PHONE> now"
+    assert got[3] == "no pii here"
