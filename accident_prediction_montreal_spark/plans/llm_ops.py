@@ -312,6 +312,43 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_sequence_pack",
+    oracle="""
+    WITH sized AS (
+      SELECT source AS shard, doc_id,
+        CASE WHEN trim(lower(text)) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, doc_id, n_tokens,
+        CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 512.0) AS BIGINT) AS seq_bin
+      FROM sized
+      WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT shard, seq_bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
+    FROM packed GROUP BY shard, seq_bin
+    """,
+    description="Sequence packing (pre-training batch assembly): documents are "
+    "concatenated per source shard in doc_id order and wrapped every 512 "
+    "tokens; a doc belongs to the bin where it starts. Per-shard window "
+    "cumsum -> bin id -> per-bin stats. Sharding is the scale story: each "
+    "shard packs independently, no global ordering.",
+)
+def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    packed = pack_sequences(docs, capacity=512, shard_col="source")
+    return packed.groupBy("shard", "seq_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tok_sum"),
+    )
+
+
 # --- Deduplication ---------------------------------------------------------------
 
 @register(

@@ -307,3 +307,16 @@ def test_mask_pii(spark):
     assert got[1] == "mail me at <EMAIL> today"
     assert got[2] == "call <PHONE> now"
     assert got[3] == "no pii here"
+
+
+def test_pack_sequences_hand_computed(spark):
+    from accident_prediction_montreal_spark.operators.packing import pack_sequences
+
+    # shard A: 3+4+5 tokens, capacity 8: doc1 starts at 0 (bin 0),
+    # doc2 at 3 (bin 0), doc3 at 7 (bin 0)... capacity 6: starts 0,3,7 -> bins 0,0,1
+    df = spark.createDataFrame(
+        [(1, "a", "a b c"), (2, "a", "d e f g"), (3, "a", "h i j k l"), (4, "b", "x y")],
+        ["doc_id", "source", "text"],
+    )
+    out = {r["doc_id"]: r["seq_bin"] for r in pack_sequences(df, capacity=6).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 0}
