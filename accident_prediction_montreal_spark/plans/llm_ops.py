@@ -824,6 +824,46 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_quality_deciles",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens FROM documents
+    ),
+    tiled AS (
+      SELECT doc_id, n_tokens,
+        NTILE(10) OVER (ORDER BY n_tokens, doc_id) AS decile
+      FROM sized
+    )
+    SELECT CAST(decile AS INT) AS decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+      CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM tiled GROUP BY decile
+    """,
+    description="Quality-score decile binning (curriculum bucketing): ntile(10) "
+    "over (score, id) — the unique tie-break makes tiling deterministic "
+    "across engines — then per-decile stats. NB: exact global ntile is a "
+    "single-partition sort, the exactness price; the 100-TB path bins "
+    "against approx_percentile edges instead (a10_percentiles family), "
+    "trading exact decile boundaries for full parallelism.",
+)
+def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    tiled = docs.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc())),
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+@register(
     "st_time_rollup",
     oracle="""
     SELECT CAST(ts AS DATE) AS day, date_trunc('hour', ts) AS hour_start,
