@@ -1105,6 +1105,38 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_foreachbatch_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        AS value_sum
+    FROM events GROUP BY event_type
+    """,
+    description="REAL foreachBatch sink (§2.12 production pattern): events "
+    "readStream drained by Trigger.AvailableNow through foreachBatch into "
+    "append-mode parquet with a streaming checkpoint, then the written "
+    "files are read back and aggregated. Exactly the base table's counts "
+    "and sums must come out the other side — a dropped or double-written "
+    "micro-batch hash-mismatches.",
+)
+def st_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from accident_prediction_montreal_spark.streaming.windows import (
+        run_foreach_batch_parquet,
+    )
+
+    stream = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="spark_graft_fb_")
+    out_dir, ckpt_dir = f"{base}/out", f"{base}/ckpt"
+    run_foreach_batch_parquet(stream, out_dir, ckpt_dir)
+    written = spark.read.parquet(out_dir)
+    return written.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("value_sum")
+    )
+
+
+@register(
     "st_stream_static_join",
     oracle="""
     SELECT event_type, COUNT(*) AS n,

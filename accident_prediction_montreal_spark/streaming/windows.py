@@ -133,3 +133,27 @@ def stream_stream_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, "inner")
+
+
+def run_foreach_batch_parquet(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain ``stream`` into parquet via foreachBatch (Trigger.AvailableNow).
+
+    The production sink pattern: foreachBatch hands each micro-batch to
+    ordinary batch writers (parquet here; JDBC/Delta/multi-sink fan-out
+    in real deployments), while the checkpoint tracks committed batch
+    ids so a restart never re-runs an acknowledged batch. Blocks until
+    the finite source drains.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
