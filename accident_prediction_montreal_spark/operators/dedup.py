@@ -308,44 +308,56 @@ def ngram_jaccard_pairs(
     # tokenize/hash/explode map stage once per join side (AQE broadcasts
     # the "small" side, so the exchange was never reused) and needed a
     # doc-frequency window on top; this form runs the map exactly once.
+    # The lineage is deliberately LINEAR — every DataFrame below has one
+    # consumer. Branching (e.g. a separate per-doc sizes aggregate joined
+    # back on the pair counts) re-evaluates the expensive map stage once
+    # per branch: Spark materializes nothing between branches, and AQE's
+    # broadcast decisions defeat exchange reuse (observed: 3 full
+    # scan+explode pipelines in the executed plan). Here the postings are
+    # bucketed per shingle, re-exploded (rare-only) for the per-doc size
+    # window, re-bucketed carrying (doc, n_sh), and pairs generated
+    # intra-bucket — four shuffles of 8-to-16-byte rows, the map exactly
+    # once, no joins at all.
     post = df.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingle_hashes(text_col, n)).alias("sh"),
     )
-    grouped = post.groupBy("sh").agg(F.collect_list("doc").alias("ds"))
+    buckets = post.groupBy("sh").agg(F.collect_list("doc").alias("ds"))
     if max_doc_freq is not None:
-        grouped = grouped.filter(F.size("ds") <= max_doc_freq)
+        buckets = buckets.filter(F.size("ds") <= max_doc_freq)
 
     # Per-doc set sizes count ALL surviving shingles (incl. singletons):
     # Jaccard is over each doc's rare-shingle set.
-    sizes = (
-        grouped.select(F.explode("ds").alias("doc"))
-        .groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
+    sized = buckets.select("sh", F.explode("ds").alias("doc")).withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+    )
+    rebucketed = (
+        sized.groupBy("sh")
+        .agg(F.collect_list(F.struct("doc", "n_sh")).alias("ms"))
+        .filter(F.size("ms") >= 2)
     )
 
-    ds = F.col("ds")
+    def pair(x: Column, y: Column) -> Column:
+        a_first = x["doc"] < y["doc"]
+        return F.struct(
+            F.least(x["doc"], y["doc"]).alias("id_a"),
+            F.greatest(x["doc"], y["doc"]).alias("id_b"),
+            F.when(a_first, x["n_sh"]).otherwise(y["n_sh"]).alias("n_a"),
+            F.when(a_first, y["n_sh"]).otherwise(x["n_sh"]).alias("n_b"),
+        )
+
+    ms = F.col("ms")
     combos = F.flatten(
         # two-param lambda ON PURPOSE: pyspark passes the element index
         F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.size(ds)),
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
-                ),
-            ),
+            ms,
+            lambda x, i: F.transform(F.slice(ms, i + 2, F.size(ms)), lambda y: pair(x, y)),
         )
     )
-    common = (
-        grouped.filter(F.size("ds") >= 2)
-        .select(F.explode(combos).alias("p"))
-        .groupBy("p.id_a", "p.id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     return (
-        common.join(sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        rebucketed.select(F.explode(combos).alias("p"))
+        .groupBy("p.id_a", "p.id_b", "p.n_a", "p.n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .select(
             "id_a",
             "id_b",

@@ -89,3 +89,27 @@ def test_threshold_sweep_no_extra_scan(spark):
     # one scan of orders; the accuracy denominator must not add a branch
     plan = plan_of(spark, "m8_threshold_sweep")
     assert plan.count("Scan parquet") + plan.count("FileScan") <= 2  # orders + grid range
+
+
+def test_jaccard_runs_shingle_map_once(spark):
+    # The tokenize/hash/explode map stage must appear exactly once: the
+    # old inverted-index SELF-JOIN re-evaluated it per join side (AQE
+    # broadcast defeats exchange reuse). One scan, one posting explode.
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Generate explode(element_at(transform(array(transform") == 1
+
+
+def test_minhash_pairs_single_scan_no_join(spark):
+    # collect_list-per-bucket pair generation: no join operator at all,
+    # and the shingle explode feeding signatures appears exactly once.
+    plan = plan_of(spark, "dedup_minhash_pairs")
+    assert plan.count("Scan parquet") == 1
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan
+
+
+def test_sequence_pack_single_shard_window(spark):
+    plan = plan_of(spark, "text_sequence_pack")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Window") == 1
