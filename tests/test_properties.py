@@ -138,3 +138,69 @@ def test_threshold_sweep_matches_naive_confusion(spark, scored):
         tn = sum(1 for p, lab in rows if lab == 0 and p < thr)
         assert (r["true_positive"], r["false_negative"], r["false_positive"],
                 r["true_negative"]) == (tp, fn, fp, tn), f"threshold {thr}"
+
+
+# --- connected components -----------------------------------------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=30
+)
+
+
+@settings(**SETTINGS)
+@given(edges=edge_lists)
+def test_connected_components_matches_union_find(spark, edges):
+    from accident_prediction_montreal_spark.operators.components import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = {n for e in edges for n in e if e[0] != e[1]}
+    for n in nodes:
+        parent[n] = n
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    expected = {}
+    for n in nodes:
+        root = find(n)
+        expected.setdefault(root, []).append(n)
+    want = sorted(
+        (n, min(group)) for group in expected.values() for n in group
+    )
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = sorted(
+        (r["node"], r["component"]) for r in connected_components(df).collect()
+    )
+    assert got == want
+
+
+# --- sequence packing ---------------------------------------------------------
+
+doc_sizes = st.lists(st.integers(0, 12), min_size=1, max_size=20)
+
+
+@settings(**SETTINGS)
+@given(sizes=doc_sizes)
+def test_pack_sequences_matches_naive_cumsum(spark, sizes):
+    from accident_prediction_montreal_spark.operators.packing import pack_sequences
+
+    cap = 8
+    rows = [(i, "s", " ".join("w" for _ in range(k)) if k else "") for i, k in enumerate(sizes)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {r["doc_id"]: (r["n_tokens"], r["seq_bin"]) for r in pack_sequences(df, capacity=cap).collect()}
+
+    cum = 0
+    for i, k in enumerate(sizes):
+        assert got[i] == (k, cum // cap), f"doc {i}"
+        cum += k
