@@ -435,6 +435,47 @@ def m8_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "m_calibration_bins",
+    oracle=f"""
+    WITH scored AS (
+      SELECT ((o_orderkey * 2654435761) % 1001) / 1000.0 AS prob,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+      FROM orders
+    )
+    SELECT CAST(LEAST(FLOOR(prob * 10), 9) AS INT) AS bin,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      ROUND(CAST(SUM(CAST(prob AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+        AS mean_prob,
+      ROUND(SUM(label) / CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos
+    FROM scored GROUP BY 1
+    """,
+    description="Calibration / reliability bins (ML-evaluation surface): decile "
+    "buckets of predicted probability (top bucket closed at 1.0) with "
+    "decimal-exact mean predicted prob vs empirical positive rate — one "
+    "map-side-combined aggregation pass, the companion diagnostic to the "
+    "M8 threshold sweep.",
+)
+def m_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    scored = orders.select(
+        (((F.col("o_orderkey") * 2654435761) % 1001) / 1000.0).alias("prob"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("prob") * 10), F.lit(9)).cast("int").alias("bin"),
+        "prob",
+        "label",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("prob").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_prob"),
+        F.round(F.sum("label") / F.count(F.lit(1)).cast("double"), 6).alias("frac_pos"),
+    )
+
+
 # --- M9: one-pass count-threshold baseline model ----------------------------------------------
 
 @register(
