@@ -678,13 +678,21 @@ def m_rf_pipeline_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         prob_positive,
     )
 
+    # f_signal is label-correlated BY CONSTRUCTION (label + bounded noise):
+    # at sf0.01 the incidental price/hour features admit splits, but at
+    # larger scales their empirical info gain vanishes and every tree
+    # degenerates to a stump with all-zero importances — the invariant
+    # needs a split to exist at ANY scale to say anything.
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey",
         (F.col("o_totalprice") / 1024.0).alias("f_price"),
-        (F.col("o_orderkey") % 24).cast("double").alias("f_hour"),
+        (
+            F.when(F.col("o_orderstatus") == "F", 2.0).otherwise(0.0)
+            + (F.col("o_orderkey") % 7).cast("double") / 10.0
+        ).alias("f_signal"),
         F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("label"),
     )
-    data = assemble_features(orders, ["f_price", "f_hour"])
+    data = assemble_features(orders, ["f_price", "f_signal"])
     pipeline = balanced_random_forest_pipeline(
         class_weight=[1.0, 1.0], num_trees=5, max_depth=4
     )
