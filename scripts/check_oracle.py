@@ -108,7 +108,8 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
             print(f"ok   {name}: {len(srows)} rows match")
-    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} pass")
+    n_checked = len(only) if only else len(REGISTRY)
+    print(f"\n{n_checked - len(failures)}/{n_checked} pass")
     return 1 if failures else 0
 
 
