@@ -645,6 +645,38 @@ def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_correlated_subquery",
+    oracle="""
+    SELECT c1.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_above_avg
+    FROM customer c1
+    WHERE c1.c_acctbal > (
+      SELECT AVG(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_nationkey = c1.c_nationkey
+    )
+    GROUP BY c1.c_nationkey
+    """,
+    description="Correlated scalar subquery through the spark.sql surface: "
+    "customers above their nation's average balance. Catalyst decorrelates "
+    "the subquery into an aggregate + join — the same ANSI SQL text runs "
+    "on both engines, evidencing the SQL entry point, not just the "
+    "DataFrame API.",
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c1.c_nationkey, COUNT(*) AS n_above_avg
+        FROM customer c1
+        WHERE c1.c_acctbal > (
+          SELECT AVG(c2.c_acctbal) FROM customer c2
+          WHERE c2.c_nationkey = c1.c_nationkey
+        )
+        GROUP BY c1.c_nationkey
+        """
+    )
+
+
+@register(
     "a_approx_percentile_invariant",
     oracle="""
     SELECT o_orderstatus,
