@@ -677,6 +677,30 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f_apply_in_pandas_zscore",
+    oracle="""
+    SELECT o_orderkey AS id,
+      ROUND((o_totalprice - AVG(o_totalprice) OVER w)
+            / STDDEV_SAMP(o_totalprice) OVER w, 6) AS z
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus)
+    """,
+    description="Batch grouped-map pandas UDF (F-family, applyInPandas): "
+    "per-status z-score of order totals computed in Arrow-batched pandas, "
+    "value-checked against the SQL window form — same mean/stddev(ddof=1) "
+    "semantics, so a broken group boundary or dtype coercion "
+    "hash-mismatches. The built-in window IS the right plan for this "
+    "math; the query exists to evidence the grouped-map escape hatch.",
+)
+def f_apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.grouped import zscore_by_group
+
+    orders = load_table(spark, "orders", sf_dir)
+    out = zscore_by_group(orders, "o_orderstatus", "o_orderkey", "o_totalprice")
+    return out.select("id", F.round("z", 6).alias("z"))
+
+
+@register(
     "a_approx_percentile_invariant",
     oracle="""
     SELECT o_orderstatus,
