@@ -204,3 +204,60 @@ def test_pack_sequences_matches_naive_cumsum(spark, sizes):
     for i, k in enumerate(sizes):
         assert got[i] == (k, cum // cap), f"doc {i}"
         cum += k
+
+
+# --- chunking -----------------------------------------------------------------
+
+texts = st.lists(st.integers(0, 30), min_size=1, max_size=10)
+
+
+@settings(**SETTINGS)
+@given(sizes=texts)
+def test_chunk_documents_matches_naive(spark, sizes):
+    from accident_prediction_montreal_spark.operators.text import chunk_documents
+
+    size, stride = 8, 5
+    rows = [(i, " ".join(f"w{j}" for j in range(k))) for i, k in enumerate(sizes)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_size=size, stride=stride).collect()
+    }
+
+    expected = {}
+    for i, k in enumerate(sizes):
+        toks = [f"w{j}" for j in range(k)]
+        if not toks:
+            continue
+        n_extra = max(0, -(-(max(k - size, 0)) // stride))
+        for c in range(n_extra + 1):
+            window = toks[c * stride : c * stride + size]
+            expected[(i, c)] = (" ".join(window), len(window))
+    assert got == expected
+
+
+# --- repetition signals -------------------------------------------------------
+
+token_lists = st.lists(st.integers(0, 3), min_size=0, max_size=25)
+
+
+@settings(**SETTINGS)
+@given(toks=token_lists)
+def test_repetition_signals_matches_counter(spark, toks):
+    from collections import Counter
+
+    from accident_prediction_montreal_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame([(1, " ".join(f"t{x}" for x in toks))], ["doc_id", "text"])
+    out = repetition_signals(df).collect()
+
+    grams = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+    if not grams:
+        assert out == []
+        return
+    c = Counter(grams)
+    r = out[0]
+    assert r["n_grams"] == len(grams)
+    assert r["n_distinct"] == len(c)
+    assert abs(r["dup_frac"] - round(1 - len(c) / len(grams), 6)) < 1e-9
+    assert abs(r["top_frac"] - round(max(c.values()) / len(grams), 6)) < 1e-9
