@@ -11,6 +11,12 @@ State is a single fixed-width tuple per user — the state store stays
 O(|users|) regardless of stream length, and the watermark-less design is
 deliberate: the state never expires (use GroupStateTimeout.* in callers
 that need TTL).
+
+Spark 4's successor API (transformWithStateInPandas: named value/list/
+map state, timers, TTL) is the forward path but its Python runner
+requires protobuf, which this container lacks — verified to crash at
+query start (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE), so
+applyInPandasWithState is the shipped implementation.
 """
 
 from __future__ import annotations
