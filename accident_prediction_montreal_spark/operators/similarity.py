@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from accident_prediction_montreal_spark.functions.vectors import cosine_similarity
+from accident_prediction_montreal_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
 
 
 def cosine_topk(
@@ -33,9 +37,22 @@ def cosine_topk(
     Returns (query_id, vec_id, cosine, rank). Queries are broadcast — the
     corpus is scanned once, never shuffled before the per-query top-k.
     Ties break on corpus id (deterministic).
+
+    Norms are computed per POINT below the join (the corpus-side Project
+    runs once per corpus row, the query side once at broadcast build) —
+    inlining cosine_similarity per pair would recompute each corpus norm
+    once per query. Same fold + multiplication order as
+    cosine_similarity, so values are bit-identical.
     """
-    joined = corpus.crossJoin(F.broadcast(queries)).withColumn(
-        "cosine", cosine_similarity(query_vec, corpus_vec)
+    cn = corpus.withColumn("_c_norm", l2_norm(corpus_vec))
+    qn = queries.withColumn("_q_norm", l2_norm(query_vec))
+    joined = (
+        cn.crossJoin(F.broadcast(qn))
+        .withColumn(
+            "cosine",
+            dot_product(query_vec, corpus_vec) / (F.col("_q_norm") * F.col("_c_norm")),
+        )
+        .drop("_q_norm", "_c_norm")
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
     return (
