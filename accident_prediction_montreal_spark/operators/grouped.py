@@ -38,7 +38,15 @@ def zscore_by_group(
     def norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
         v = pdf[value_col].astype("float64")
         std = v.std(ddof=1)
-        return pd.DataFrame({"id": pdf[id_col], "z": (v - v.mean()) / std})
+        # pandas emits NaN for 1-row / zero-variance groups (0/0, x/NaN),
+        # and a float64 NaN survives Arrow as NaN, not NULL; STDDEV_SAMP
+        # yields NULL there. Route through nullable Float64 so those rows
+        # reach Spark as true nulls and hash like the SQL form.
+        if std > 0.0:  # False for both 0.0 and NaN
+            z = pd.array((v - v.mean()) / std, dtype="Float64")
+        else:
+            z = pd.array([None] * len(v), dtype="Float64")
+        return pd.DataFrame({"id": pdf[id_col], "z": z})
 
     return (
         df.select(group_col, id_col, value_col)

@@ -27,9 +27,15 @@ def threshold_sweep(
 
     ``scored`` needs a double P(positive) column and a 0/1 label. Output:
     one row per threshold (i+1)/n for each grid bucket i in −1…n, with
-    tn/fp/fn/tp counts and derived metrics — the same contract as reference
-    src/random_forest.py:174-216, with the pivot's generated column names
-    (``0_sum(count_negatives)`` …) pinned to explicit aliases instead.
+    tn/fp/fn/tp counts and derived metrics — reference src/random_forest.py:
+    174-216's contract, with the pivot's generated column names
+    (``0_sum(count_negatives)`` …) pinned to explicit aliases, plus ONE
+    deliberate divergence: the grid's top bucket n adds a sentinel row at
+    threshold (n+1)/n > 1 with tp=fp=0 (everything classified negative).
+    The reference's 0…1 grid silently drops prob==1.0 rows from its
+    cumulative counts; keeping bucket n both feeds the windows correctly
+    AND emits the all-negative endpoint, which callers may filter with
+    ``threshold <= 1``.
 
     The grid spans −1…n inclusive: rows with prob exactly 1.0 land in
     bucket n and must still feed the cumulative windows. Crucially BOTH

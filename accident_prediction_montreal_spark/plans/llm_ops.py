@@ -135,10 +135,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
            AS BIGINT) AS n_bpe_tokens,
-      CAST(CASE WHEN strlen(text) > 0 THEN
+      CAST(CASE WHEN length(text) > 0 THEN
         list_reduce(
           list_prepend(CAST(0 AS BIGINT),
-            list_transform(range(1, strlen(text) + 1),
+            list_transform(range(1, length(text) + 1),
                            i -> CAST(ascii(text[i]) AS BIGINT))),
           (h, c) -> (h * 31 + c) % 1000003)
       ELSE 0 END AS BIGINT) AS roll_hash
@@ -479,7 +479,15 @@ def dedup_near_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     shift = 10_000_000
     min_est = 0.5
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") % 20 == 0)
+    # A planted doc shorter than shingle_n tokens has a null MinHash
+    # signature, so its pair can never be emitted — restrict the expected
+    # set to docs that actually produce shingles (same tokenizer as the
+    # pipeline) or the invariant would false-fail on degenerate docs.
+    from accident_prediction_montreal_spark.operators.text import tokenize
+
+    planted = docs.filter(
+        (F.col("doc_id") % 20 == 0) & (F.size(tokenize(F.col("text"))) >= 3)
+    )
     corpus = docs.unionByName(
         planted.select((F.col("doc_id") + shift).alias("doc_id"), "text")
     )
@@ -972,7 +980,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.islink(link) and os.readlink(link) != target:
             os.remove(link)
         if not os.path.exists(link):
-            os.symlink(target, link)
+            try:
+                os.symlink(target, link)
+            except FileExistsError:
+                # Concurrent process won the exists-check race; accept its
+                # link if it points at the same file, else fail loudly.
+                if os.path.realpath(link) != target:
+                    raise
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     disk_schema = T.StructType(
