@@ -1,12 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed with Arrow-batched ``mapInPandas`` (north-star extension).
 
-Media decode libraries (PIL/ffmpeg/librosa) are not in this container,
-so the DECODE step is stubbed: ``decode_stub='fake'`` produces a
-deterministic feature vector from the bytes (plumbing fully exercised),
-``decode_stub='raise'`` raises NotImplementedError where a real decoder
-would plug in. Everything around the stub — schema contract, Arrow
-batching, partition sizing, UDF signature — is the real design:
+Image/video decode libraries (PIL/ffmpeg/librosa) are not in this
+container, so THOSE decode steps are stubbed: ``decode_stub='fake'``
+produces a deterministic feature vector from the bytes (plumbing fully
+exercised), ``decode_stub='raise'`` raises NotImplementedError where a
+real decoder would plug in. WAV/PCM audio, however, is decoded FOR REAL:
+``decode_wav`` below is a dependency-free RIFF chunk walker (stdlib
+struct + numpy), and ``wav_features`` runs it inside the same Arrow
+batch loop — so one codec exercises the full payload->decode->features
+path under a value oracle. Everything around the decode — schema
+contract, Arrow batching, partition sizing, UDF signature — is the real
+design:
 
   * payloads travel as ``binary`` columns; metadata (width/height/format/
     duration) as plain typed columns so filters on metadata prune BEFORE
@@ -94,6 +99,107 @@ def extract_media_features(
 
     src = media.repartition(batch_hint) if batch_hint else media
     return src.select("media_id", "kind", "payload").mapInPandas(
+        decode_batches, schema=out_schema
+    )
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE writer: mono PCM16 little-endian, stdlib only.
+
+    The inverse of ``decode_wav`` — used by tests and fixture builders to
+    synthesize real audio payloads without any media library.
+    """
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    n_channels, bits = 1, 16
+    byte_rate = sample_rate * n_channels * bits // 8
+    block_align = n_channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL WAV decode, no media libraries: walk the RIFF chunk list, read
+    the ``fmt `` header, pull PCM16 samples from ``data``.
+
+    Returns {sample_rate, n_channels, bits, n_samples, mean_amp, rms_amp}.
+    Raises ValueError on malformed containers and on encodings beyond
+    mono/stereo PCM16 (where PIL/ffmpeg-class decoders would take over).
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_chunk, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_chunk = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_chunk is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt_chunk
+    if audio_format != 1 or bits != 16 or n_channels not in (1, 2):
+        raise ValueError(f"unsupported encoding: format={audio_format} bits={bits}")
+    pcm = np.frombuffer(data, dtype="<i2").astype("float64")
+    n_samples = len(pcm) // n_channels
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits": bits,
+        "n_samples": n_samples,
+        "mean_amp": float(pcm.mean()) if len(pcm) else 0.0,
+        "rms_amp": float(np.sqrt((pcm * pcm).mean())) if len(pcm) else 0.0,
+    }
+
+
+def wav_features(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, sample_rate, n_samples, mean_amp, rms_amp) via the REAL WAV
+    decoder inside the Arrow batch loop — the de-stubbed decode path.
+
+    Same shape as ``extract_media_features`` but value-checkable: the
+    features are exact functions of the PCM samples, so any SQL engine
+    that can reproduce the samples can oracle-check the decode.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("mean_amp", T.DoubleType()),
+            T.StructField("rms_amp", T.DoubleType()),
+        ]
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_wav(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_samples": [f["n_samples"] for f in feats],
+                    "mean_amp": [f["mean_amp"] for f in feats],
+                    "rms_amp": [f["rms_amp"] for f in feats],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
         decode_batches, schema=out_schema
     )
 

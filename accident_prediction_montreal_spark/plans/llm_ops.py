@@ -751,6 +751,78 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_recall",
+    oracle="""
+    SELECT 'lsh_recall_at_10_ge_0.8' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'ivf_recall_at_10_ge_0.8', CAST(1 AS BIGINT)
+    """,
+    description="MEASURED recall@10 for both ANN scale paths against the "
+    "exact cosine top-k, at fixed seeds: 50 queries (every 10th vector), "
+    "vectors L2-normalized first so BRP-LSH's euclidean ranking and the "
+    "exact cosine ranking agree (d^2 = 2 - 2cos on the unit sphere). "
+    "Recall = |approx top-10 ∩ exact top-10| / (n_queries * 10), computed "
+    "in one join pass (exact pipeline evaluated once; denominators from a "
+    "1-row crossJoin, no driver action). The oracle pins recall >= 0.8 "
+    "for both methods; a hash/quantizer regression drops recall and "
+    "mismatches. Measured values are published in PERF.md.",
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_cosine_topk,
+    )
+
+    k, floor = 10, 0.8
+    # Norm computed ONCE per row (a transform lambda referencing l2_norm
+    # would re-evaluate the whole fold per element — O(d^2) per vector).
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+        .withColumn("_n", l2_norm("_v"))
+        .select(
+            "vec_id",
+            F.transform("_v", lambda x: x / F.col("_n")).alias("embedding"),
+        )
+    )
+    q_filter = F.col("vec_id") % 10 == 0
+    queries_v = emb.filter(q_filter).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    queries_lsh = emb.filter(q_filter).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # n_probe=5 of 8 cells: the synthetic embeddings are near-uniform on
+    # the sphere (worst case for coarse quantization); measured recall@10
+    # is 0.86 here vs 0.70 at n_probe=3. Clustered real-world embeddings
+    # need far fewer probes for the same recall.
+    exact = cosine_topk(queries_v, emb, k=k)
+    lsh = brp_lsh_ann(emb, queries_lsh, k=k, bucket_length=0.5, num_hash_tables=3)
+    assigned, cents = build_ivf_index(emb, n_cells=8)
+    ivf = ivf_cosine_topk(queries_v, assigned, cents, k=k, n_probe=5)
+
+    hits = lsh.select("query_id", "vec_id", F.lit("lsh").alias("method")).unionByName(
+        ivf.select("query_id", "vec_id", F.lit("ivf").alias("method"))
+    )
+    matched = hits.join(
+        exact.select("query_id", "vec_id", F.lit(1).alias("in_exact")),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    n_q = queries_v.select(F.count(F.lit(1)).alias("n_q"))
+    per_method = (
+        matched.groupBy("method")
+        .agg(F.sum(F.coalesce("in_exact", F.lit(0))).alias("n_match"))
+        .crossJoin(F.broadcast(n_q))
+        .withColumn("recall", F.col("n_match") / (F.col("n_q") * k))
+    )
+    return per_method.select(
+        F.concat(F.col("method"), F.lit(f"_recall_at_{k}_ge_{floor}")).alias("chk"),
+        F.when(F.col("recall") >= floor, 1).otherwise(0).cast("long").alias("ok"),
+    ).orderBy("chk")
+
+
+@register(
     "sim_embedding_stats",
     oracle="""
     SELECT label, COUNT(*) AS n,
@@ -829,6 +901,74 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return payload_stats(docs, id_col="doc_id", payload_col="payload")
+
+
+@register(
+    "mm_wav_decode",
+    oracle="""
+    WITH samp AS (
+      SELECT doc_id, unnest(range(0, 100 + doc_id % 50)) AS i FROM documents
+    ), v AS (
+      SELECT doc_id,
+        CAST((doc_id * 7919 + i * 104729) % 65536 - 32768 AS DOUBLE) AS s
+      FROM samp
+    )
+    SELECT doc_id AS media_id, CAST(16000 AS BIGINT) AS sample_rate,
+      COUNT(*) AS n_samples,
+      ROUND(AVG(s), 6) + 0.0 AS mean_amp,
+      ROUND(sqrt(AVG(s * s)), 6) + 0.0 AS rms_amp
+    FROM v GROUP BY doc_id
+    """,
+    description="REAL (de-stubbed) media decode under the value-oracle gate: "
+    "per document, synthesize a mono PCM16 WAV payload whose samples are a "
+    "closed-form function of doc_id (Arrow-batched encode), then DECODE the "
+    "binary container for real — operators/multimodal.py::decode_wav walks "
+    "RIFF chunks, parses the fmt header, extracts PCM16 — and emit "
+    "sample_rate/n_samples/mean/RMS. The oracle recomputes the same stats "
+    "from the closed form, so a decoder that misparses the header, drops "
+    "samples, or mis-signs PCM hash-mismatches. Samples are integer-valued, "
+    "so double sums are EXACT in both engines. Image/video formats stay "
+    "stubbed (no PIL/ffmpeg in the container); the WAV path proves the "
+    "payload->decode->features plumbing end to end.",
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        wav_features,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = 100 + d % 50
+                i = np.arange(n, dtype=np.int64)
+                s = (d * 7919 + i * 104729) % 65536 - 32768
+                payloads.append(encode_wav_pcm16(s))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, schema=enc_schema)
+    out = wav_features(media)
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        (F.round("mean_amp", 6) + 0.0).alias("mean_amp"),
+        (F.round("rms_amp", 6) + 0.0).alias("rms_amp"),
+    )
 
 
 @register(
@@ -1254,3 +1394,60 @@ def st_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     return sessionize(events, gap_seconds=1800)
+
+
+@register(
+    "st_session_stream",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+      MIN(ts) AS session_start,
+      MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      COUNT(*) AS n_events,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS value_sum
+    FROM sess GROUP BY user_id, session_id
+    """,
+    description="REAL streaming session windows (§2.12): readStream over the "
+    "events parquet -> F.session_window('30 minutes') per user_id -> memory "
+    "sink, Trigger.AvailableNow, complete mode. Two deliberate semantic "
+    "deltas vs the batch twin st_session_window, both encoded in the "
+    "oracle: Spark's session window END is last-event-ts + gap (half-open "
+    "[start, end)), and an event exactly gap later starts a NEW session "
+    "(>= in the oracle's island flag, vs > in the batch twin). A broken "
+    "session-merge state machine changes starts/counts and hash-mismatches.",
+)
+def st_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.streaming.windows import (
+        session_aggregates,
+    )
+
+    events = _events_stream(spark, sf_dir).withColumn(
+        # Decimal-exact inside the streaming agg: per-session double sums
+        # would be stream-arrival-order-dependent (functions/money.py).
+        "value",
+        F.col("value").cast("decimal(38,6)"),
+    )
+    agg = session_aggregates(events, gap="30 minutes")
+    # complete mode, like st_availablenow_stream: append over a finite
+    # source never passes the final watermark, so nothing would be emitted.
+    out = _run_to_memory_sink(spark, agg, "complete")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_sum").cast("double").alias("value_sum"),
+    )
