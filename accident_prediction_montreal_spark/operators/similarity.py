@@ -67,6 +67,7 @@ def embedding_cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine: (id_a, id_b, cosine) with
     id_a < id_b and cosine ≥ threshold.
@@ -77,7 +78,20 @@ def embedding_cosine_pairs(
     (``brp_lsh_ann``) or IVF cells (``operators/ivf.py``): hash first,
     compute cosine only within colliding buckets. Cosine is computed in
     double precision so results are engine-portable.
+
+    ``max_rows`` makes accidental misuse at scale loud: the input is
+    counted (one cheap scan, nothing compared to n² pairs) and the call
+    raises above the cap, pointing at the bucketed paths. ``None`` opts
+    out for verification baselines run deliberately.
     """
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_cosine_pairs input has {n} rows > max_rows="
+                f"{max_rows}: the exact all-pairs form is quadratic; use "
+                "brp_lsh_ann / ivf_cosine_topk, or pass max_rows=None"
+            )
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("va"),

@@ -79,6 +79,7 @@ def knn_join(
     right_id: str = "rid",
     left_coords: tuple[str, str] = ("lat", "lon"),
     right_coords: tuple[str, str] = ("rlat", "rlon"),
+    max_broadcast_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Reference-faithful kNN join: crossJoin + haversine + windowed top-k.
 
@@ -86,7 +87,21 @@ def knn_join(
     distance → rank ≤ k). Correct for any geometry; O(N·M) — use only when
     one side is small enough to broadcast. The small side is broadcast
     explicitly so the cartesian product never shuffles the big side.
+
+    ``max_broadcast_rows`` guards the quadratic path at scale: the
+    broadcast (right) side is counted first and the call fails loudly if
+    it exceeds the cap, pointing at ``knn_join_grid`` — the cost is one
+    cheap count of the SMALL side, never a scan of ``left``. Pass
+    ``None`` to opt out (verification twins at fixture scale).
     """
+    if max_broadcast_rows is not None:
+        n_right = right.count()
+        if n_right > max_broadcast_rows:
+            raise ValueError(
+                f"knn_join broadcast side has {n_right} rows > "
+                f"max_broadcast_rows={max_broadcast_rows}; use knn_join_grid "
+                "(bucketed scale path) or pass max_broadcast_rows=None"
+            )
     lcos = left.withColumn("_l_coslat", F.cos(F.radians(F.col(left_coords[0]))))
     rcos = right.withColumn("_r_coslat", F.cos(F.radians(F.col(right_coords[0]))))
     joined = lcos.crossJoin(F.broadcast(rcos))

