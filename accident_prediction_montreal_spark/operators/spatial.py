@@ -108,6 +108,46 @@ def knn_join(
     return _dist_and_rank(joined, left_id, right_id, left_coords, right_coords, k)
 
 
+def estimate_cell_deg(
+    points: DataFrame,
+    k: int,
+    coords: tuple[str, str] = ("rlat", "rlon"),
+    sample_fraction: float | None = None,
+    safety: float = 4.0,
+    seed: int = 42,
+) -> float:
+    """Data-driven ``cell_deg`` for ``knn_join_grid``: size cells so a 3x3
+    neighbor block is EXPECTED to hold ``safety * k`` points.
+
+    Density comes from one pass over (a seeded sample of) ``points``: a
+    1%–99% quantile-trimmed bounding box (outliers would explode the box
+    and undersize the cells) and a count. Solving
+    9 * cell² * density = safety * k gives
+    cell = sqrt(safety * k * area / (9 * n)).
+
+    Assumes roughly uniform density inside the trimmed box — the right
+    prior for city-scale point sets like the reference's road network
+    (SURVEY §4); for heavily clustered data raise ``safety`` or validate
+    with a sampled exactness probe against ``knn_join`` (the shipped
+    tests do exactly that). Driver-side scalars here are config
+    estimation, not data movement — two tiny jobs on the sample.
+    """
+    lat, lon = coords
+    pts = (
+        points.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
+        if sample_fraction is not None
+        else points
+    )
+    pts = pts.select(lat, lon)
+    qs = pts.stat.approxQuantile([lat, lon], [0.01, 0.99], 0.001)
+    n = pts.count()
+    if n < k + 1:
+        raise ValueError(f"need more than k={k} points to estimate density, got {n}")
+    area = max((qs[0][1] - qs[0][0]), 1e-9) * max((qs[1][1] - qs[1][0]), 1e-9)
+    # 98% trim per axis keeps ~96% of points in the box; fold into density.
+    return float((safety * k * area / (9.0 * 0.96 * n)) ** 0.5)
+
+
 def knn_join_grid(
     left: DataFrame,
     right: DataFrame,

@@ -117,3 +117,57 @@ def test_embedding_pairs_quadratic_guard(spark):
     with pytest.raises(ValueError, match="brp_lsh_ann"):
         embedding_cosine_pairs(df, threshold=0.9, max_rows=4)
     assert embedding_cosine_pairs(df, threshold=0.9, max_rows=None).count() == 10
+
+
+def test_estimate_cell_deg_grid_matches_exhaustive(spark):
+    """Property-style: at the estimated cell size, the grid path equals the
+    exhaustive crossJoin on seeded uniform clouds (several densities)."""
+    import random
+
+    from accident_prediction_montreal_spark.operators.spatial import (
+        estimate_cell_deg,
+    )
+
+    for seed, n_right in ((1, 120), (2, 400)):
+        rng = random.Random(seed)
+        right = spark.createDataFrame(
+            [
+                (i, 45.4 + rng.random() * 0.2, -73.7 + rng.random() * 0.3)
+                for i in range(n_right)
+            ],
+            ["rid", "rlat", "rlon"],
+        )
+        left = spark.createDataFrame(
+            [
+                (i, 45.4 + rng.random() * 0.2, -73.7 + rng.random() * 0.3)
+                for i in range(25)
+            ],
+            ["id", "lat", "lon"],
+        )
+        k = 3
+        cell = estimate_cell_deg(right, k)
+        got = {
+            (r["id"], r["rid"], r["knn_rank"])
+            for r in knn_join_grid(left, right, k=k, cell_deg=cell).collect()
+        }
+        want = {
+            (r["id"], r["rid"], r["knn_rank"])
+            for r in knn_join(left, right, k=k).collect()
+        }
+        assert got == want, f"seed={seed}: grid(cell={cell}) != exhaustive"
+
+
+def test_estimate_cell_deg_scales_with_density(spark):
+    from accident_prediction_montreal_spark.operators.spatial import (
+        estimate_cell_deg,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    mk = lambda n: spark.createDataFrame(  # noqa: E731
+        [(i, 45.0 + rng.random(), -73.0 + rng.random()) for i in range(n)],
+        ["rid", "rlat", "rlon"],
+    )
+    sparse, dense = estimate_cell_deg(mk(100), 3), estimate_cell_deg(mk(1600), 3)
+    assert dense < sparse  # 16x density → ~4x smaller cells
