@@ -204,6 +204,95 @@ def wav_features(
     )
 
 
+def encode_ppm_p6(pixels, width: int, height: int) -> bytes:
+    """Minimal binary PPM (P6) writer: RGB, 8 bits/channel, stdlib only."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8).reshape(height, width, 3)
+    return b"P6\n%d %d\n255\n" % (width, height) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL PPM (P6) image decode, no media libraries: parse the ASCII
+    header (magic, dimensions, maxval, comment lines), then the packed
+    RGB8 raster.
+
+    Returns {width, height, mean_r, mean_g, mean_b} — the feature set a
+    PIL-class decoder would feed a model head with. Raises ValueError on
+    non-P6 payloads (where the stubbed decode path takes over).
+    """
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # Header = 4 whitespace-separated tokens; '#' comments run to newline.
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    if len(tokens) < 3:
+        raise ValueError("truncated PPM header")
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    pos += 1  # single whitespace byte after maxval
+    raster = payload[pos : pos + width * height * 3]
+    if len(raster) != width * height * 3:
+        raise ValueError("truncated PPM raster")
+    rgb = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3).astype("float64")
+    return {
+        "width": width,
+        "height": height,
+        "mean_r": float(rgb[:, 0].mean()),
+        "mean_g": float(rgb[:, 1].mean()),
+        "mean_b": float(rgb[:, 2].mean()),
+    }
+
+
+def ppm_features(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, width, height, mean_r/g/b) via the REAL PPM decoder inside the
+    Arrow batch loop — the image twin of ``wav_features``."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+        ]
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_ppm(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "mean_r": [f["mean_r"] for f in feats],
+                    "mean_g": [f["mean_g"] for f in feats],
+                    "mean_b": [f["mean_b"] for f in feats],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        decode_batches, schema=out_schema
+    )
+
+
 def payload_stats(
     df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:

@@ -972,6 +972,74 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_ppm_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS p FROM dims
+    ), v AS (
+      SELECT doc_id, w, h, p % 3 AS chan,
+        CAST((doc_id * 13 + p * 17) % 256 AS DOUBLE) AS val
+      FROM px
+    )
+    SELECT doc_id AS media_id,
+      CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+      ROUND(AVG(val) FILTER (chan = 0), 6) + 0.0 AS mean_r,
+      ROUND(AVG(val) FILTER (chan = 1), 6) + 0.0 AS mean_g,
+      ROUND(AVG(val) FILTER (chan = 2), 6) + 0.0 AS mean_b
+    FROM v GROUP BY doc_id
+    """,
+    description="REAL image decode twin of mm_wav_decode: per document, "
+    "synthesize a binary PPM (P6) whose RGB8 raster is a closed-form "
+    "function of doc_id, then DECODE it for real — "
+    "operators/multimodal.py::decode_ppm parses the ASCII header "
+    "(dimensions, maxval, comments) and the packed raster — emitting "
+    "width/height/per-channel means, value-checked against the closed "
+    "form. Pixel values are integers, so double means are exact in both "
+    "engines.",
+)
+def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        encode_ppm_p6,
+        ppm_features,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                w, h = 8 + d % 8, 6 + d % 6
+                p = np.arange(w * h * 3, dtype=np.int64)
+                payloads.append(encode_ppm_p6((d * 13 + p * 17) % 256, w, h))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, schema=enc_schema)
+    out = ppm_features(media)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        (F.round("mean_r", 6) + 0.0).alias("mean_r"),
+        (F.round("mean_g", 6) + 0.0).alias("mean_g"),
+        (F.round("mean_b", 6) + 0.0).alias("mean_b"),
+    )
+
+
+@register(
     "text_quality_deciles",
     oracle=f"""
     WITH sized AS (

@@ -141,3 +141,27 @@ def test_wav_features_mapinpandas(spark):
     got = {r["media_id"]: r for r in wav_features(df).collect()}
     assert got[2]["n_samples"] == 3
     assert got[2]["mean_amp"] == pytest.approx((200 - 200 + 2) / 3.0)
+
+
+def test_ppm_roundtrip_and_comments():
+    import numpy as np
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm_p6,
+    )
+
+    rng = np.random.default_rng(11)
+    w, h = 5, 4
+    px = rng.integers(0, 256, size=w * h * 3, dtype=np.int64)
+    feats = decode_ppm(encode_ppm_p6(px, w, h))
+    assert (feats["width"], feats["height"]) == (w, h)
+    rgb = px.reshape(-1, 3).astype("float64")
+    assert feats["mean_g"] == pytest.approx(rgb[:, 1].mean(), abs=1e-9)
+    # comment lines inside the header must be skipped
+    with_comment = b"P6\n# synthetic fixture\n5 4\n255\n" + px.astype("u1").tobytes()
+    assert decode_ppm(with_comment)["mean_r"] == feats["mean_r"]
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")  # greyscale PGM: stub territory
+    with pytest.raises(ValueError):
+        decode_ppm(encode_ppm_p6(px, w, h)[:-7])  # truncated raster
