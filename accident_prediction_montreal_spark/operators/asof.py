@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from accident_prediction_montreal_spark.sources.registry import epoch_us
+
 
 def asof_join(
     left: DataFrame,
@@ -44,12 +46,16 @@ def asof_join(
         c for c in right.columns if c not in by and c != ts_col
     ]
     rts = f"{ts_col}{suffix}"
+    # Event time may be TIMESTAMP or TIMESTAMP_NTZ (the testdata contract
+    # is NTZ for parquet-pushdown reasons); epoch_us handles both.
+    r_ts_dtype = dict(right.dtypes)[ts_col]
+    l_ts_dtype = dict(left.dtypes)[ts_col]
 
     right_tagged = right.select(
         *by,
         F.col(ts_col),
         F.lit(0).alias("__side"),
-        F.unix_micros(F.col(ts_col)).alias("__tie"),
+        epoch_us(F.col(ts_col), r_ts_dtype).alias("__tie"),
         F.col(ts_col).alias(rts),
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
     )
@@ -57,7 +63,7 @@ def asof_join(
     left_tagged = left.select(
         "*",
         F.lit(1).alias("__side"),
-        F.unix_micros(F.col(ts_col)).alias("__tie"),
+        epoch_us(F.col(ts_col), l_ts_dtype).alias("__tie"),
         F.lit(None).cast(dict(right_tagged.dtypes)[rts]).alias(rts),
         *[
             F.lit(None).cast(dict(right_tagged.dtypes)[f"{c}{suffix}"]).alias(f"{c}{suffix}")
@@ -86,7 +92,7 @@ def asof_join(
         out = out.withColumn(
             "__too_old",
             F.coalesce(
-                F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(rts))
+                epoch_us(F.col(ts_col), l_ts_dtype) - epoch_us(F.col(rts), r_ts_dtype)
                 > tolerance_seconds * 1_000_000,
                 F.lit(False),
             ),

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from accident_prediction_montreal_spark.sources.registry import epoch_us
+
 
 def sessionize(
     events: DataFrame,
@@ -29,7 +31,8 @@ def sessionize(
     order_cols = order_cols or [ts_col] + (["event_id"] if "event_id" in events.columns else [])
     w = Window.partitionBy(user_col).orderBy(*[F.col(c).asc() for c in order_cols])
     # Integer microseconds: the gap comparison is exact, never float.
-    ts_us = F.unix_micros(F.col(ts_col))
+    # (epoch_us handles TIMESTAMP and TIMESTAMP_NTZ event time alike.)
+    ts_us = epoch_us(F.col(ts_col), dict(events.dtypes)[ts_col])
     prev = F.lag(ts_us).over(w)
     gap_us = gap_seconds * 1_000_000
     new_session = F.when(prev.isNull() | ((ts_us - prev) > gap_us), 1).otherwise(0)

@@ -36,6 +36,23 @@ from accident_prediction_montreal_spark.plans import llm_ops  # noqa: F401,E402
 #   f_string_funcs (string family: f_regexp_json_extract + text_*),
 #   u_set_ops (union/exceptAll inside r_sampling_invariants + dedup_*),
 #   st_session_window (batch twin superseded by REAL st_session_stream).
+#
+# Round-4 ROTATION (verdict r3 #3: every in-window slot oracle-backed):
+# OUT the three oracle-less slots — dedup_minhash_pairs, sim_ann_lsh,
+# sim_ann_ivf (their CONTRACTS stay checked in-window by
+# dedup_near_invariants, sim_ann_invariants and the measured
+# sim_ann_recall gate) — plus three redundantly-evidenced greens:
+# p_filter_bucket (P1-P5 shapes inside every in-window TPC-H query),
+# f_regexp_json_extract (regexp/JSON family green r3; string surface
+# also inside text_*), s9_generated_grid (green r3; the S9 generator
+# also feeds a6_idw's grid in-window). IN six oracle-backed
+# never-driver-checked queries: tpch_q4_late_orders,
+# tpch_q12_priority_lines (EXISTS-shape and two-flag distribution),
+# dedup_embedding_cosine (exact cosine pair dedup), mm_ppm_decode (REAL
+# image decode, r3 deliverable), st_time_rollup (event-time rollup), and
+# the NEW st_late_data_eviction (r4: append-mode watermark eviction with
+# a planted late row — the verdict's 'assert the watermark actually
+# evicts' ask).
 _PRIORITY = [
     # Flagship composites (reference random_forest.py / main_train_base.py /
     # preprocess.py rewrites).
@@ -62,7 +79,7 @@ _PRIORITY = [
     # hash/KMeans internals), and the MEASURED recall@10 gate over them.
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_pairs",
+    "dedup_embedding_cosine",
     "dedup_cluster_components",
     "dedup_near_invariants",
     "text_quality_signals",
@@ -73,19 +90,23 @@ _PRIORITY = [
     "sim_cosine_topk",
     "sim_ann_invariants",
     "sim_ann_recall",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
+    "tpch_q4_late_orders",
+    "tpch_q12_priority_lines",
     # Multimodal: Arrow-batched mapInPandas under value oracles — payload
-    # stats and the REAL (de-stubbed) WAV decode.
+    # stats, the REAL WAV decode, and the REAL PPM image decode.
     "mm_payload_stats",
     "mm_wav_decode",
+    "mm_ppm_decode",
     # Streaming surface, all REAL availableNow execution: tumbling window,
-    # SESSION window, custom stateful, stream-stream join, watermark dedup.
+    # SESSION window, custom stateful, stream-stream join, watermark
+    # dedup, event-time rollup, and append-mode late-data eviction.
     "st_availablenow_stream",
     "st_session_stream",
     "st_stateful_running",
     "st_stream_stream_join",
     "st_stream_dedup",
+    "st_late_data_eviction",
+    "st_time_rollup",
     # ML surface + sampling contracts (m7: Mann-Whitney closed-form AUC).
     "m1_feature_assembly",
     "m3_class_weights",
@@ -102,9 +123,6 @@ _PRIORITY = [
     "w_topk_rank_rownum",
     # Relational scalar surface.
     "r4_temporal_split",
-    "p_filter_bucket",
-    "s9_generated_grid",
-    "f_regexp_json_extract",
 ]
 
 

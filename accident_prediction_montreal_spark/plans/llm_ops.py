@@ -1161,14 +1161,45 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _probe_events_ts_encoding(path: str):
+    """Read the parquet footer of the events table (pyarrow — no Spark
+    session involved, and crucially the EXACT file the stream will list,
+    not an assumption about what the testdata "should" contain) and return
+    ``(encoding, first_micros)`` where encoding is ``"nanos"`` for INT64
+    TIMESTAMP(NANOS) and ``"us"`` for timestamp[us]/NTZ, and first_micros
+    is row 0's ts in epoch micros — used as a planted sanity check on the
+    decoded stream so an encoding/data mismatch fails loudly instead of
+    silently compressing time 1000x (the round-3 bug)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    typ = pf.schema_arrow.field("ts").type
+    unit = getattr(typ, "unit", None)
+    if unit == "ns":
+        enc = "nanos"
+    elif unit == "us":
+        enc = "us"
+    else:
+        raise ValueError(f"events.ts has unsupported parquet type {typ!r} at {path}")
+    first = pf.read_row_group(0, columns=["ts"]).column("ts")[0]
+    import pyarrow as pa
+
+    first_us = pa.compute.cast(first, pa.int64()).as_py()
+    if enc == "nanos":
+        first_us //= 1000
+    return enc, first_us
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events testdata table.
 
     The file stream source lists a DIRECTORY; the testdata table may be a
     single parquet file — expose it through a per-sf_dir temp directory of
-    symlinks (no data copied). The on-disk testdata stores ts as INT64
-    TIMESTAMP(NANOS): declare it long (with nanosAsLong) and truncate to
-    micros, as load_table does for batch reads.
+    symlinks (no data copied). The on-disk ts encoding has shipped both as
+    INT64 TIMESTAMP(NANOS) and as timestamp[us] (no timezone): probe the
+    actual file's parquet footer and branch, then assert the decoded
+    stream's min(ts) matches the footer's row-0 micros so any mismatch
+    fails loudly.
     """
     import hashlib
     import os
@@ -1179,6 +1210,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
         stream_dir = src
+        probe_target = sorted(
+            os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+        )[0]
     else:
         tag = hashlib.md5(os.path.realpath(src).encode()).hexdigest()[:12]
         stream_dir = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
@@ -1195,20 +1229,59 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # link if it points at the same file, else fail loudly.
                 if os.path.realpath(link) != target:
                     raise
+        # Probe through the LINK so a stale symlink (pointing at an old
+        # sf_dir's data) is caught by the first-batch assertion below.
+        probe_target = link
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    disk_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    raw = spark.readStream.schema(disk_schema).parquet(stream_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    encoding, first_us = _probe_events_ts_encoding(probe_target)
+    if encoding == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        disk_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        raw = spark.readStream.schema(disk_schema).parquet(stream_dir)
+        decoded = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        from accident_prediction_montreal_spark.sources.registry import (
+            ntz_to_timestamp,
+        )
+
+        disk_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampNTZType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        raw = spark.readStream.schema(disk_schema).parquet(stream_dir)
+        decoded = raw.withColumn("ts", ntz_to_timestamp(F.col("ts")))
+
+    # Planted-timestamp sanity gate: batch-decode the same file through the
+    # same expression and compare row 0 against the footer's micros. Cheap
+    # (one row, one file) and catches encoding drift the moment it happens.
+    check = spark.read.schema(disk_schema).parquet(stream_dir).limit(1)
+    if encoding == "nanos":
+        check = check.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        check = check.withColumn("ts", ntz_to_timestamp(F.col("ts")))
+    got = check.select(F.unix_micros("ts").alias("us")).first()
+    if got is None or got["us"] != first_us:
+        raise AssertionError(
+            f"events stream decode mismatch at {stream_dir}: footer says first "
+            f"ts={first_us}us ({encoding}), decoded row gives "
+            f"{got['us'] if got else None}us — refusing to stream wrong time"
+        )
+    return decoded
 
 
 def _run_to_memory_sink(
@@ -1519,3 +1592,134 @@ def st_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.col("value_sum").cast("double").alias("value_sum"),
     )
+
+
+def _late_data_fixture(sf_dir: str) -> str:
+    """Build (once per events file) a 3-file stream fixture directory:
+
+      1. ``a_bulk.parquet``   — the events table, byte-copied via pyarrow
+         with ts normalized to timestamp[us];
+      2. ``b_clock.parquet``  — ONE synthetic event 10 hours after the bulk
+         max(ts), which advances the watermark past every bulk window;
+      3. ``c_late.parquet``   — ONE synthetic event back inside the bulk
+         range, now far below the watermark, which a correct engine MUST
+         drop.
+
+    File mtimes are pinned ascending so the file stream source (which
+    orders by modification time) processes them as three separate
+    micro-batches under maxFilesPerTrigger=1 — watermarks only advance
+    BETWEEN micro-batches, so the ordering is what makes the late row
+    actually late. The fixture is keyed by the source file's identity
+    (path, size, mtime) so regenerated testdata invalidates it.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    st = os.stat(src)
+    tag = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    fix_dir = os.path.join(tempfile.gettempdir(), "spark_graft_late", tag)
+    paths = [
+        os.path.join(fix_dir, "a_bulk.parquet"),
+        os.path.join(fix_dir, "b_clock.parquet"),
+        os.path.join(fix_dir, "c_late.parquet"),
+    ]
+    if all(os.path.exists(p) for p in paths):
+        return fix_dir
+    os.makedirs(fix_dir, exist_ok=True)
+
+    bulk = pq.read_table(src)
+    ts_us = pa.timestamp("us")
+    idx = bulk.schema.get_field_index("ts")
+    bulk = bulk.set_column(idx, "ts", pc.cast(bulk.column("ts"), ts_us))
+    pq.write_table(bulk, paths[0])
+
+    max_us = pc.max(pc.cast(bulk.column("ts"), pa.int64())).as_py()
+    min_us = pc.min(pc.cast(bulk.column("ts"), pa.int64())).as_py()
+    mid_us = (min_us + max_us) // 2
+    schema = pa.schema(
+        [
+            pa.field("event_id", pa.int64()),
+            pa.field("ts", ts_us),
+            pa.field("user_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("value", pa.float64()),
+            pa.field("props", pa.string()),
+        ]
+    )
+
+    def one_row(event_id: int, us: int, etype: str) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pa.array([event_id], pa.int64()),
+                "ts": pa.array([us], pa.int64()).cast(ts_us),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array([etype], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            },
+            schema=schema,
+        )
+
+    pq.write_table(one_row(-101, max_us + 10 * 3600 * 1_000_000, "clock_advance"), paths[1])
+    pq.write_table(one_row(-102, mid_us, "late_planted"), paths[2])
+    # Ascending mtimes pin micro-batch order (values are arbitrary epochs).
+    for i, p in enumerate(paths):
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+    return fix_dir
+
+
+@register(
+    "st_late_data_eviction",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+    description="REAL watermark late-data eviction (§2.12): a 3-micro-batch "
+    "stream (bulk events; a clock-advance event +10h that pushes the "
+    "watermark past every bulk window; a planted late event back inside "
+    "the bulk range) through a 1-hour-watermark tumbling count in APPEND "
+    "mode. Append emits exactly the finalized bulk windows: the "
+    "clock-advance window can never finalize (excluded by construction) "
+    "and the planted late row is below the watermark and MUST be dropped "
+    "— an engine that fails to evict emits an extra (win_start, 1) row "
+    "and hash-mismatches against the plain batch oracle. This is the "
+    "teeth for watermark semantics that complete-mode streaming queries "
+    "cannot exercise.",
+)
+def st_late_data_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark.sources.registry import ntz_to_timestamp
+
+    fix_dir = _late_data_fixture(sf_dir)
+    disk_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(disk_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fix_dir)
+    )
+    events = raw.withColumn("ts", ntz_to_timestamp(F.col("ts")))
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), F.col("n").cast("long").alias("n"))
+    )
+    # APPEND mode is the point: only watermark-finalized windows are
+    # emitted, so eviction (not just aggregation) is what's value-checked.
+    return _run_to_memory_sink(spark, agg, "append")

@@ -67,7 +67,7 @@ TABLES: dict[str, T.StructType] = {
             T.StructField("o_custkey", T.LongType()),
             T.StructField("o_orderstatus", T.StringType()),
             T.StructField("o_totalprice", T.DoubleType()),
-            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
             T.StructField("o_orderpriority", T.StringType()),
         ]
     ),
@@ -83,13 +83,13 @@ TABLES: dict[str, T.StructType] = {
             T.StructField("l_tax", T.DoubleType()),
             T.StructField("l_returnflag", T.StringType()),
             T.StructField("l_linestatus", T.StringType()),
-            T.StructField("l_shipdate", T.TimestampType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
         ]
     ),
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -137,18 +137,65 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     missing = expected - set(df.columns)
     if missing:
         raise ValueError(f"table {name!r} at {sf_dir} missing columns {sorted(missing)}")
-    # TIMESTAMP(NANOS) parquet arrives as long (nanosAsLong); truncate to
-    # micros — integer division, same truncation DuckDB applies.
+    # Event-time columns are TIMESTAMP_NTZ engine-wide (naive micros,
+    # exactly what the parquet stores and exactly what DuckDB computes
+    # on — no session-timezone anywhere). The on-disk encoding has
+    # shipped in three flavors; normalize all of them to NTZ:
+    #   * timestamp[us], no timezone — Spark reads TIMESTAMP_NTZ
+    #     natively: PASS THROUGH UNTOUCHED. Wrapping the column in any
+    #     conversion expression would block parquet filter pushdown
+    #     (PushedFilters) and with it row-group pruning on every date
+    #     predicate — a 100 TB scale killer (tests/test_plan_shapes.py
+    #     pins this).
+    #   * INT64 TIMESTAMP(NANOS) arrives as bigint (nanosAsLong) —
+    #     truncate to micros (the truncation DuckDB applies) and rebuild
+    #     naive NTZ with timestamp_add over the NTZ epoch (pure
+    #     wall-clock arithmetic, session-TZ-independent).
+    #   * instant timestamp (isAdjustedToUTC) — strip to the stored
+    #     micros via unix_micros, rebuild NTZ the same way.
     actual = dict(df.dtypes)
     cols = []
     for field in TABLES[name].fields:
-        if field.dataType.simpleString() == "timestamp" and actual[field.name] == "bigint":
+        declared = field.dataType.simpleString()
+        arrived = actual[field.name]
+        if declared == "timestamp_ntz" and arrived == "bigint":
             cols.append(
-                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")).alias(field.name)
+                micros_to_ntz(F.expr(f"`{field.name}` div 1000")).alias(field.name)
             )
+        elif declared == "timestamp_ntz" and arrived == "timestamp":
+            cols.append(micros_to_ntz(F.unix_micros(F.col(field.name))).alias(field.name))
         else:
             cols.append(F.col(field.name))
     return df.select(*cols)
+
+
+_NTZ_EPOCH = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+
+
+def micros_to_ntz(us_col):
+    """Epoch-micros integer -> TIMESTAMP_NTZ holding those micros as the
+    naive value, independent of ``spark.sql.session.timeZone``."""
+    return F.timestamp_add("MICROSECOND", us_col, F.expr(_NTZ_EPOCH))
+
+
+def epoch_us(col, dtype: str):
+    """Exact integer epoch micros from a timestamp column of either
+    flavor (``dtype`` is the column's ``simpleString()``): NTZ via pure
+    wall-clock arithmetic, instant via unix_micros. Both
+    session-TZ-independent."""
+    if dtype == "timestamp_ntz":
+        return F.timestamp_diff("MICROSECOND", F.expr(_NTZ_EPOCH), col)
+    return F.unix_micros(col)
+
+
+def ntz_to_timestamp(col):
+    """TIMESTAMP_NTZ -> TIMESTAMP preserving the stored micros as the
+    instant, independent of ``spark.sql.session.timeZone`` (a bare
+    ``cast("timestamp")`` is session-TZ-dependent). Streaming needs this:
+    watermarks reject NTZ event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
+    batch plans should stay NTZ for parquet pushdown."""
+    epoch = F.expr("TIMESTAMP_NTZ'1970-01-01 00:00:00'")
+    return F.timestamp_micros(F.timestamp_diff("MICROSECOND", epoch, col))
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -23,8 +23,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from accident_prediction_montreal_spark.sources.registry import TABLES
+# Streaming event-time must be TIMESTAMP (watermarks reject NTZ with
+# EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the stream schema differs from
+# the batch contract (sources/registry.py TABLES declares NTZ for parquet
+# pushdown). Fixtures written by the engine carry instant timestamps;
+# testdata parquet goes through plans/llm_ops.py::_events_stream, which
+# probes the footer and converts TZ-independently.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
 
 
 def read_events_stream(
@@ -36,7 +52,7 @@ def read_events_stream(
     sources/registry.py applies to batch reads; streaming fixtures are
     written by the engine itself).
     """
-    reader = spark.readStream.schema(TABLES["events"])
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)

@@ -15,8 +15,39 @@ def test_load_table_schema_contract(spark):
     for name in ("lineitem", "events", "documents", "embeddings"):
         df = load_table(spark, name, SF)
         assert df.columns == TABLES[name].fieldNames()
-    # events.ts arrives as TIMESTAMP(NANOS); loader must deliver timestamp
-    assert dict(load_table(spark, "events", SF).dtypes)["ts"] == "timestamp"
+    # Event time is TIMESTAMP_NTZ engine-wide: naive micros, exactly what
+    # the parquet stores and what DuckDB oracles compute on, and — unlike
+    # any conversion-expression wrapper — pushdown-transparent (the r3
+    # testdata regeneration to timestamp[us] was caught by this pin's
+    # predecessor; test_plan_shapes.py::test_scan_pushdown guards the
+    # pushdown half of the contract).
+    assert dict(load_table(spark, "events", SF).dtypes)["ts"] == "timestamp_ntz"
+
+
+def test_load_table_exact_micros(spark):
+    # Value half of the timestamp contract: the loaded column holds the
+    # EXACT stored micros (no session-TZ shift, no unit confusion — the
+    # r3 bug decoded micros as nanos and compressed time 1000x).
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from accident_prediction_montreal_spark.sources.registry import epoch_us
+
+    tbl = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "ts"])
+    want = {
+        eid.as_py(): us.as_py()
+        for eid, us in zip(
+            tbl.column("event_id")[:5], pc.cast(tbl.column("ts"), "int64")[:5]
+        )
+    }
+    df = load_table(spark, "events", SF)
+    got_rows = (
+        df.select("event_id", epoch_us(df["ts"], dict(df.dtypes)["ts"]).alias("us"))
+        .filter(df["event_id"].isin(list(want)))
+        .collect()
+    )
+    got = {r["event_id"]: r["us"] for r in got_rows}
+    assert got == want
 
 
 def test_load_table_unknown_name(spark):
