@@ -1,0 +1,110 @@
+"""Month-shard incremental backfill driver.
+
+The reference's generator main loops over calendar months, starts a
+fresh SparkSession per shard, writes each month's output to its own
+directory, and unions the shards at the end (reference
+mains/main_gen_match.py:20-75) — incremental backfill that bounds
+memory, survives mid-run failure, and lets a re-run skip finished
+months.
+
+Spark-first re-expression: each shard lands under
+``out_dir/month_key=YYYY-MM`` so the combined result is ONE partitioned
+parquet scan with partition pruning (no driver-side union of N
+DataFrames), the per-shard ``_SUCCESS`` marker makes the loop resumable
+(finished shards are skipped, the reference's "if exists: continue"),
+and the optional ``session_factory`` reproduces the
+fresh-session-per-shard isolation when a shard's lineage would otherwise
+accumulate (the reference restarts the JVM per month for exactly that
+reason).
+
+At 100 TB: shards are independent write jobs (schedule them on separate
+clusters if needed); the final consumer prunes to the months it needs
+via the ``month_key`` partition column.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def month_keys(events: DataFrame, ts_col: str = "ts") -> list[str]:
+    """Distinct 'YYYY-MM' keys present in ``events`` (driver-side list of
+    shard ids — small by construction: one entry per calendar month)."""
+    rows = (
+        events.select(F.date_format(ts_col, "yyyy-MM").alias("mk"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["mk"] for r in rows)
+
+
+def backfill_month_shards(
+    spark: SparkSession,
+    out_dir: str,
+    months: list[str],
+    compute_shard: Callable[[SparkSession, str], DataFrame],
+    session_factory: Callable[[], SparkSession] | None = None,
+    overwrite: bool = False,
+) -> DataFrame:
+    """Run ``compute_shard(session, month_key)`` for every month whose
+    shard directory is not already complete; return the unioned result as
+    one partitioned scan.
+
+    ``compute_shard`` must return the same schema for every month and
+    must NOT include the ``month_key`` column (it becomes the partition
+    directory). With ``session_factory`` each pending shard gets a fresh
+    session from the factory (the reference's per-month restart); the
+    factory owns stop/reuse semantics — this loop never stops a session
+    it was handed.
+    """
+    ran = []
+    for mk in months:
+        shard_dir = os.path.join(out_dir, f"month_key={mk}")
+        done = os.path.exists(os.path.join(shard_dir, "_SUCCESS"))
+        if done and not overwrite:
+            continue
+        shard_session = session_factory() if session_factory else spark
+        compute_shard(shard_session, mk).write.mode("overwrite").parquet(shard_dir)
+        ran.append(mk)
+    # One partitioned read: month_key comes back as a partition column and
+    # month-range filters prune whole shard directories.
+    return spark.read.option("basePath", out_dir).parquet(out_dir)
+
+
+def monthly_event_rollup(
+    spark: SparkSession, sf_dir: str, out_dir: str, months: list[str] | None = None
+) -> DataFrame:
+    """Reference-shaped backfill over the events table: per month shard,
+    (event_type, n, value_sum) — decimal-exact sums so shard boundaries
+    can't change the result. Returns the combined partitioned scan."""
+    from accident_prediction_montreal_spark.sources.registry import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    months = months or month_keys(events)
+
+    def compute_shard(s: SparkSession, mk: str) -> DataFrame:
+        ev = load_table(s, "events", sf_dir)
+        # Range predicate, not date_format(ts) == mk: a bare-column
+        # comparison reaches the parquet scan (PushedFilters -> row-group
+        # pruning); an expression filter would read every row of every
+        # month in every shard job — quadratic total I/O in shard count.
+        y, m = int(mk[:4]), int(mk[5:7])
+        ny, nm = (y + 1, 1) if m == 12 else (y, m + 1)
+        lo = F.lit(f"{y:04d}-{m:02d}-01 00:00:00").cast("timestamp_ntz")
+        hi = F.lit(f"{ny:04d}-{nm:02d}-01 00:00:00").cast("timestamp_ntz")
+        return (
+            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+        )
+
+    return backfill_month_shards(spark, out_dir, months, compute_shard)

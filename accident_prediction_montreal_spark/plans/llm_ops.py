@@ -1723,3 +1723,44 @@ def st_late_data_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # APPEND mode is the point: only watermark-finalized windows are
     # emitted, so eviction (not just aggregation) is what's value-checked.
     return _run_to_memory_sink(spark, agg, "append")
+
+
+@register(
+    "x5_month_shard_backfill",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m') AS month_key, event_type, COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+    description="Month-shard incremental backfill (X5; reference "
+    "mains/main_gen_match.py:20-75 re-expressed): loop calendar months, "
+    "compute each month's (event_type, n, value_sum) rollup with a "
+    "pushdown-friendly ts range predicate, write it under "
+    "out_dir/month_key=YYYY-MM with a per-shard _SUCCESS resume marker, "
+    "then return ONE partitioned scan of the union (no driver-side union "
+    "of N DataFrames; month_key comes back as the partition column). "
+    "Decimal-exact sums make the result shard-invariant, so the oracle "
+    "is the plain unsharded GROUP BY — a dropped, duplicated, or "
+    "misfiltered shard hash-mismatches.",
+)
+def x5_month_shard_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from accident_prediction_montreal_spark.pipeline.backfill import (
+        monthly_event_rollup,
+    )
+
+    src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    st = os.stat(src)
+    tag = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), "spark_graft_backfill", tag)
+    combined = monthly_event_rollup(spark, sf_dir, out_dir)
+    return combined.select(
+        F.col("month_key").cast("string").alias("month_key"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "value_sum",
+    )

@@ -1,0 +1,101 @@
+"""Month-shard backfill runner: shard-invariance, resume semantics, and
+per-shard session factory (reference mains/main_gen_match.py:20-75
+pattern)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.pipeline.backfill import (
+    backfill_month_shards,
+    month_keys,
+)
+
+
+def _events(spark):
+    rows = [
+        (1, datetime(2024, 1, 5, 10), "click", 1.5),
+        (2, datetime(2024, 1, 20, 11), "view", 2.0),
+        (3, datetime(2024, 2, 2, 9), "click", 4.0),
+        (4, datetime(2024, 3, 30, 23), "view", 8.0),
+        (5, datetime(2024, 3, 31, 1), "click", 16.0),
+    ]
+    return spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+
+
+def test_month_keys(spark):
+    assert month_keys(_events(spark)) == ["2024-01", "2024-02", "2024-03"]
+
+
+def test_backfill_matches_direct_agg_and_resumes(spark, tmp_path):
+    ev = _events(spark)
+    out = str(tmp_path / "rollup")
+    calls = []
+
+    def compute_shard(s, mk):
+        calls.append(mk)
+        y, m = int(mk[:4]), int(mk[5:7])
+        ny, nm = (y + 1, 1) if m == 12 else (y, m + 1)
+        lo = F.lit(f"{y:04d}-{m:02d}-01 00:00:00").cast("timestamp")
+        hi = F.lit(f"{ny:04d}-{nm:02d}-01 00:00:00").cast("timestamp")
+        return (
+            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+        )
+
+    months = month_keys(ev)
+    combined = backfill_month_shards(spark, out, months, compute_shard)
+    got = {
+        (r["month_key"], r["event_type"]): (r["n"], r["value_sum"])
+        for r in combined.collect()
+    }
+    # Shard-invariance: the union of shards equals the direct (month, type)
+    # aggregation of the whole table.
+    direct = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM").alias("mk"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+        .collect()
+    )
+    want = {(r["mk"], r["event_type"]): (r["n"], r["value_sum"]) for r in direct}
+    assert got == want
+    assert calls == months
+
+    # Resume: every shard has _SUCCESS, so a second run computes nothing.
+    calls.clear()
+    again = backfill_month_shards(spark, out, months, compute_shard)
+    assert calls == []
+    assert again.count() == len(want)
+
+    # Partition pruning: a month_key filter must prune to one shard dir.
+    pruned = combined.filter(F.col("month_key") == "2024-01")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "month_key" in plan
+    assert pruned.count() == sum(1 for (mk, _t) in want if mk == "2024-01")
+
+
+def test_backfill_session_factory_per_pending_shard(spark, tmp_path):
+    ev = _events(spark)
+    out = str(tmp_path / "rollup_factory")
+    factory_calls = []
+
+    def factory():
+        factory_calls.append(1)
+        return spark  # same session; the factory owns lifecycle semantics
+
+    def compute_shard(s, mk):
+        assert s is spark
+        return ev.filter(F.date_format("ts", "yyyy-MM") == mk).groupBy(
+            "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    months = month_keys(ev)
+    backfill_month_shards(spark, out, months, compute_shard, session_factory=factory)
+    assert len(factory_calls) == len(months)
+
+    # Completed shards never trigger the factory again.
+    factory_calls.clear()
+    backfill_month_shards(spark, out, months, compute_shard, session_factory=factory)
+    assert factory_calls == []
