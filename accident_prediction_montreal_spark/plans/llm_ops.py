@@ -1764,3 +1764,43 @@ def x5_month_shard_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         "value_sum",
     )
+
+
+@register(
+    "st_sliding_stream",
+    oracle="""
+    WITH expanded AS (
+      SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) - o) * 1800 AS BIGINT) * 1000000)
+               AS win_start,
+             value
+      FROM events CROSS JOIN (SELECT UNNEST(range(0, 2)) AS o)
+    )
+    SELECT win_start, COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS value_sum
+    FROM expanded GROUP BY win_start
+    """,
+    description="REAL sliding-window streaming (§2.12, completing the real "
+    "engine coverage next to tumbling/session): readStream over the events "
+    "parquet -> watermarked 1h/30min sliding windows "
+    "(streaming/windows.py::sliding_counts) -> memory sink, "
+    "Trigger.AvailableNow, complete mode. Every event must land in exactly "
+    "2 overlapping windows — the oracle expands each row into its two "
+    "window starts and re-aggregates, so a mis-assigned or dropped window "
+    "replica hash-mismatches. Decimal-cast values keep the per-window sums "
+    "arrival-order-independent.",
+)
+def st_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.streaming.windows import sliding_counts
+
+    events = _events_stream(spark, sf_dir).withColumn(
+        "value", F.col("value").cast("decimal(38,6)")
+    )
+    agg = sliding_counts(events)
+    # complete mode: append over a finite source never passes the final
+    # watermark, so nothing would be emitted.
+    out = _run_to_memory_sink(spark, agg, "complete")
+    return out.select(
+        "win_start",
+        F.col("n").cast("long").alias("n"),
+        F.col("value_sum").cast("double").alias("value_sum"),
+    )

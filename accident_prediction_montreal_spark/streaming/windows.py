@@ -76,12 +76,14 @@ def sliding_counts(
     slide: str = "30 minutes",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Watermarked sliding-window count."""
+    """Watermarked sliding-window count + value sum (each event lands in
+    window/slide overlapping windows; cast ``value`` to decimal upstream
+    if the sum must be arrival-order-independent)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("win"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("win.start").alias("win_start"), "n")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+        .select(F.col("win.start").alias("win_start"), "n", "value_sum")
     )
 
 
