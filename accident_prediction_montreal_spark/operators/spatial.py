@@ -196,6 +196,113 @@ def knn_join_grid(
     return out.drop("cell_i", "cell_j")
 
 
+# meters per degree of latitude (R * pi / 180); longitude shrinks by cos(lat).
+_M_PER_DEG = 111194.92664455873
+
+
+def knn_join_grid_exact(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    cell_deg: float | None = None,
+    left_id: str = "id",
+    right_id: str = "rid",
+    left_coords: tuple[str, str] = ("lat", "lon"),
+    right_coords: tuple[str, str] = ("rlat", "rlon"),
+    growth: float = 3.0,
+    max_rounds: int = 3,
+    margin: float = 0.95,
+    safety: float = 32.0,
+) -> DataFrame:
+    """EXACT kNN join at grid cost: density-sized cells + per-point
+    verification + escalation.
+
+    ``knn_join_grid`` is exact only when the true k-th neighbor lies
+    within one cell width — so callers historically oversized the cell,
+    and an oversized cell quietly degenerates into the cross join the
+    grid exists to avoid (measured: a fixed 0.5° cell over a 0.34°-spread
+    dataset went quadratic at 10x scale). This wrapper makes exactness a
+    guarantee instead of a tuning outcome:
+
+      1. size cells from data density (``estimate_cell_deg``) unless
+         given — a 3x3 block is EXPECTED to hold ~4k candidates;
+      2. grid-join + rank, then verify per left point: it is PROVEN
+         exact iff it found k candidates AND its k-th distance is under
+         the radius the 3x3 block guarantees to cover
+         (cell_deg * m/deg * cos(lat), x ``margin`` for curvature slack
+         — anything outside the block differs by more than one cell in
+         some axis and is therefore farther);
+      3. only unproven points re-run at ``growth``x the cell; after
+         ``max_rounds`` the stragglers fall back to the exhaustive
+         broadcast join (they are a residue by then).
+
+    The verification window shares the ranking window's partitioning, so
+    proving costs no extra shuffle; each escalation round touches only
+    the points the previous round could not prove. Degree-grid caveat
+    (documented, matches the reference's city-scale assumption): cells do
+    not wrap at the antimeridian and degrade near the poles — such points
+    simply never prove and land in the exact fallback.
+    """
+    if cell_deg is None:
+        # safety=32, not estimate_cell_deg's occupancy-oriented 4: the
+        # PROOF needs cell >= ~3x the typical k-th-neighbor distance
+        # r_k = sqrt(kA/(pi n)) (plus cos-lat slack), and
+        # cell/r_k = sqrt(safety*pi/8.64) — safety 32 puts round one at
+        # ~3.4x r_k so almost every point proves immediately (expected
+        # block occupancy 32k candidates per point: bounded, linear).
+        # Undersized cells don't break exactness, they just pay extra
+        # escalation rounds (measured: safety 4 cost 3 rounds ~= 3x the
+        # wall time of one well-sized round).
+        cell_deg = estimate_cell_deg(right, k, coords=right_coords, safety=safety)
+
+    remaining = left
+    resolved_chunks: list[DataFrame] = []
+    out_cols = None
+    for _ in range(max_rounds):
+        cand = knn_join_grid(
+            remaining, right, k, cell_deg, left_id, right_id, left_coords, right_coords
+        )
+        if out_cols is None:
+            out_cols = cand.columns
+        per_left = Window.partitionBy(left_id)
+        proven = (F.max("knn_rank").over(per_left) == k) & (
+            F.max("distance_m").over(per_left)
+            <= F.lit(cell_deg * _M_PER_DEG * margin)
+            * F.cos(F.radians(F.col(left_coords[0])))
+        )
+        flagged = cand.withColumn("_proven", proven).persist()
+        resolved_chunks.append(flagged.filter(F.col("_proven")).drop("_proven"))
+        # Unresolved = points whose candidates failed the proof PLUS points
+        # with an EMPTY 3x3 block — the latter never appear in the join
+        # output at all, so they must come from an anti-join against the
+        # candidate ids, not from the candidates themselves (dropping them
+        # silently loses left rows; caught by the exhaustive-twin oracle).
+        bad_in_cand = flagged.filter(~F.col("_proven")).select(left_id)
+        uncovered = remaining.select(left_id).join(
+            flagged.select(left_id).distinct(), left_id, "left_anti"
+        )
+        bad_ids = bad_in_cand.union(uncovered).distinct()
+        n_bad = bad_ids.count()  # convergence scalar, one tiny action/round
+        if n_bad == 0:
+            remaining = None
+            break
+        remaining = remaining.join(bad_ids, left_id, "left_semi")
+        cell_deg *= growth
+    if remaining is not None:
+        # Escalation exhausted: exhaustive join for the residue. Correct at
+        # any geometry; the residue is tiny by construction.
+        resolved_chunks.append(
+            knn_join(
+                remaining, right, k, left_id, right_id, left_coords, right_coords,
+                max_broadcast_rows=None,
+            ).select(*out_cols)
+        )
+    out = resolved_chunks[0]
+    for chunk in resolved_chunks[1:]:
+        out = out.unionByName(chunk)
+    return out
+
+
 def idw_interpolate(
     samples: DataFrame,
     stations: DataFrame,
@@ -223,6 +330,87 @@ def idw_interpolate(
     weight = F.try_divide(F.lit(1.0), F.pow(d, F.lit(power)))
 
     joined = samples.crossJoin(F.broadcast(stations)).withColumn("idw_w", weight)
+
+    aggs: list[Column] = []
+    for c in value_cols:
+        x = F.col(c)
+        valid = (~F.isnan(x)) & x.isNotNull()
+        num = F.sum(F.when(valid, F.col("idw_w") * x).otherwise(F.lit(0.0)))
+        den = F.sum(F.when(valid, F.col("idw_w")).otherwise(F.lit(0.0)))
+        aggs.append(F.try_divide(num, den).alias(c))
+    return joined.groupBy(sample_id).agg(*aggs)
+
+
+def idw_interpolate_radius(
+    samples: DataFrame,
+    stations: DataFrame,
+    value_cols: list[str],
+    radius_m: float,
+    sample_id: str = "sample_id",
+    sample_coords: tuple[str, str] = ("lat", "lon"),
+    station_coords: tuple[str, str] = ("station_lat", "station_lon"),
+    power: float = 2.0,
+    min_cos_lat: float | None = None,
+) -> DataFrame:
+    """Radius-truncated IDW — the declared scale path next to the exact
+    ``idw_interpolate``.
+
+    Full IDW is TH(samples x stations) BY DEFINITION (every station
+    weights every sample), which is fine while stations stay
+    station-like (thousands) but quadratic if both sides scale. The
+    standard practice at scale is a search radius: only stations within
+    ``radius_m`` contribute. Implemented as the same 3x3 grid equi-join
+    as the kNN scale path — cells sized so one cell always covers the
+    radius (longitude degrees inflated by the worst-case cos(lat), taken
+    from the station latitude quantiles unless given) — then the exact
+    haversine filter and the same NaN-masked weighted aggregation. Cost
+    per sample is the station count inside ~9 radius-cells: bounded by
+    physics, not by table size.
+
+    Samples with NO station inside the radius produce no output row
+    (exactly like the SQL GROUP BY over radius-filtered pairs that
+    oracles this); left-join + coalesce at the call site if full
+    coverage is required.
+    """
+    s_lat, s_lon = sample_coords
+    t_lat, t_lon = station_coords
+    if min_cos_lat is None:
+        import math
+
+        lo, hi = stations.stat.approxQuantile(t_lat, [0.01, 0.99], 0.001)
+        # widest |lat| the radius must survive: the station band edge plus
+        # the radius itself in degrees; clamp so polar data degrades to
+        # bigger cells instead of a zero divisor.
+        worst_lat = min(max(abs(lo), abs(hi)) + radius_m / _M_PER_DEG, 89.0)
+        min_cos_lat = max(math.cos(math.radians(worst_lat)), 0.05)
+    cell_deg = radius_m / _M_PER_DEG / min_cos_lat
+
+    si = F.floor(F.col(s_lat) / cell_deg).cast("long")
+    sj = F.floor(F.col(s_lon) / cell_deg).cast("long")
+    sample_cells = samples.withColumn("cell_i", si).withColumn("cell_j", sj)
+
+    offsets = F.array(*[F.struct(F.lit(a).alias("di"), F.lit(b).alias("dj"))
+                        for a in (-1, 0, 1) for b in (-1, 0, 1)])
+    ti = F.floor(F.col(t_lat) / cell_deg).cast("long")
+    tj = F.floor(F.col(t_lon) / cell_deg).cast("long")
+    station_cells = (
+        stations.withColumn("base_i", ti)
+        .withColumn("base_j", tj)
+        .withColumn("off", F.explode(offsets))
+        .select(
+            *stations.columns,
+            (F.col("base_i") + F.col("off.di")).alias("cell_i"),
+            (F.col("base_j") + F.col("off.dj")).alias("cell_j"),
+        )
+    )
+
+    d = haversine_meters(s_lat, s_lon, t_lat, t_lon)
+    joined = (
+        sample_cells.join(station_cells, ["cell_i", "cell_j"])
+        .withColumn("_d", d)
+        .filter(F.col("_d") <= radius_m)
+        .withColumn("idw_w", F.try_divide(F.lit(1.0), F.pow(F.col("_d"), F.lit(power))))
+    )
 
     aggs: list[Column] = []
     for c in value_cols:

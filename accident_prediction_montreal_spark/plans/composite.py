@@ -25,8 +25,10 @@ from accident_prediction_montreal_spark.operators.metrics import (
 )
 from accident_prediction_montreal_spark.operators.spatial import (
     idw_interpolate,
+    idw_interpolate_radius,
     knn_join,
     knn_join_grid,
+    knn_join_grid_exact,
 )
 from accident_prediction_montreal_spark.operators.windows import exp_weighted_moving_average
 from accident_prediction_montreal_spark.plans.registry import register
@@ -142,14 +144,15 @@ def j8_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j8_knn_join_grid",
     oracle=_KNN_ORACLE,
-    description="Spatial kNN join, grid-bucketed scale path — identical results to "
-    "j8_knn_join when the cell covers the data spread (SURVEY.md §4)",
+    description="Spatial kNN join, grid-bucketed scale path (SURVEY.md §4): "
+    "density-estimated cells + per-point exactness proof + escalation "
+    "(knn_join_grid_exact), so results are guaranteed identical to the "
+    "exhaustive j8_knn_join at ANY scale — the earlier fixed 0.5° cell "
+    "covered the whole 0.34° data spread and went quadratic at 10x data.",
 )
 def j8_knn_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     left, right = _knn_inputs(spark, sf_dir)
-    # Data spread is ~0.34°; cell 0.5° guarantees every true neighbor is a
-    # candidate, so the grid join is exact here (same oracle).
-    out = knn_join_grid(left, right, k=3, cell_deg=0.5, left_id="c_custkey", right_id="s_suppkey")
+    out = knn_join_grid_exact(left, right, k=3, left_id="c_custkey", right_id="s_suppkey")
     return out.select(
         "c_custkey",
         "s_suppkey",
@@ -196,6 +199,62 @@ def a6_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         samples,
         stations,
         value_cols=["acctbal_idw"],
+        sample_id="c_custkey",
+        sample_coords=("lat", "lon"),
+        station_coords=("station_lat", "station_lon"),
+        power=2.0,
+    )
+    return out.select("c_custkey", F.round("acctbal_idw", 6).alias("acctbal_idw"))
+
+
+@register(
+    "a6_idw_radius",
+    oracle=f"""
+    WITH samples AS (
+      SELECT c_custkey, {CUST_LAT} AS lat, {CUST_LON} AS lon FROM customer
+    ),
+    stations AS (
+      SELECT s_suppkey, s_acctbal, {SUPP_LAT} AS slat, {SUPP_LON} AS slon FROM supplier
+    ),
+    pairs AS (
+      SELECT c_custkey, s_acctbal, d,
+        1.0 / pow(d, 2.0) AS w
+      FROM (
+        SELECT c_custkey, s_acctbal,
+          {_haversine_sql("lat", "lon", "slat", "slon")} AS d
+        FROM samples CROSS JOIN stations
+      ) WHERE d <= 2000.0
+    )
+    SELECT c_custkey,
+      ROUND(
+        SUM(CASE WHEN NOT isnan(s_acctbal) AND s_acctbal IS NOT NULL THEN w * s_acctbal ELSE 0.0 END)
+        / SUM(CASE WHEN NOT isnan(s_acctbal) AND s_acctbal IS NOT NULL THEN w ELSE 0.0 END),
+      6) AS acctbal_idw
+    FROM pairs GROUP BY c_custkey
+    """,
+    description="Radius-truncated IDW, the A6 scale path: full IDW is "
+    "samples x stations by definition, so at scale only stations within a "
+    "2 km search radius contribute — implemented as the same 3x3 spatial "
+    "grid equi-join as the kNN scale path (cells sized to cover the "
+    "radius, exact haversine refilter, identical NaN-masked aggregation), "
+    "so per-sample cost is bounded by station density inside the radius, "
+    "not by table size. The oracle applies the same radius cut to the "
+    "exhaustive cross join: any station wrongly included/excluded by the "
+    "grid hash-mismatches.",
+)
+def a6_idw_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    samples = _customers_with_coords(spark, sf_dir)
+    stations = _suppliers_with_coords(spark, sf_dir).select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("acctbal_idw"),
+        F.col("rlat").alias("station_lat"),
+        F.col("rlon").alias("station_lon"),
+    )
+    out = idw_interpolate_radius(
+        samples,
+        stations,
+        value_cols=["acctbal_idw"],
+        radius_m=2000.0,
         sample_id="c_custkey",
         sample_coords=("lat", "lon"),
         station_coords=("station_lat", "station_lon"),

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from accident_prediction_montreal_spark.operators.spatial import (
@@ -171,3 +172,125 @@ def test_estimate_cell_deg_scales_with_density(spark):
     )
     sparse, dense = estimate_cell_deg(mk(100), 3), estimate_cell_deg(mk(1600), 3)
     assert dense < sparse  # 16x density → ~4x smaller cells
+
+
+def test_knn_grid_exact_equals_exhaustive_even_with_empty_blocks(spark):
+    """The escalating exact grid join must equal the exhaustive join even
+    when the first round's cells are so small that some left points have
+    EMPTY 3x3 blocks (the silent-loss regression: such points never
+    appear in the candidate join at all and must be re-collected by the
+    anti-join, not dropped)."""
+    import random
+
+    from accident_prediction_montreal_spark.operators.spatial import (
+        knn_join_grid_exact,
+    )
+
+    rng = random.Random(7)
+    # clustered right side: two far-apart blobs -> huge density variance,
+    # so any single density-derived cell size leaves coverage holes
+    right = spark.createDataFrame(
+        [(i, 45.40 + rng.random() * 0.01, -73.70 + rng.random() * 0.01) for i in range(150)]
+        + [(1000 + i, 45.70 + rng.random() * 0.01, -73.40 + rng.random() * 0.01) for i in range(150)],
+        ["rid", "rlat", "rlon"],
+    )
+    # left spread across the whole box INCLUDING the empty middle
+    left = spark.createDataFrame(
+        [(i, 45.40 + rng.random() * 0.31, -73.70 + rng.random() * 0.31) for i in range(40)],
+        ["id", "lat", "lon"],
+    )
+    for k in (1, 3):
+        got = {
+            (r["id"], r["rid"], r["knn_rank"])
+            for r in knn_join_grid_exact(left, right, k=k).collect()
+        }
+        want = {
+            (r["id"], r["rid"], r["knn_rank"])
+            for r in knn_join(left, right, k=k).collect()
+        }
+        assert got == want, f"k={k}"
+
+
+def test_knn_grid_exact_tiny_cell_forces_escalation(spark):
+    """Start from a deliberately undersized cell: every point fails the
+    round-one proof and the answer must still be exact after escalation
+    (or the exhaustive fallback)."""
+    import random
+
+    from accident_prediction_montreal_spark.operators.spatial import (
+        knn_join_grid_exact,
+    )
+
+    rng = random.Random(11)
+    right = spark.createDataFrame(
+        [(i, 45.4 + rng.random() * 0.2, -73.7 + rng.random() * 0.2) for i in range(200)],
+        ["rid", "rlat", "rlon"],
+    )
+    left = spark.createDataFrame(
+        [(i, 45.4 + rng.random() * 0.2, -73.7 + rng.random() * 0.2) for i in range(20)],
+        ["id", "lat", "lon"],
+    )
+    got = {
+        (r["id"], r["rid"], r["knn_rank"])
+        for r in knn_join_grid_exact(left, right, k=2, cell_deg=0.001, max_rounds=2).collect()
+    }
+    want = {
+        (r["id"], r["rid"], r["knn_rank"]) for r in knn_join(left, right, k=2).collect()
+    }
+    assert got == want
+
+
+def test_idw_radius_matches_truncated_bruteforce(spark):
+    """Grid-bucketed radius IDW == brute-force IDW over only the stations
+    within the radius (incl. the NaN mask and no-coverage samples)."""
+    import math
+    import random
+
+    from accident_prediction_montreal_spark.operators.spatial import (
+        idw_interpolate_radius,
+    )
+
+    rng = random.Random(5)
+    stations = spark.createDataFrame(
+        [
+            (i, 45.4 + rng.random() * 0.1, -73.7 + rng.random() * 0.1,
+             float("nan") if i % 7 == 0 else rng.random() * 30.0)
+            for i in range(80)
+        ],
+        ["sid", "station_lat", "station_lon", "temp"],
+    )
+    samples = spark.createDataFrame(
+        [(i, 45.4 + rng.random() * 0.1, -73.7 + rng.random() * 0.1) for i in range(30)],
+        ["sample_id", "lat", "lon"],
+    )
+    radius = 1500.0
+    got = {
+        r["sample_id"]: r["temp"]
+        for r in idw_interpolate_radius(
+            samples, stations, ["temp"], radius_m=radius
+        ).collect()
+    }
+
+    st = stations.collect()
+    R = 6371000.0
+
+    def hav(a, b, c, d):
+        p = math.sin(math.radians(c - a) / 2) ** 2 + math.cos(math.radians(a)) * math.cos(
+            math.radians(c)
+        ) * math.sin(math.radians(d - b) / 2) ** 2
+        return 2 * R * math.atan2(math.sqrt(p), math.sqrt(1 - p))
+
+    want = {}
+    for s in samples.collect():
+        num = den = 0.0
+        for t in st:
+            d = hav(s["lat"], s["lon"], t["station_lat"], t["station_lon"])
+            if d <= radius and not math.isnan(t["temp"]):
+                w = 1.0 / d**2
+                num += w * t["temp"]
+                den += w
+        if den > 0.0:
+            want[s["sample_id"]] = num / den
+    assert set(got) == set(want)
+    for sid, v in want.items():
+        assert got[sid] == pytest.approx(v, rel=1e-9), sid
