@@ -113,3 +113,16 @@ def test_sequence_pack_single_shard_window(spark):
     plan = plan_of(spark, "text_sequence_pack")
     assert plan.count("Scan parquet") == 1
     assert plan.count("Window") == 1
+
+
+def test_ntz_date_predicates_push_to_scan(spark):
+    """Event-time columns are TIMESTAMP_NTZ precisely so date predicates
+    keep reaching the parquet scan (any load-time conversion expression
+    would strip them from PushedFilters — measured in r4); q3 carries one
+    date filter per side, so both scans must show them."""
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert "LessThan(o_orderdate" in pushed
+    assert "GreaterThan(l_shipdate" in pushed
+    # and the scan type is the naive passthrough, not a converted column
+    assert "o_orderdate:timestamp_ntz" in plan.replace(" ", "")
