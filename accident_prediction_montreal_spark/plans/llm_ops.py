@@ -1804,3 +1804,90 @@ def st_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("value_sum").cast("double").alias("value_sum"),
     )
+
+
+@register(
+    "llm_prepare_corpus",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text) || '  !!' FROM documents
+      WHERE doc_id % 10 = 0
+    ),
+    toks AS (
+      SELECT doc_id, text,
+        CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+      FROM planted
+    ),
+    clean AS (
+      SELECT doc_id, w FROM toks
+      WHERE len(w) >= 20
+        AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+            / CAST(length(text) AS DOUBLE) <= 0.2
+        AND len(list_filter(w, t -> t IN ({{stop_en}})))
+            / CAST(len(w) AS DOUBLE) >= 0.02
+    ),
+    deduped AS (
+      SELECT doc_id, w FROM (
+        SELECT t.doc_id, t.w,
+          md5(trim(regexp_replace(regexp_replace(lower(p.text), '[^a-z0-9\\s]', '', 'g'),
+                                  '\\s+', ' ', 'g'))) AS fp
+        FROM clean t JOIN planted p USING (doc_id)
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    ),
+    starts AS (
+      SELECT doc_id, w,
+        UNNEST(range(0,
+          ((GREATEST(len(w) - {_CHUNK_SIZE}, 0) + {_CHUNK_STRIDE} - 1)
+           // {_CHUNK_STRIDE}) + 1)) AS k
+      FROM deduped WHERE len(w) > 0
+    )
+    SELECT doc_id, CAST(k AS INT) AS chunk_id,
+      CAST(LEAST(k*{_CHUNK_STRIDE} + {_CHUNK_SIZE}, len(w)) - k*{_CHUNK_STRIDE} AS BIGINT)
+        AS n_tokens
+    FROM starts
+    """.replace("{stop_en}", _stop_in("en")),
+    description="End-to-end LLM corpus preparation composite (north-star "
+    "flagship): documents + planted reformatted duplicates (upper-case + "
+    "whitespace/punctuation noise for every 10th doc) -> quality filter "
+    "(min tokens, digit ratio, stopword ratio from text_quality) -> "
+    "fingerprint dedup (canonical md5, ROW_NUMBER keeps the lowest doc_id "
+    "— the planted variants MUST collapse onto their originals or the "
+    "hash mismatches) -> overlapping token-window chunking. One pipeline "
+    "of pure JVM map stages around a SINGLE shuffle (the dedup window) — "
+    "the same plan shape a 100 TB corpus run needs.",
+)
+def llm_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.text import (
+        chunk_documents,
+        fingerprint,
+        text_quality,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  !!")).alias("text"),
+    )
+    planted = docs.unionByName(variants)
+
+    q = text_quality(planted, "text")
+    clean = q.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("digit_ratio") <= 0.2)
+        & (F.col("stopword_ratio") >= 0.02)
+    ).select("doc_id", "text")
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        clean.withColumn("fp", fingerprint("text"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "text")
+    )
+    return chunk_documents(
+        deduped, "doc_id", "text", chunk_size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    ).select("doc_id", "chunk_id", "n_tokens")
