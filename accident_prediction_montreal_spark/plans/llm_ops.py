@@ -1891,3 +1891,42 @@ def llm_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         deduped, "doc_id", "text", chunk_size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
     ).select("doc_id", "chunk_id", "n_tokens")
+
+
+@register(
+    "f_pandas_grouped_agg",
+    oracle="""
+    SELECT event_type,
+      ROUND(SUM(value * value) / SUM(ABS(value)), 6) AS selfweighted
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    description="GROUPED_AGG pandas UDF (completing the SURVEY 2.10 F7/F8 "
+    "pandas surface next to mapInPandas and applyInPandas): a |x|-weighted "
+    "mean per event_type computed by an Arrow-batched vectorized aggregate "
+    "inside a regular .agg() call. Partial aggregation does not apply to "
+    "pandas UDAFs (full shuffle of the group's rows), which is exactly why "
+    "the engine keeps them OFF the default path — built-in sum/count pairs "
+    "express most reductions; this query documents the escape hatch and "
+    "value-checks its arithmetic.",
+)
+def f_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _selfweighted(v):
+        w = v.abs()
+        return float((v * v).sum() / w.sum())
+
+    # Real (non-string) annotations: this module uses postponed annotation
+    # evaluation (PEP 563), which would hand pandas_udf string hints it
+    # cannot infer the GROUPED_AGG signature from.
+    _selfweighted.__annotations__ = {"v": pd.Series, "return": float}
+    selfweighted = pandas_udf(_selfweighted, "double")
+
+    events = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    return (
+        events.groupBy("event_type")
+        .agg(F.round(selfweighted("value"), 6).alias("selfweighted"))
+    )
