@@ -84,7 +84,10 @@ _PRIORITY = [
     "dedup_near_invariants",
     "text_quality_signals",
     "text_language_id",
-    "text_fingerprint",
+    # text_fingerprint rotated to the tail in r4: the fingerprint operator
+    # is exercised (with planted-duplicate teeth) INSIDE llm_prepare_corpus,
+    # the end-to-end quality->dedup->chunk flagship that takes its slot.
+    "llm_prepare_corpus",
     "text_chunking",
     "text_tfidf_topk",
     "sim_cosine_topk",
