@@ -156,6 +156,38 @@ def estimate_cell_deg(
     return float((safety * k * area / (9.0 * 0.96 * n)) ** 0.5)
 
 
+def _with_cell(df: DataFrame, lat: str, lon: str, cell_deg: float) -> DataFrame:
+    """Assign each row its (cell_i, cell_j) grid cell."""
+    return df.withColumn(
+        "cell_i", F.floor(F.col(lat) / cell_deg).cast("long")
+    ).withColumn("cell_j", F.floor(F.col(lon) / cell_deg).cast("long"))
+
+
+def _with_neighbor_cells(df: DataFrame, lat: str, lon: str, cell_deg: float) -> DataFrame:
+    """Replicate each row into its cell AND the 8 neighbors (3x3 block) —
+    the replicated side of every grid-bucketed spatial join here. Compute
+    per-point columns (cos(lat), norms, …) BEFORE calling: they then cost
+    one evaluation instead of nine."""
+    base = df.columns
+    offsets = F.array(
+        *[
+            F.struct(F.lit(a).alias("di"), F.lit(b).alias("dj"))
+            for a in (-1, 0, 1)
+            for b in (-1, 0, 1)
+        ]
+    )
+    return (
+        df.withColumn("base_i", F.floor(F.col(lat) / cell_deg).cast("long"))
+        .withColumn("base_j", F.floor(F.col(lon) / cell_deg).cast("long"))
+        .withColumn("off", F.explode(offsets))
+        .select(
+            *base,
+            (F.col("base_i") + F.col("off.di")).alias("cell_i"),
+            (F.col("base_j") + F.col("off.dj")).alias("cell_j"),
+        )
+    )
+
+
 def knn_join_grid(
     left: DataFrame,
     right: DataFrame,
@@ -173,31 +205,21 @@ def knn_join_grid(
     is a candidate, and the join is a plain hash/sort-merge equi-join that
     AQE can size. Exact whenever the true k-th neighbor lies within
     ``cell_deg`` degrees; callers pick ``cell_deg`` from data density
-    (larger cell → closer to exhaustive, smaller → cheaper).
+    (larger cell → closer to exhaustive, smaller → cheaper) — or use
+    ``knn_join_grid_exact``, which turns that tuning into a guarantee.
     """
-    li, lj = F.floor(F.col(left_coords[0]) / cell_deg), F.floor(F.col(left_coords[1]) / cell_deg)
-    left_cells = (
-        left.withColumn("cell_i", li.cast("long"))
-        .withColumn("cell_j", lj.cast("long"))
-        .withColumn("_l_coslat", F.cos(F.radians(F.col(left_coords[0]))))
+    left_cells = _with_cell(
+        left.withColumn("_l_coslat", F.cos(F.radians(F.col(left_coords[0])))),
+        left_coords[0],
+        left_coords[1],
+        cell_deg,
     )
-
-    ri = F.floor(F.col(right_coords[0]) / cell_deg).cast("long")
-    rj = F.floor(F.col(right_coords[1]) / cell_deg).cast("long")
-    offsets = F.array(*[F.struct(F.lit(a).alias("di"), F.lit(b).alias("dj"))
-                        for a in (-1, 0, 1) for b in (-1, 0, 1)])
-    right_cells = (
+    right_cells = _with_neighbor_cells(
         # cos(lat) computed once per point, BEFORE the 9x cell replication
-        right.withColumn("base_i", ri)
-        .withColumn("base_j", rj)
-        .withColumn("_r_coslat", F.cos(F.radians(F.col(right_coords[0]))))
-        .withColumn("off", F.explode(offsets))
-        .select(
-            *right.columns,
-            "_r_coslat",
-            (F.col("base_i") + F.col("off.di")).alias("cell_i"),
-            (F.col("base_j") + F.col("off.dj")).alias("cell_j"),
-        )
+        right.withColumn("_r_coslat", F.cos(F.radians(F.col(right_coords[0])))),
+        right_coords[0],
+        right_coords[1],
+        cell_deg,
     )
     joined = left_cells.join(right_cells, ["cell_i", "cell_j"])
     out = _dist_and_rank(joined, left_id, right_id, left_coords, right_coords, k)
@@ -265,6 +287,7 @@ def knn_join_grid_exact(
 
     remaining = left
     resolved_chunks: list[DataFrame] = []
+    persisted: list[DataFrame] = []
     out_cols = None
     for _ in range(max_rounds):
         cand = knn_join_grid(
@@ -273,12 +296,24 @@ def knn_join_grid_exact(
         if out_cols is None:
             out_cols = cand.columns
         per_left = Window.partitionBy(left_id)
+        # Guaranteed covered radius of the 3x3 block: a non-candidate
+        # differs from this left point by > cell_deg in latitude (distance
+        # >= cell*M, cos-free) or in longitude — and since its latitude is
+        # then within +-cell_deg of ours, its longitude circle is no
+        # smaller than cos(|lat| + cell_deg). Using cos(lat) alone would
+        # FALSELY ACCEPT at large cells / high latitudes (the non-candidate
+        # sits on a smaller circle than we assumed); least(.., 90) makes
+        # the bound go to <= 0 for degenerate polar cells, which correctly
+        # proves nothing and escalates to the exhaustive fallback.
+        worst_cos = F.cos(
+            F.radians(F.least(F.abs(F.col(left_coords[0])) + F.lit(cell_deg), F.lit(90.0)))
+        )
         proven = (F.max("knn_rank").over(per_left) == k) & (
             F.max("distance_m").over(per_left)
-            <= F.lit(cell_deg * _M_PER_DEG * margin)
-            * F.cos(F.radians(F.col(left_coords[0])))
+            <= F.lit(cell_deg * _M_PER_DEG * margin) * worst_cos
         )
         flagged = cand.withColumn("_proven", proven).persist()
+        persisted.append(flagged)
         resolved_chunks.append(flagged.filter(F.col("_proven")).drop("_proven"))
         # Unresolved = points whose candidates failed the proof PLUS points
         # with an EMPTY 3x3 block — the latter never appear in the join
@@ -308,6 +343,13 @@ def knn_join_grid_exact(
     out = resolved_chunks[0]
     for chunk in resolved_chunks[1:]:
         out = out.unionByName(chunk)
+    # Materialize the (small, <= k*|left|-row) result and cut its lineage so
+    # the per-round candidate caches can be released NOW — without this,
+    # each call leaks up to max_rounds persisted candidate joins for the
+    # rest of the session.
+    out = out.localCheckpoint(eager=True)
+    for f in persisted:
+        f.unpersist(blocking=False)
     return out
 
 
@@ -338,15 +380,20 @@ def idw_interpolate(
     weight = F.try_divide(F.lit(1.0), F.pow(d, F.lit(power)))
 
     joined = samples.crossJoin(F.broadcast(stations)).withColumn("idw_w", weight)
+    return joined.groupBy(sample_id).agg(*_idw_weighted_aggs(value_cols))
 
+
+def _idw_weighted_aggs(value_cols: list[str], weight_col: str = "idw_w") -> list[Column]:
+    """NaN/null-masked Σw·x / Σw per value column — shared by the exact
+    and radius-truncated IDW forms (reference preprocess.py:367-375 mask)."""
     aggs: list[Column] = []
     for c in value_cols:
         x = F.col(c)
         valid = (~F.isnan(x)) & x.isNotNull()
-        num = F.sum(F.when(valid, F.col("idw_w") * x).otherwise(F.lit(0.0)))
-        den = F.sum(F.when(valid, F.col("idw_w")).otherwise(F.lit(0.0)))
+        num = F.sum(F.when(valid, F.col(weight_col) * x).otherwise(F.lit(0.0)))
+        den = F.sum(F.when(valid, F.col(weight_col)).otherwise(F.lit(0.0)))
         aggs.append(F.try_divide(num, den).alias(c))
-    return joined.groupBy(sample_id).agg(*aggs)
+    return aggs
 
 
 def idw_interpolate_radius(
@@ -369,8 +416,10 @@ def idw_interpolate_radius(
     standard practice at scale is a search radius: only stations within
     ``radius_m`` contribute. Implemented as the same 3x3 grid equi-join
     as the kNN scale path — cells sized so one cell always covers the
-    radius (longitude degrees inflated by the worst-case cos(lat), taken
-    from the station latitude quantiles unless given) — then the exact
+    radius in longitude degrees at the EXTREME station latitude (exact
+    max(|lat|) from one fused agg scan; a quantile-based band would
+    silently drop in-radius stations for latitude-outlier points) —
+    then the exact
     haversine filter and the same NaN-masked weighted aggregation. Cost
     per sample is the station count inside ~9 radius-cells: bounded by
     physics, not by table size.
@@ -385,32 +434,18 @@ def idw_interpolate_radius(
     if min_cos_lat is None:
         import math
 
-        lo, hi = stations.stat.approxQuantile(t_lat, [0.01, 0.99], 0.001)
-        # widest |lat| the radius must survive: the station band edge plus
-        # the radius itself in degrees; clamp so polar data degrades to
-        # bigger cells instead of a zero divisor.
-        worst_lat = min(max(abs(lo), abs(hi)) + radius_m / _M_PER_DEG, 89.0)
+        # Exact extreme |lat| in ONE agg job — no quantile tail that
+        # would falsely shrink the cell for outlier-latitude stations.
+        max_abs_lat = stations.agg(F.max(F.abs(F.col(t_lat)))).first()[0]
+        # widest |lat| the radius must survive: the extreme station
+        # latitude plus the radius itself in degrees; clamp so polar data
+        # degrades to bigger cells instead of a zero divisor.
+        worst_lat = min(float(max_abs_lat) + radius_m / _M_PER_DEG, 89.0)
         min_cos_lat = max(math.cos(math.radians(worst_lat)), 0.05)
     cell_deg = radius_m / _M_PER_DEG / min_cos_lat
 
-    si = F.floor(F.col(s_lat) / cell_deg).cast("long")
-    sj = F.floor(F.col(s_lon) / cell_deg).cast("long")
-    sample_cells = samples.withColumn("cell_i", si).withColumn("cell_j", sj)
-
-    offsets = F.array(*[F.struct(F.lit(a).alias("di"), F.lit(b).alias("dj"))
-                        for a in (-1, 0, 1) for b in (-1, 0, 1)])
-    ti = F.floor(F.col(t_lat) / cell_deg).cast("long")
-    tj = F.floor(F.col(t_lon) / cell_deg).cast("long")
-    station_cells = (
-        stations.withColumn("base_i", ti)
-        .withColumn("base_j", tj)
-        .withColumn("off", F.explode(offsets))
-        .select(
-            *stations.columns,
-            (F.col("base_i") + F.col("off.di")).alias("cell_i"),
-            (F.col("base_j") + F.col("off.dj")).alias("cell_j"),
-        )
-    )
+    sample_cells = _with_cell(samples, s_lat, s_lon, cell_deg)
+    station_cells = _with_neighbor_cells(stations, t_lat, t_lon, cell_deg)
 
     d = haversine_meters(s_lat, s_lon, t_lat, t_lon)
     joined = (
@@ -419,12 +454,4 @@ def idw_interpolate_radius(
         .filter(F.col("_d") <= radius_m)
         .withColumn("idw_w", F.try_divide(F.lit(1.0), F.pow(F.col("_d"), F.lit(power))))
     )
-
-    aggs: list[Column] = []
-    for c in value_cols:
-        x = F.col(c)
-        valid = (~F.isnan(x)) & x.isNotNull()
-        num = F.sum(F.when(valid, F.col("idw_w") * x).otherwise(F.lit(0.0)))
-        den = F.sum(F.when(valid, F.col("idw_w")).otherwise(F.lit(0.0)))
-        aggs.append(F.try_divide(num, den).alias(c))
-    return joined.groupBy(sample_id).agg(*aggs)
+    return joined.groupBy(sample_id).agg(*_idw_weighted_aggs(value_cols))

@@ -39,7 +39,9 @@ def month_keys(events: DataFrame, ts_col: str = "ts") -> list[str]:
         .distinct()
         .collect()
     )
-    return sorted(r["mk"] for r in rows)
+    # NULL event times have no shard (date_format -> NULL); callers that
+    # need them must handle NULL-ts rows explicitly upstream.
+    return sorted(r["mk"] for r in rows if r["mk"] is not None)
 
 
 def backfill_month_shards(
@@ -61,7 +63,6 @@ def backfill_month_shards(
     factory owns stop/reuse semantics — this loop never stops a session
     it was handed.
     """
-    ran = []
     for mk in months:
         shard_dir = os.path.join(out_dir, f"month_key={mk}")
         done = os.path.exists(os.path.join(shard_dir, "_SUCCESS"))
@@ -69,10 +70,15 @@ def backfill_month_shards(
             continue
         shard_session = session_factory() if session_factory else spark
         compute_shard(shard_session, mk).write.mode("overwrite").parquet(shard_dir)
-        ran.append(mk)
-    # One partitioned read: month_key comes back as a partition column and
-    # month-range filters prune whole shard directories.
-    return spark.read.option("basePath", out_dir).parquet(out_dir)
+    # One partitioned read, restricted to the REQUESTED months: out_dir may
+    # hold shards from earlier runs with a different month list, and the
+    # isin filter prunes those whole directories at the scan (month_key is
+    # the partition column).
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .filter(F.col("month_key").isin(months))
+    )
 
 
 def monthly_event_rollup(

@@ -1210,9 +1210,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
         stream_dir = src
-        probe_target = sorted(
-            os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
-        )[0]
+        parts = sorted(
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if not parts:
+            raise FileNotFoundError(
+                f"events table directory {src} holds no top-level *.parquet "
+                "files to probe (nested layouts are not supported here)"
+            )
+        probe_target = parts[0]
     else:
         tag = hashlib.md5(os.path.realpath(src).encode()).hexdigest()[:12]
         stream_dir = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
@@ -1266,10 +1274,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = spark.readStream.schema(disk_schema).parquet(stream_dir)
         decoded = raw.withColumn("ts", ntz_to_timestamp(F.col("ts")))
 
-    # Planted-timestamp sanity gate: batch-decode the same file through the
-    # same expression and compare row 0 against the footer's micros. Cheap
-    # (one row, one file) and catches encoding drift the moment it happens.
-    check = spark.read.schema(disk_schema).parquet(stream_dir).limit(1)
+    # Planted-timestamp sanity gate: batch-decode THE FILE THE FOOTER WAS
+    # READ FROM (not the whole directory — Spark orders a multi-file scan
+    # by size, so directory row 0 need not be the probed file's row 0) and
+    # compare row 0 against the footer's micros. Cheap (one row, one file)
+    # and catches encoding drift the moment it happens.
+    check = spark.read.schema(disk_schema).parquet(probe_target).limit(1)
     if encoding == "nanos":
         check = check.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
@@ -1731,7 +1741,7 @@ def st_late_data_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(ts, '%Y-%m') AS month_key, event_type, COUNT(*) AS n,
       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
         AS value_sum
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     description="Month-shard incremental backfill (X5; reference "
     "mains/main_gen_match.py:20-75 re-expressed): loop calendar months, "

@@ -99,3 +99,20 @@ def test_backfill_session_factory_per_pending_shard(spark, tmp_path):
     factory_calls.clear()
     backfill_month_shards(spark, out, months, compute_shard, session_factory=factory)
     assert factory_calls == []
+
+
+def test_backfill_subset_months_excludes_stale_shards(spark, tmp_path):
+    """A later call with a SUBSET of months must not return shards written
+    by earlier runs for other months."""
+    ev = _events(spark)
+    out = str(tmp_path / "subset")
+
+    def compute_shard(s, mk):
+        return ev.filter(F.date_format("ts", "yyyy-MM") == mk).groupBy(
+            "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    all_months = month_keys(ev)
+    backfill_month_shards(spark, out, all_months, compute_shard)
+    only_jan = backfill_month_shards(spark, out, ["2024-01"], compute_shard)
+    assert {r["month_key"] for r in only_jan.collect()} == {"2024-01"}

@@ -294,3 +294,28 @@ def test_idw_radius_matches_truncated_bruteforce(spark):
     assert set(got) == set(want)
     for sid, v in want.items():
         assert got[sid] == pytest.approx(v, rel=1e-9), sid
+
+
+def test_idw_radius_includes_outlier_latitude_stations(spark):
+    """Cell sizing must survive latitude OUTLIERS: with most stations near
+    the equator and two at lat 70, a 1%-99% quantile-based cell size
+    under-inflates longitude cells and silently drops an in-radius
+    high-latitude pair (reviewer-confirmed repro); the exact max(|lat|)
+    sizing must keep it."""
+    import math
+
+    from accident_prediction_montreal_spark.operators.spatial import (
+        idw_interpolate_radius,
+    )
+
+    stations = spark.createDataFrame(
+        [(i, 0.0 + i * 1e-4, 10.0 + i * 1e-4, 50.0) for i in range(300)]
+        + [(1000, 70.0, 10.13, 100.0), (1001, 70.0, 9.87, 100.0)],
+        ["sid", "station_lat", "station_lon", "temp"],
+    )
+    samples = spark.createDataFrame([(1, 70.0, 10.0)], ["sample_id", "lat", "lon"])
+    # station at (70, 10.13): dlon 0.13 deg * cos(70) ~ 4.9 km < radius
+    out = idw_interpolate_radius(samples, stations, ["temp"], radius_m=5000.0).collect()
+    assert len(out) == 1
+    # both lat-70 stations (and nothing else) are in radius -> exactly 100.0
+    assert out[0]["temp"] == pytest.approx(100.0, abs=1e-9)
