@@ -47,9 +47,18 @@ def asof_join(
     ]
     rts = f"{ts_col}{suffix}"
     # Event time may be TIMESTAMP or TIMESTAMP_NTZ (the testdata contract
-    # is NTZ for parquet-pushdown reasons); epoch_us handles both.
+    # is NTZ for parquet-pushdown reasons); epoch_us handles both — but
+    # the flavors must MATCH: unionByName would coerce a mixed pair to
+    # TIMESTAMP while the tolerance math below still used the pre-union
+    # dtypes, skewing the staleness check by the session-TZ offset.
+    # Fail loudly instead of silently mis-nulling carried values.
     r_ts_dtype = dict(right.dtypes)[ts_col]
     l_ts_dtype = dict(left.dtypes)[ts_col]
+    if l_ts_dtype != r_ts_dtype:
+        raise ValueError(
+            f"asof_join requires matching event-time types on {ts_col!r}: "
+            f"left={l_ts_dtype}, right={r_ts_dtype} — cast one side first"
+        )
 
     right_tagged = right.select(
         *by,

@@ -243,6 +243,7 @@ def knn_join_grid_exact(
     max_rounds: int = 3,
     margin: float = 0.95,
     safety: float = 32.0,
+    verify: str = "eager",
 ) -> DataFrame:
     """EXACT kNN join at grid cost: density-sized cells + per-point
     verification + escalation.
@@ -268,11 +269,35 @@ def knn_join_grid_exact(
 
     The verification window shares the ranking window's partitioning, so
     proving costs no extra shuffle; each escalation round touches only
-    the points the previous round could not prove. Degree-grid caveat
-    (documented, matches the reference's city-scale assumption): cells do
-    not wrap at the antimeridian and degrade near the poles — such points
-    simply never prove and land in the exact fallback.
+    the points the previous round could not prove. Degree-grid caveats
+    and how the proof closes them: cells degrade near the poles
+    (``worst_cos`` goes to 0, so polar points never prove) and do NOT
+    wrap at the antimeridian — a seam-adjacent left point could find k
+    same-side candidates that pass the distance bound while a nearer
+    cross-seam neighbor sits in a far-away cell, so any point whose 3x3
+    block touches lon ±180 is explicitly refused proof
+    (|lon| > 180 − 2·cell_deg → unproven). Both classes escalate and,
+    if still unproven, land in the exhaustive fallback, which is
+    geometry-agnostic — the EXACT guarantee therefore holds for global
+    extents, not just city-scale data.
+
+    ``verify`` controls eagerness. The default ``'eager'`` runs the
+    proof/escalation loop, which triggers a few small Spark actions per
+    round (a convergence scalar) plus an eager ``localCheckpoint`` of
+    the (≤ k·|left|-row) result — the price of the guarantee. Pass
+    ``verify='off'`` (with an explicit ``cell_deg``) for a fully LAZY
+    single grid pass that composes into a larger unexecuted plan with
+    ZERO jobs at construction time — exactness is then back to the
+    plain-grid contract ("exact iff the true k-th neighbor is within
+    one cell width"), so use it only where a downstream gate tolerates
+    that, and keep ``'eager'`` anywhere the guarantee matters.
+
+    ``left_id`` must uniquely key ``left`` (the ranking and proof
+    windows partition by it — duplicate ids would merge distinct
+    points' candidate lists).
     """
+    if verify not in ("eager", "off"):
+        raise ValueError(f"verify must be 'eager' or 'off', got {verify!r}")
     if cell_deg is None:
         # safety=32, not estimate_cell_deg's occupancy-oriented 4: the
         # PROOF needs cell >= ~3x the typical k-th-neighbor distance
@@ -285,7 +310,15 @@ def knn_join_grid_exact(
         # wall time of one well-sized round).
         cell_deg = estimate_cell_deg(right, k, coords=right_coords, safety=safety)
 
+    if verify == "off":
+        # Composition mode: one lazy grid pass, no actions, no persist —
+        # embeds into a larger plan without triggering jobs here.
+        return knn_join_grid(
+            left, right, k, cell_deg, left_id, right_id, left_coords, right_coords
+        )
+
     remaining = left
+    n_remaining: int | None = None
     resolved_chunks: list[DataFrame] = []
     persisted: list[DataFrame] = []
     out_cols = None
@@ -308,28 +341,54 @@ def knn_join_grid_exact(
         worst_cos = F.cos(
             F.radians(F.least(F.abs(F.col(left_coords[0])) + F.lit(cell_deg), F.lit(90.0)))
         )
-        proven = (F.max("knn_rank").over(per_left) == k) & (
-            F.max("distance_m").over(per_left)
-            <= F.lit(cell_deg * _M_PER_DEG * margin) * worst_cos
+        # Longitude cells do not wrap at ±180: a seam-adjacent point's
+        # nearest neighbor may sit across the seam in a cell the 3x3
+        # block never touches, so the distance bound alone would FALSELY
+        # prove it. Refuse proof whenever the block could touch the seam.
+        seam_safe = F.abs(F.col(left_coords[1])) <= F.lit(180.0 - 2.0 * cell_deg)
+        proven = (
+            seam_safe
+            & (F.max("knn_rank").over(per_left) == k)
+            & (
+                F.max("distance_m").over(per_left)
+                <= F.lit(cell_deg * _M_PER_DEG * margin) * worst_cos
+            )
         )
         flagged = cand.withColumn("_proven", proven).persist()
         persisted.append(flagged)
         resolved_chunks.append(flagged.filter(F.col("_proven")).drop("_proven"))
         # Unresolved = points whose candidates failed the proof PLUS points
         # with an EMPTY 3x3 block — the latter never appear in the join
-        # output at all, so they must come from an anti-join against the
-        # candidate ids, not from the candidates themselves (dropping them
-        # silently loses left rows; caught by the exhaustive-twin oracle).
-        bad_in_cand = flagged.filter(~F.col("_proven")).select(left_id)
-        uncovered = remaining.select(left_id).join(
-            flagged.select(left_id).distinct(), left_id, "left_anti"
-        )
-        bad_ids = bad_in_cand.union(uncovered).distinct()
-        n_bad = bad_ids.count()  # convergence scalar, one tiny action/round
+        # output at all, so counting covered ids and comparing against
+        # |remaining| detects them without a per-round anti-join (the
+        # anti-join is built LAZILY below, only when some exist; dropping
+        # them silently loses left rows — caught by the exhaustive-twin
+        # oracle and the clustered-blob regression test).
+        if n_remaining is None:
+            # One cheap count of the left side, paid once (later rounds
+            # reuse the previous round's n_bad).
+            n_remaining = remaining.count()
+        stats = flagged.agg(
+            F.countDistinct(left_id).alias("covered"),
+            F.countDistinct(
+                F.when(~F.col("_proven"), F.col(left_id))
+            ).alias("bad_cand"),
+        ).first()
+        n_uncovered = n_remaining - stats["covered"]
+        n_bad = stats["bad_cand"] + n_uncovered
         if n_bad == 0:
             remaining = None
             break
+        bad_in_cand = flagged.filter(~F.col("_proven")).select(left_id)
+        if n_uncovered > 0:
+            uncovered = remaining.select(left_id).join(
+                flagged.select(left_id).distinct(), left_id, "left_anti"
+            )
+            bad_ids = bad_in_cand.union(uncovered).distinct()
+        else:
+            bad_ids = bad_in_cand.distinct()
         remaining = remaining.join(bad_ids, left_id, "left_semi")
+        n_remaining = n_bad
         cell_deg *= growth
     if remaining is not None:
         # Escalation exhausted: exhaustive join for the residue. Correct at
@@ -428,29 +487,48 @@ def idw_interpolate_radius(
     (exactly like the SQL GROUP BY over radius-filtered pairs that
     oracles this); left-join + coalesce at the call site if full
     coverage is required.
+
+    Polar extents: longitude cells cannot bound the radius once
+    cos(extreme |lat| + radius) gets tiny — rather than silently
+    shrinking cells (which would DROP in-radius high-latitude pairs),
+    the operator falls back to the exhaustive broadcast pairing with
+    the identical radius filter + aggregation, so results match the
+    grid path at any latitude. Cells also carry a 5% slack on top of
+    the worst-latitude bound, mirroring the kNN proof's curvature
+    margin (negligible at km-scale radii, free to keep).
     """
+    import math
+
     s_lat, s_lon = sample_coords
     t_lat, t_lon = station_coords
+    use_grid = True
     if min_cos_lat is None:
-        import math
-
         # Exact extreme |lat| in ONE agg job — no quantile tail that
         # would falsely shrink the cell for outlier-latitude stations.
         max_abs_lat = stations.agg(F.max(F.abs(F.col(t_lat)))).first()[0]
         # widest |lat| the radius must survive: the extreme station
-        # latitude plus the radius itself in degrees; clamp so polar data
-        # degrades to bigger cells instead of a zero divisor.
-        worst_lat = min(float(max_abs_lat) + radius_m / _M_PER_DEG, 89.0)
-        min_cos_lat = max(math.cos(math.radians(worst_lat)), 0.05)
-    cell_deg = radius_m / _M_PER_DEG / min_cos_lat
-
-    sample_cells = _with_cell(samples, s_lat, s_lon, cell_deg)
-    station_cells = _with_neighbor_cells(stations, t_lat, t_lon, cell_deg)
+        # latitude plus the radius itself in degrees.
+        worst_lat = float(max_abs_lat or 0.0) + radius_m / _M_PER_DEG
+        cos_worst = math.cos(math.radians(min(worst_lat, 90.0)))
+        if worst_lat >= 90.0 or cos_worst < 0.05:
+            use_grid = False  # polar fallback: exhaustive, never lossy
+        else:
+            min_cos_lat = cos_worst
+    elif min_cos_lat < 0.05:
+        use_grid = False
 
     d = haversine_meters(s_lat, s_lon, t_lat, t_lon)
+    if use_grid:
+        # 1.05: curvature/rounding slack — oversizing cells is always
+        # safe (more candidates), undersizing drops in-radius pairs.
+        cell_deg = radius_m / _M_PER_DEG / min_cos_lat * 1.05
+        sample_cells = _with_cell(samples, s_lat, s_lon, cell_deg)
+        station_cells = _with_neighbor_cells(stations, t_lat, t_lon, cell_deg)
+        joined = sample_cells.join(station_cells, ["cell_i", "cell_j"])
+    else:
+        joined = samples.crossJoin(F.broadcast(stations))
     joined = (
-        sample_cells.join(station_cells, ["cell_i", "cell_j"])
-        .withColumn("_d", d)
+        joined.withColumn("_d", d)
         .filter(F.col("_d") <= radius_m)
         .withColumn("idw_w", F.try_divide(F.lit(1.0), F.pow(F.col("_d"), F.lit(power))))
     )

@@ -1907,7 +1907,10 @@ def llm_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_pandas_grouped_agg",
     oracle="""
     SELECT event_type,
-      ROUND(SUM(value * value) / SUM(ABS(value)), 6) AS selfweighted
+      ROUND(
+        CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+        / NULLIF(CAST(SUM(CAST(ABS(value) AS DECIMAL(38,6))) AS DOUBLE), 0),
+        6) AS selfweighted
     FROM events
     WHERE value IS NOT NULL
     GROUP BY event_type
@@ -1919,24 +1922,37 @@ def llm_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas UDAFs (full shuffle of the group's rows), which is exactly why "
     "the engine keeps them OFF the default path — built-in sum/count pairs "
     "express most reductions; this query documents the escape hatch and "
-    "value-checks its arithmetic.",
+    "value-checks its arithmetic. The UDAF reduces DECIMAL(38,6)-cast "
+    "components (exact, order-independent sums — a double accumulation "
+    "over shuffle-ordered rows can flip the 6th decimal between runs) and "
+    "divides the exact sums as doubles afterward; an all-zero group "
+    "returns NULL, matching SQL division-by-zero.",
 )
 def f_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def _selfweighted(v):
-        w = v.abs()
-        return float((v * v).sum() / w.sum())
+    def _selfweighted(num, den):
+        # Arrow hands DECIMAL(38,6) to pandas as exact decimal.Decimal
+        # objects: both sums are order-independent integers-scaled-by-1e6,
+        # so the ratio is bit-stable across shuffles and matches the
+        # oracle's decimal SUMs exactly.
+        d = den.sum()
+        if d == 0:
+            return None
+        return float(num.sum()) / float(d)
 
     # Real (non-string) annotations: this module uses postponed annotation
     # evaluation (PEP 563), which would hand pandas_udf string hints it
     # cannot infer the GROUPED_AGG signature from.
-    _selfweighted.__annotations__ = {"v": pd.Series, "return": float}
+    _selfweighted.__annotations__ = {"num": pd.Series, "den": pd.Series, "return": float}
     selfweighted = pandas_udf(_selfweighted, "double")
 
     events = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    events = events.withColumn(
+        "_num", (F.col("value") * F.col("value")).cast("decimal(38,6)")
+    ).withColumn("_den", F.abs(F.col("value")).cast("decimal(38,6)"))
     return (
         events.groupBy("event_type")
-        .agg(F.round(selfweighted("value"), 6).alias("selfweighted"))
+        .agg(F.round(selfweighted("_num", "_den"), 6).alias("selfweighted"))
     )

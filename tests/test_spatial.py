@@ -240,6 +240,85 @@ def test_knn_grid_exact_tiny_cell_forces_escalation(spark):
     assert got == want
 
 
+def test_knn_grid_exact_antimeridian_seam(spark):
+    """A left point near lon ±180 can find k same-side candidates whose
+    k-th distance passes the 3x3 distance bound while a strictly NEARER
+    neighbor sits across the seam in a far-away cell (reviewer-confirmed
+    exactness hole). The seam guard must refuse the proof and route such
+    points through escalation to the exhaustive fallback."""
+    from accident_prediction_montreal_spark.operators.spatial import (
+        knn_join_grid_exact,
+    )
+
+    left = spark.createDataFrame([(1, 0.0, 179.9)], ["id", "lat", "lon"])
+    right = spark.createDataFrame(
+        [
+            # nearest TRUE neighbor: across the seam, 0.15° of longitude away
+            (1000, 0.0, -179.95),
+            # same-side decoys at 0.2°/0.3° — with cell_deg=0.5 they pass the
+            # old distance-only proof (33 km ≤ 0.5°·111 km·0.95)
+            (10, 0.0, 179.7),
+            (20, 0.0, 179.6),
+        ],
+        ["rid", "rlat", "rlon"],
+    )
+    got = {
+        (r["id"], r["rid"], r["knn_rank"])
+        for r in knn_join_grid_exact(left, right, k=2, cell_deg=0.5).collect()
+    }
+    want = {
+        (r["id"], r["rid"], r["knn_rank"])
+        for r in knn_join(left, right, k=2).collect()
+    }
+    assert got == want
+    assert (1, 1000, 1) in got  # the cross-seam neighbor is rank 1
+
+
+def test_knn_grid_exact_verify_off_is_lazy_and_composable(spark):
+    """verify='off' + explicit cell_deg must trigger ZERO Spark jobs at
+    construction time so the operator embeds into a larger lazy plan;
+    executing the composed plan still yields the plain-grid result."""
+    from accident_prediction_montreal_spark.operators.spatial import (
+        knn_join_grid_exact,
+    )
+
+    left, right = _points(spark)
+    labels = spark.createDataFrame([(1, "downtown")], ["id", "zone"])
+    sc = spark.sparkContext
+    sc.setJobGroup("lazy-knn-check", "composability probe")
+    try:
+        out = knn_join_grid_exact(left, right, k=3, cell_deg=0.5, verify="off")
+        composed = out.join(labels, "id")  # still no action
+        jobs = sc.statusTracker().getJobIdsForGroup("lazy-knn-check")
+        assert list(jobs) == [], f"construction triggered jobs: {jobs}"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    rows = composed.orderBy("knn_rank").collect()
+    assert [r["rid"] for r in rows] == [10, 20, 30]
+    assert all(r["zone"] == "downtown" for r in rows)
+
+
+def test_idw_radius_polar_fallback_keeps_in_radius_pairs(spark):
+    """Above ~87° latitude the longitude-cell bound collapses (cos floor);
+    the operator must fall back to the exhaustive pairing instead of
+    silently dropping in-radius pairs (reviewer-confirmed)."""
+    from accident_prediction_montreal_spark.operators.spatial import (
+        idw_interpolate_radius,
+    )
+
+    # at lat 89.5, 1° of longitude ≈ 970 m: the 4°-away station is ~3.9 km
+    # (inside a 5 km radius) but sits 4+ cells away under the old clamped
+    # sizing (cell ≈ 0.9°), so the grid path lost it.
+    stations = spark.createDataFrame(
+        [(1, 89.5, 14.0, 100.0), (2, 89.5, 60.0, 7.0)],
+        ["sid", "station_lat", "station_lon", "temp"],
+    )
+    samples = spark.createDataFrame([(1, 89.5, 10.0)], ["sample_id", "lat", "lon"])
+    out = idw_interpolate_radius(samples, stations, ["temp"], radius_m=5000.0).collect()
+    assert len(out) == 1
+    assert out[0]["temp"] == pytest.approx(100.0, abs=1e-9)
+
+
 def test_idw_radius_matches_truncated_bruteforce(spark):
     """Grid-bucketed radius IDW == brute-force IDW over only the stations
     within the radius (incl. the NaN mask and no-coverage samples)."""
