@@ -132,28 +132,42 @@ def estimate_cell_deg(
     tests do exactly that). Driver-side scalars here are config
     estimation, not data movement — two tiny jobs on the sample.
     """
+    area, n = _density_scan(points, coords, sample_fraction, seed)
+    if n < k + 1:
+        raise ValueError(f"need more than k={k} points to estimate density, got {n}")
+    # 98% trim per axis keeps ~96% of points in the box; fold into density.
+    return float((safety * k * area / (9.0 * 0.96 * n)) ** 0.5)
+
+
+def _density_scan(
+    points: DataFrame,
+    coords: tuple[str, str],
+    sample_fraction: float | None,
+    seed: int,
+) -> tuple[float, int]:
+    """Trimmed bounding-box area + row count in ONE fused agg job
+    (percentile_approx is an aggregate, so it shares the scan with the
+    count — measured vs the two-job approxQuantile-then-count form this
+    replaced). The count is reused by ``knn_join_grid_exact``'s
+    residue-fallback sizing so the scan is paid once."""
     lat, lon = coords
     pts = (
         points.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
         if sample_fraction is not None
         else points
     )
-    # ONE job for quantiles + count (percentile_approx is an aggregate
-    # function, so it fuses with count into a single scan — measured vs
-    # the two-job approxQuantile-then-count form this replaces).
     row = pts.agg(
         F.percentile_approx(lat, F.array(F.lit(0.01), F.lit(0.99)), 10000).alias("qlat"),
         F.percentile_approx(lon, F.array(F.lit(0.01), F.lit(0.99)), 10000).alias("qlon"),
         F.count(F.lit(1)).alias("n"),
     ).first()
-    n = row["n"]
-    if n < k + 1:
-        raise ValueError(f"need more than k={k} points to estimate density, got {n}")
+    n = int(row["n"])
+    if n == 0:
+        return 1e-9 * 1e-9, 0
     area = max(row["qlat"][1] - row["qlat"][0], 1e-9) * max(
         row["qlon"][1] - row["qlon"][0], 1e-9
     )
-    # 98% trim per axis keeps ~96% of points in the box; fold into density.
-    return float((safety * k * area / (9.0 * 0.96 * n)) ** 0.5)
+    return float(area), n
 
 
 def _with_cell(df: DataFrame, lat: str, lon: str, cell_deg: float) -> DataFrame:
@@ -197,6 +211,7 @@ def knn_join_grid(
     right_id: str = "rid",
     left_coords: tuple[str, str] = ("lat", "lon"),
     right_coords: tuple[str, str] = ("rlat", "rlon"),
+    _how: str = "inner",
 ) -> DataFrame:
     """Scale-path kNN join: equi-join on spatial grid cells (SURVEY.md §4).
 
@@ -207,6 +222,12 @@ def knn_join_grid(
     ``cell_deg`` degrees; callers pick ``cell_deg`` from data density
     (larger cell → closer to exhaustive, smaller → cheaper) — or use
     ``knn_join_grid_exact``, which turns that tuning into a guarantee.
+
+    ``_how`` is internal plumbing for the exact wrapper: ``'left_outer'``
+    keeps left points whose 3x3 block is EMPTY as a single row with a
+    null ``right_id``/``distance_m`` (rank 1), making coverage holes
+    visible in-band instead of requiring an anti-join to re-discover
+    them. The public contract is the inner join.
     """
     left_cells = _with_cell(
         left.withColumn("_l_coslat", F.cos(F.radians(F.col(left_coords[0])))),
@@ -221,7 +242,7 @@ def knn_join_grid(
         right_coords[1],
         cell_deg,
     )
-    joined = left_cells.join(right_cells, ["cell_i", "cell_j"])
+    joined = left_cells.join(right_cells, ["cell_i", "cell_j"], _how)
     out = _dist_and_rank(joined, left_id, right_id, left_coords, right_coords, k)
     return out.drop("cell_i", "cell_j")
 
@@ -244,6 +265,7 @@ def knn_join_grid_exact(
     margin: float = 0.95,
     safety: float = 32.0,
     verify: str = "eager",
+    fallback_budget_pairs: int = 20_000_000,
 ) -> DataFrame:
     """EXACT kNN join at grid cost: density-sized cells + per-point
     verification + escalation.
@@ -263,9 +285,12 @@ def knn_join_grid_exact(
          (cell_deg * m/deg * cos(lat), x ``margin`` for curvature slack
          — anything outside the block differs by more than one cell in
          some axis and is therefore farther);
-      3. only unproven points re-run at ``growth``x the cell; after
-         ``max_rounds`` the stragglers fall back to the exhaustive
-         broadcast join (they are a residue by then).
+      3. only unproven points re-run at ``growth``x the cell — unless
+         the residue × |right| is already small enough
+         (``fallback_budget_pairs``, and |right| under the broadcast
+         cap) that the exhaustive broadcast join finishes it cheaper
+         than another grid round; after ``max_rounds`` the stragglers
+         fall back to the exhaustive join regardless.
 
     The verification window shares the ranking window's partitioning, so
     proving costs no extra shuffle; each escalation round touches only
@@ -298,6 +323,7 @@ def knn_join_grid_exact(
     """
     if verify not in ("eager", "off"):
         raise ValueError(f"verify must be 'eager' or 'off', got {verify!r}")
+    n_right: int | None = None
     if cell_deg is None:
         # safety=32, not estimate_cell_deg's occupancy-oriented 4: the
         # PROOF needs cell >= ~3x the typical k-th-neighbor distance
@@ -308,7 +334,12 @@ def knn_join_grid_exact(
         # Undersized cells don't break exactness, they just pay extra
         # escalation rounds (measured: safety 4 cost 3 rounds ~= 3x the
         # wall time of one well-sized round).
-        cell_deg = estimate_cell_deg(right, k, coords=right_coords, safety=safety)
+        area, n_right = _density_scan(right, right_coords, None, 42)
+        if n_right < k + 1:
+            raise ValueError(
+                f"need more than k={k} points to estimate density, got {n_right}"
+            )
+        cell_deg = float((safety * k * area / (9.0 * 0.96 * n_right)) ** 0.5)
 
     if verify == "off":
         # Composition mode: one lazy grid pass, no actions, no persist —
@@ -318,13 +349,21 @@ def knn_join_grid_exact(
         )
 
     remaining = left
-    n_remaining: int | None = None
+    residue: DataFrame | None = None
     resolved_chunks: list[DataFrame] = []
     persisted: list[DataFrame] = []
     out_cols = None
     for _ in range(max_rounds):
+        # LEFT OUTER grid join: a left point whose 3x3 block is EMPTY
+        # surfaces as one null-candidate row (rank 1) instead of
+        # vanishing from the output — so coverage holes are detected
+        # in-band by the same per-point proof, with no separate left
+        # count and no anti-join job (the r4 shape paid both per round;
+        # silent loss of such points is pinned by the clustered-blob
+        # regression test and the exhaustive-twin oracle).
         cand = knn_join_grid(
-            remaining, right, k, cell_deg, left_id, right_id, left_coords, right_coords
+            remaining, right, k, cell_deg, left_id, right_id, left_coords,
+            right_coords, _how="left_outer",
         )
         if out_cols is None:
             out_cols = cand.columns
@@ -346,56 +385,59 @@ def knn_join_grid_exact(
         # block never touches, so the distance bound alone would FALSELY
         # prove it. Refuse proof whenever the block could touch the seam.
         seam_safe = F.abs(F.col(left_coords[1])) <= F.lit(180.0 - 2.0 * cell_deg)
-        proven = (
+        # coalesce: an empty-block point's only row has null distance_m,
+        # making the bound comparison null — it must count as UNPROVEN
+        # (null would silently drop it from BOTH the proven and the
+        # not-proven filter).
+        proven = F.coalesce(
             seam_safe
             & (F.max("knn_rank").over(per_left) == k)
             & (
                 F.max("distance_m").over(per_left)
                 <= F.lit(cell_deg * _M_PER_DEG * margin) * worst_cos
-            )
+            ),
+            F.lit(False),
         )
         flagged = cand.withColumn("_proven", proven).persist()
         persisted.append(flagged)
+        # Null-candidate rows are never proven, so the resolved output
+        # stays free of them.
         resolved_chunks.append(flagged.filter(F.col("_proven")).drop("_proven"))
-        # Unresolved = points whose candidates failed the proof PLUS points
-        # with an EMPTY 3x3 block — the latter never appear in the join
-        # output at all, so counting covered ids and comparing against
-        # |remaining| detects them without a per-round anti-join (the
-        # anti-join is built LAZILY below, only when some exist; dropping
-        # them silently loses left rows — caught by the exhaustive-twin
-        # oracle and the clustered-blob regression test).
-        if n_remaining is None:
-            # One cheap count of the left side, paid once (later rounds
-            # reuse the previous round's n_bad).
-            n_remaining = remaining.count()
-        stats = flagged.agg(
-            F.countDistinct(left_id).alias("covered"),
-            F.countDistinct(
-                F.when(~F.col("_proven"), F.col(left_id))
-            ).alias("bad_cand"),
-        ).first()
-        n_uncovered = n_remaining - stats["covered"]
-        n_bad = stats["bad_cand"] + n_uncovered
+        # Exactly one rank-1 row exists per left point (outer join), and
+        # _proven is constant within a point — so the convergence scalar
+        # is a plain filtered count on the cached candidates: ONE action
+        # per round, no expand, no distinct.
+        bad_firsts = flagged.filter((F.col("knn_rank") == 1) & ~F.col("_proven"))
+        n_bad = bad_firsts.count()
         if n_bad == 0:
             remaining = None
             break
-        bad_in_cand = flagged.filter(~F.col("_proven")).select(left_id)
-        if n_uncovered > 0:
-            uncovered = remaining.select(left_id).join(
-                flagged.select(left_id).distinct(), left_id, "left_anti"
-            )
-            bad_ids = bad_in_cand.union(uncovered).distinct()
-        else:
-            bad_ids = bad_in_cand.distinct()
-        remaining = remaining.join(bad_ids, left_id, "left_semi")
-        n_remaining = n_bad
+        remaining = remaining.join(
+            bad_firsts.select(left_id), left_id, "left_semi"
+        )
+        # Short-circuit: when the residue × right is small enough that
+        # the exhaustive broadcast join is cheaper than another full
+        # grid round (join + window + action), finish it now. n_right
+        # comes free from the density scan; it is only counted here if
+        # the caller supplied cell_deg. At cluster scale a huge right
+        # side fails the broadcast cap and escalation proceeds as before.
+        if n_right is None:
+            n_right = right.count()
+        if n_right <= 1_000_000 and n_bad * n_right <= fallback_budget_pairs:
+            residue = remaining
+            remaining = None
+            break
         cell_deg *= growth
     if remaining is not None:
-        # Escalation exhausted: exhaustive join for the residue. Correct at
-        # any geometry; the residue is tiny by construction.
+        # Escalation exhausted: the stragglers go to the fallback.
+        residue = remaining
+    if residue is not None:
+        # Exhaustive join for the residue. Correct at any geometry; the
+        # residue is tiny by construction (short-circuit bound or
+        # max_rounds of proof failures).
         resolved_chunks.append(
             knn_join(
-                remaining, right, k, left_id, right_id, left_coords, right_coords,
+                residue, right, k, left_id, right_id, left_coords, right_coords,
                 max_broadcast_rows=None,
             ).select(*out_cols)
         )

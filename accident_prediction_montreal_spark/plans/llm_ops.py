@@ -668,12 +668,92 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based; rows-only.
-    description="64-bit SimHash signatures via bit-vote aggregation",
+    oracle="""
+    SELECT 'simhash_range_0_2pow62' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'simhash_identical_text_same_hash', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'simhash_odd_repetition_invariant', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'simhash_locality_near_lt_random', CAST(1 AS BIGINT)
+    """,
+    description="Driver-checkable SimHash invariants (xxhash64 internals have "
+    "no ANSI oracle, so — like dedup_near_invariants — the checks are pinned "
+    "to literal 1): (a) every signature lies in [0, 2^62); (b) identical "
+    "text → identical signature; (c) voting is multiplicity-sign invariant: "
+    "repeating a document's text an odd number of times (3x) cannot change "
+    "any bit vote's sign, so the signature is unchanged; (d) LOCALITY, the "
+    "property that makes SimHash a dedup primitive: the mean Hamming "
+    "distance from a doc to its 25%%-truncated self is far below the mean "
+    "distance between unrelated doc pairs (margin ≥ 5 bits of 62). All "
+    "checks are deterministic given the data (xxhash64 is seedless here).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return docs.select("doc_id", simhash("text").alias("simhash64"))
+    from accident_prediction_montreal_spark.operators.text import tokenize
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .withColumn("__toks", tokenize(F.col("text")))
+        .filter(F.size("__toks") >= 8)
+    )
+    # One pass computes all four signature variants per doc; bitwise ops
+    # and popcount are JVM built-ins (bit_count), no UDFs anywhere.
+    keep = (F.size("__toks") * 3) / 4
+    sigs = docs.select(
+        "doc_id",
+        simhash("text").alias("h"),
+        simhash(F.col("text")).alias("h_again"),
+        simhash(
+            F.concat_ws(" ", F.col("text"), F.col("text"), F.col("text"))
+        ).alias("h_x3"),
+        simhash(F.concat_ws(" ", F.slice(F.col("__toks"), 1, keep.cast("int")))).alias(
+            "h_trunc"
+        ),
+    )
+    # Unrelated baseline: pair each doc with the doc whose id is "far away"
+    # (rank-shifted by half the corpus) — deterministic, no sampling.
+    w = Window.orderBy("doc_id")
+    ranked = sigs.withColumn("__rn", F.row_number().over(w))
+    n_docs = sigs.count()
+    half = max(n_docs // 2, 1)
+    shifted = ranked.select(
+        ((F.col("__rn") - 1 + half) % n_docs + 1).alias("__rn"),
+        F.col("h").alias("h_other"),
+    )
+    paired = ranked.join(shifted, "__rn")
+    stats = paired.agg(
+        F.sum(F.when((F.col("h") < 0) | (F.col("h") >= 2**62), 1).otherwise(0)).alias(
+            "n_out_of_range"
+        ),
+        F.sum(F.when(F.col("h") != F.col("h_again"), 1).otherwise(0)).alias(
+            "n_identical_mismatch"
+        ),
+        F.sum(F.when(F.col("h") != F.col("h_x3"), 1).otherwise(0)).alias(
+            "n_rep_variant"
+        ),
+        F.avg(F.bit_count(F.col("h").bitwiseXOR(F.col("h_trunc")))).alias("d_near"),
+        F.avg(F.bit_count(F.col("h").bitwiseXOR(F.col("h_other")))).alias("d_rand"),
+    )
+    return stats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("simhash_range_0_2pow62").alias("chk"),
+                    (F.col("n_out_of_range") == 0).cast("long").alias("ok"),
+                ),
+                F.struct(
+                    F.lit("simhash_identical_text_same_hash").alias("chk"),
+                    (F.col("n_identical_mismatch") == 0).cast("long").alias("ok"),
+                ),
+                F.struct(
+                    F.lit("simhash_odd_repetition_invariant").alias("chk"),
+                    (F.col("n_rep_variant") == 0).cast("long").alias("ok"),
+                ),
+                F.struct(
+                    F.lit("simhash_locality_near_lt_random").alias("chk"),
+                    (F.col("d_near") + 5.0 < F.col("d_rand")).cast("long").alias("ok"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.chk", "c.ok")
 
 
 # --- Similarity search --------------------------------------------------------------
