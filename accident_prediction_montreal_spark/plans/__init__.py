@@ -97,9 +97,11 @@ _PRIORITY = [
     "text_sequence_pack",
     "text_token_hash",
     "text_quality_deciles",
-    # Multimodal: Arrow-batched mapInPandas under value oracles.
+    # Multimodal: Arrow-batched mapInPandas under value oracles. The new
+    # BMP codec (r4 verdict #7) takes mm_wav_decode's slot — WAV already
+    # has two driver greens (r4 + r2) and moves to the head of the tail.
     "mm_payload_stats",
-    "mm_wav_decode",
+    "mm_bmp_decode",
     "mm_ppm_decode",
     # Streaming: the five kept REAL availableNow queries + the four
     # never-checked (REAL sliding + foreachBatch sink + stream-static
@@ -130,9 +132,10 @@ _PRIORITY = [
     "x5_month_shard_backfill",
 ]
 
-# Position 51: the exhaustive reference-semantics IDW twin, adjacent to
-# its in-window scale path per the r4 verdict.
-_TAIL_HEAD = ["a6_idw_interpolation"]
+# Positions 51-52: the exhaustive reference-semantics IDW twin adjacent
+# to its in-window scale path per the r4 verdict, then the rotated-out
+# WAV codec next to its in-window image siblings.
+_TAIL_HEAD = ["a6_idw_interpolation", "mm_wav_decode"]
 
 
 def _reorder() -> None:

@@ -1120,6 +1120,78 @@ def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_bmp_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 5 + doc_id % 7 AS w, 4 + doc_id % 5 AS h FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS p FROM dims
+    ), v AS (
+      SELECT doc_id, w, h, p % 3 AS chan, p < w * 3 AS top_row,
+        CAST((doc_id * 11 + p * 29) % 256 AS DOUBLE) AS val
+      FROM px
+    )
+    SELECT doc_id AS media_id,
+      CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+      ROUND(AVG(val) FILTER (chan = 0), 6) + 0.0 AS mean_r,
+      ROUND(AVG(val) FILTER (chan = 1), 6) + 0.0 AS mean_g,
+      ROUND(AVG(val) FILTER (chan = 2), 6) + 0.0 AS mean_b,
+      ROUND(AVG(val) FILTER (top_row), 6) + 0.0 AS top_row_mean
+    FROM v GROUP BY doc_id
+    """,
+    description="Second REAL image codec (r4 verdict #7): per document, "
+    "synthesize a 24-bit BMP whose LOGICAL top-down RGB raster is a "
+    "closed-form function of doc_id, then DECODE the container for real — "
+    "operators/multimodal.py::decode_bmp parses BITMAPFILEHEADER + "
+    "BITMAPINFOHEADER, strips 4-byte row padding, undoes bottom-up row "
+    "order and BGR channel order. The oracle recomputes channel means "
+    "from the closed form (catches BGR/RGB swaps) and the LOGICAL first "
+    "row's mean (catches decoders that forget bottom-up storage). Widths "
+    "5..11 sweep every padding residue 0-3. Integer pixel values keep "
+    "double means exact in both engines.",
+)
+def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        bmp_features,
+        encode_bmp_24,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                w, h = 5 + d % 7, 4 + d % 5
+                p = np.arange(w * h * 3, dtype=np.int64)
+                payloads.append(encode_bmp_24((d * 11 + p * 29) % 256, w, h))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, schema=enc_schema)
+    out = bmp_features(media)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        (F.round("mean_r", 6) + 0.0).alias("mean_r"),
+        (F.round("mean_g", 6) + 0.0).alias("mean_g"),
+        (F.round("mean_b", 6) + 0.0).alias("mean_b"),
+        (F.round("top_row_mean", 6) + 0.0).alias("top_row_mean"),
+    )
+
+
+@register(
     "text_quality_deciles",
     oracle=f"""
     WITH sized AS (

@@ -165,3 +165,89 @@ def test_ppm_roundtrip_and_comments():
         decode_ppm(b"P5\n1 1\n255\n\x00")  # greyscale PGM: stub territory
     with pytest.raises(ValueError):
         decode_ppm(encode_ppm_p6(px, w, h)[:-7])  # truncated raster
+
+
+def test_bmp_roundtrip_padding_and_row_order():
+    import numpy as np
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp_24,
+    )
+
+    rng = np.random.default_rng(23)
+    # widths 5..8 sweep every 4-byte padding residue (15,18,21,24 row bytes)
+    for w in (5, 6, 7, 8):
+        h = 3
+        px = rng.integers(0, 256, size=w * h * 3, dtype=np.int64)
+        feats = decode_bmp(encode_bmp_24(px, w, h))
+        rgb = px.reshape(h, w, 3).astype("float64")
+        assert (feats["width"], feats["height"]) == (w, h)
+        assert feats["mean_r"] == pytest.approx(rgb[:, :, 0].mean(), abs=1e-9)
+        assert feats["mean_b"] == pytest.approx(rgb[:, :, 2].mean(), abs=1e-9)
+        # top_row_mean is the LOGICAL first row — bottom-up storage undone
+        assert feats["top_row_mean"] == pytest.approx(rgb[0].mean(), abs=1e-9)
+
+
+def test_bmp_top_down_negative_height():
+    import struct
+
+    import numpy as np
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp_24,
+    )
+
+    w, h = 5, 4
+    px = np.arange(w * h * 3, dtype=np.int64) % 256
+    bottom_up = encode_bmp_24(px, w, h)
+    # Rewrite as a top-down BMP: negate biHeight and un-reverse the rows.
+    stride = w * 3 + ((-(w * 3)) % 4)
+    offset = 54
+    rows = [bottom_up[offset + r * stride : offset + (r + 1) * stride] for r in range(h)]
+    top_down = (
+        bottom_up[:22] + struct.pack("<i", -h) + bottom_up[26:offset] + b"".join(rows[::-1])
+    )
+    assert decode_bmp(top_down) == decode_bmp(bottom_up)
+
+
+def test_bmp_rejects_malformed():
+    import numpy as np
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp_24,
+    )
+
+    px = np.zeros(5 * 4 * 3, dtype=np.int64)
+    good = encode_bmp_24(px, 5, 4)
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG not a bmp")
+    with pytest.raises(ValueError):
+        decode_bmp(good[:-5])  # truncated raster
+    bad_bpp = good[:28] + b"\x08\x00" + good[30:]  # 8bpp palette BMP
+    with pytest.raises(ValueError):
+        decode_bmp(bad_bpp)
+
+
+def test_bmp_features_mapinpandas(spark):
+    import numpy as np
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        bmp_features,
+        encode_bmp_24,
+    )
+
+    rows = []
+    for mid in (1, 2):
+        w, h = 5 + mid, 3
+        px = (np.arange(w * h * 3, dtype=np.int64) * mid) % 256
+        rows.append((mid, bytearray(encode_bmp_24(px, w, h))))
+    df = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = {r["media_id"]: r for r in bmp_features(df).collect()}
+    assert got[1]["width"] == 6 and got[2]["width"] == 7
+    px2 = (np.arange(7 * 3 * 3, dtype=np.int64) * 2) % 256
+    assert got[2]["mean_g"] == pytest.approx(
+        px2.reshape(-1, 3)[:, 1].astype("float64").mean(), abs=1e-9
+    )
