@@ -64,6 +64,9 @@ def generate_road_points(
     return spark.createDataFrame(rows, schema)
 
 
+_RUSH_HOUR_WEIGHTS = [1, 1, 1, 1, 1, 2, 4, 8, 10, 6, 3, 3, 4, 4, 4, 6, 9, 10, 7, 4, 3, 2, 1, 1]
+
+
 def generate_accidents(
     spark: SparkSession,
     road_points: DataFrame,
@@ -71,24 +74,47 @@ def generate_accidents(
     seed: int = 11,
     year: int = 2017,
     days: int = 30,
+    risk_bias: bool = False,
 ) -> DataFrame:
     """Preprocessed accidents (contract of preprocess_accidents,
     reference preprocess.py:43-56): some on-road (near a road point) and
     some off-road (to exercise the refine pass). Dates fall in the same
-    window ``generate_weather`` covers so the IDW join is total."""
+    window ``generate_weather`` covers so the IDW join is total.
+
+    ``risk_bias=True`` (used by the model-quality goldens) concentrates
+    accidents in rush hours, on weekdays, and on a "hot" quarter of the
+    road points — mirroring the structure real collision data has — so
+    the learned pipelines have signal to find (hour_cos/sin, dayofweek,
+    accident_count risk encoding) and their AUROC/AUPRC goldens sit well
+    above the random baseline instead of pinning 0.5. Default False is
+    byte-identical to the pre-flag fixture (same RNG consumption)."""
     pts = [(r["coord_lat"], r["coord_long"]) for r in road_points.collect()]
     rng = random.Random(seed)
     rows = []
     for i in range(n):
         if rng.random() < 0.6:
-            lat, lon = pts[rng.randrange(len(pts))]
+            if risk_bias and rng.random() < 0.8:
+                lat, lon = pts[rng.randrange(max(1, len(pts) // 4))]  # hot streets
+            else:
+                lat, lon = pts[rng.randrange(len(pts))]
             lat += (rng.random() - 0.5) * 1e-5  # ≲ 1 m offset → first-pass accept
             lon += (rng.random() - 0.5) * 1e-5
         else:
             lat = 45.4 + rng.random() * 0.3
             lon = -74.0 + rng.random() * 0.6
-        date = dt.date(year, 1, 1) + dt.timedelta(days=rng.randrange(days))
-        rows.append((i, date, rng.randrange(24), float(lat), float(lon)))
+        if risk_bias:
+            day = rng.choices(
+                range(days),
+                weights=[
+                    3 if (dt.date(year, 1, 1) + dt.timedelta(days=d)).weekday() < 5 else 1
+                    for d in range(days)
+                ],
+            )[0]
+            hour = rng.choices(range(24), weights=_RUSH_HOUR_WEIGHTS)[0]
+        else:
+            day, hour = rng.randrange(days), rng.randrange(24)
+        date = dt.date(year, 1, 1) + dt.timedelta(days=day)
+        rows.append((i, date, hour, float(lat), float(lon)))
     schema = T.StructType(
         [
             T.StructField("accident_id", T.LongType()),

@@ -29,6 +29,7 @@ HEADLINE = [
     "j4_semi_anti",
     "j8_knn_join_grid",
     "a6_idw_interpolation",
+    "a6_idw_radius",
     "w_topk_rank_rownum",
     "w4_ewma",
     "w5_running_sums",

@@ -1,0 +1,64 @@
+"""Model-quality regression goldens (r4 verdict #5).
+
+The ML layer was the one surface with no numeric gate: pipelines fit
+and transform, but nothing asserted the learned models' QUALITY. This
+test retrains the three reference-shaped pipelines (brf/urf/gbt —
+mirroring the reference's results/{brf,urf}/results files, BASELINE.md
+model table) on the deterministic risk-biased fixtures and compares
+AUPRC/AUROC against committed goldens (tests/goldens/ml_quality.json).
+
+The fit runs in a SUBPROCESS under the engine's default session
+(scripts/train_reference_pipeline.py --json-all), not the pytest
+session: tree metrics are bit-reproducible for a fixed session config
+(verified: repeated gbt runs agree to 16 digits) but shift by ~0.1 when
+the session's parallelism changes (local[4] vs local[32] flips
+double-accumulation order in the feature pipeline, and tree splits
+amplify the low-order bits). Gating the engine session gates what the
+driver actually runs. Regenerate goldens with the same command.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+GOLDENS = json.loads((REPO / "tests" / "goldens" / "ml_quality.json").read_text())
+
+# Band for cross-machine jitter (core count, BLAS); bit-identical on a
+# fixed machine. "Stopped learning" (AUROC→0.5, AUPRC→base rate ~0.24)
+# fails every test-split assertion at this width.
+TOL = 0.05
+
+
+@pytest.fixture(scope="module")
+def trained_metrics():
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "train_reference_pipeline.py"), "--json-all"],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "32"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.parametrize("algo", ["brf", "urf", "gbt"])
+def test_model_quality_matches_golden(trained_metrics, algo):
+    metrics, golden = trained_metrics[algo], GOLDENS[algo]
+    for split in ("test", "train"):
+        for metric in ("areaUnderPR", "areaUnderROC"):
+            got, want = metrics[split][metric], golden[split][metric]
+            assert got == pytest.approx(want, abs=TOL), (
+                f"{algo} {split} {metric}: got {got:.4f}, golden {want:.4f}"
+            )
+    # Absolute floor: the model must actually LEARN the planted structure
+    # (random baseline: AUROC 0.5, AUPRC = positive rate ~0.24).
+    assert metrics["test"]["areaUnderROC"] > 0.65
+    assert metrics["test"]["areaUnderPR"] > 0.40
