@@ -265,7 +265,7 @@ def knn_join_grid_exact(
     margin: float = 0.95,
     safety: float = 32.0,
     verify: str = "eager",
-    fallback_budget_pairs: int = 20_000_000,
+    fallback_budget_pairs: int = 2_000_000,
 ) -> DataFrame:
     """EXACT kNN join at grid cost: density-sized cells + per-point
     verification + escalation.
@@ -324,6 +324,7 @@ def knn_join_grid_exact(
     if verify not in ("eager", "off"):
         raise ValueError(f"verify must be 'eager' or 'off', got {verify!r}")
     n_right: int | None = None
+    area: float | None = None
     if cell_deg is None:
         # safety=32, not estimate_cell_deg's occupancy-oriented 4: the
         # PROOF needs cell >= ~3x the typical k-th-neighbor distance
@@ -415,15 +416,26 @@ def knn_join_grid_exact(
         remaining = remaining.join(
             bad_firsts.select(left_id), left_id, "left_semi"
         )
-        # Short-circuit: when the residue × right is small enough that
-        # the exhaustive broadcast join is cheaper than another full
-        # grid round (join + window + action), finish it now. n_right
-        # comes free from the density scan; it is only counted here if
-        # the caller supplied cell_deg. At cluster scale a huge right
+        # Short-circuit: finish the residue with the exhaustive broadcast
+        # join when that is genuinely cheaper than another grid round —
+        # NOT just "small enough in absolute terms". The comparison is in
+        # candidate pairs: exhaustive costs n_bad × |right|; a grid round
+        # costs ~n_bad × occ_next (expected 3x3-block occupancy at the
+        # grown cell, from the density scan) plus fixed per-round
+        # overhead. A 20M-pair "budget" measured 10s at 10x scale where
+        # the grid round was 1.6M pairs — 6x the work for one saved
+        # round. ``fallback_budget_pairs`` (2M) remains the floor that
+        # amortizes the fixed overhead when the residue is truly tiny;
+        # when the density is unknown (caller-supplied cell_deg) the
+        # floor is the only criterion. At cluster scale a huge right
         # side fails the broadcast cap and escalation proceeds as before.
         if n_right is None:
             n_right = right.count()
-        if n_right <= 1_000_000 and n_bad * n_right <= fallback_budget_pairs:
+        budget = fallback_budget_pairs
+        if area is not None:
+            occ_next = 9.0 * (cell_deg * growth) ** 2 * n_right / (0.96 * area)
+            budget = max(budget, int(3.0 * n_bad * min(occ_next, float(n_right))))
+        if n_right <= 1_000_000 and n_bad * n_right <= budget:
             residue = remaining
             remaining = None
             break

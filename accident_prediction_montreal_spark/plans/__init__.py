@@ -71,10 +71,10 @@ _PRIORITY = [
     # the exhaustive twin leads the tail at position 51.
     "a6_idw_radius",
     "j9_asof_join",
-    # TPC-H shapes: the five never-checked rotate in next to the four
-    # single/double-green keepers.
-    "tpch_q5_local_supplier_volume",
-    "tpch_q18_large_orders",
+    # TPC-H shapes: the five never-checked rotate in next to the
+    # single/double-green keepers. q5/q18 (2 greens each, join/agg
+    # shapes fully covered by the in-window q3-q22 family) ceded their
+    # slots to the two NEW r5 LLM-pipeline queries below.
     "tpch_q4_late_orders",
     "tpch_q12_priority_lines",
     "tpch_q7_volume_shipping",
@@ -86,6 +86,9 @@ _PRIORITY = [
     # carry the xxhash/MLlib rows-only tail, + the upgraded SimHash
     # invariants, + the never-checked text tail.
     "llm_prepare_corpus",
+    # New in r5: decontamination + temperature mixing (first evidence).
+    "llm_decontaminate",
+    "llm_temperature_mix",
     "dedup_embedding_cosine",
     "dedup_near_invariants",
     "dedup_simhash",
@@ -132,10 +135,15 @@ _PRIORITY = [
     "x5_month_shard_backfill",
 ]
 
-# Positions 51-52: the exhaustive reference-semantics IDW twin adjacent
+# Positions 51-54: the exhaustive reference-semantics IDW twin adjacent
 # to its in-window scale path per the r4 verdict, then the rotated-out
-# WAV codec next to its in-window image siblings.
-_TAIL_HEAD = ["a6_idw_interpolation", "mm_wav_decode"]
+# WAV codec and TPC-H q5/q18 (every one multiply driver-evidenced).
+_TAIL_HEAD = [
+    "a6_idw_interpolation",
+    "mm_wav_decode",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_orders",
+]
 
 
 def _reorder() -> None:

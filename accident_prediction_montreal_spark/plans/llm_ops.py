@@ -2108,3 +2108,123 @@ def f_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy("event_type")
         .agg(F.round(selfweighted("_num", "_den"), 6).alias("selfweighted"))
     )
+
+
+@register(
+    "llm_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+        UNNEST(list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks WHERE len(w) >= 3
+    ),
+    capped AS (
+      SELECT doc_id, s FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY s) <= 4
+    )
+    SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM capped t JOIN capped e ON t.s = e.s
+    WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    description="Train/eval DECONTAMINATION (standard pretraining hygiene): "
+    "flag train docs sharing >=2 distinct word-3-grams with an eval set "
+    "(doc_id % 10 == 0 plays the benchmark). operators/decontam.py: "
+    "postings-bucket inverted index over 64-bit shingle hashes, combined "
+    "doc-frequency cap (4) drops non-discriminative frequent n-grams "
+    "BEFORE any pair is formed (quadratic-skew guard); counts are "
+    "hash-invariant, so the DuckDB oracle computes over string trigrams. "
+    "The uncapped operator path broadcasts the (small) eval postings -- "
+    "no shuffle of the 100-TB train side.",
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.decontam import (
+        contamination_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    return contamination_pairs(
+        train, eval_df, n=3, min_shared=2, max_doc_freq=4
+    )
+
+
+@register(
+    "llm_temperature_mix",
+    oracle="""
+    WITH d AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS total FROM d),
+    w AS (
+      SELECT source, n_docs, CAST(n_docs AS DOUBLE) / total AS p_share,
+        CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE) / total), 12) AS DECIMAL(20,12)) AS pw
+      FROM d, t
+    ),
+    norm AS (
+      SELECT source, n_docs, p_share,
+        CAST(pw AS DOUBLE) / CAST(SUM(pw) OVER () AS DOUBLE) AS p_tau
+      FROM w
+    ),
+    rates AS (
+      SELECT source, n_docs, p_share, p_tau,
+        LEAST(1.0, 0.5 * (SELECT total FROM t) * p_tau / n_docs) AS sample_rate
+      FROM norm
+    ),
+    samp AS (
+      SELECT doc.source, CAST(COUNT(*) AS BIGINT) AS n_sampled
+      FROM documents doc JOIN rates r USING (source)
+      WHERE CAST(((doc.doc_id % 1000003) * 2654435761 + 12345) % 1000000007 AS DOUBLE)
+            / 1000000007 < r.sample_rate
+      GROUP BY doc.source
+    )
+    SELECT r.source, r.n_docs,
+      ROUND(r.p_share, 6) + 0.0 AS p_share,
+      ROUND(r.p_tau, 6) + 0.0 AS p_tau,
+      ROUND(r.sample_rate, 6) + 0.0 AS sample_rate,
+      COALESCE(s.n_sampled, 0) AS n_sampled
+    FROM rates r LEFT JOIN samp s USING (source)
+    """,
+    description="Temperature-based corpus mixing (multi-domain pretraining "
+    "recipe, p_d ~ share^0.5): per-domain shares, normalized temperature "
+    "weights, Bernoulli keep-rates targeting half the corpus, and the "
+    "REALIZED deterministic sample count. operators/mixing.py: stats are "
+    "|domains| rows broadcast back over the corpus -- the 100-TB side is "
+    "touched in one map pass, no shuffle; selection is an integer LCG on "
+    "doc_id (reproducible, partition-independent), sqrt/DECIMAL-sum "
+    "arithmetic keeps every boundary bit-identical across engines.",
+)
+def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.mixing import (
+        temperature_mix_rates,
+        temperature_sample,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    rates = temperature_mix_rates(docs, "source", temperature=0.5, target_frac=0.5)
+    sampled = (
+        temperature_sample(docs, "source", "doc_id", temperature=0.5, target_frac=0.5)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        rates.withColumnRenamed("domain", "source")
+        .join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            (F.round("p_share", 6) + 0.0).alias("p_share"),
+            (F.round("p_tau", 6) + 0.0).alias("p_tau"),
+            (F.round("sample_rate", 6) + 0.0).alias("sample_rate"),
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+        )
+    )

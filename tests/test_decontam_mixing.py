@@ -1,0 +1,152 @@
+"""Decontamination + temperature mixing (r5 LLM-pipeline extensions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.operators.decontam import (
+    contamination_pairs,
+    decontaminate,
+)
+from accident_prediction_montreal_spark.operators.mixing import (
+    lcg_uniform,
+    temperature_mix_rates,
+    temperature_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    # train doc 1 contains eval doc 100's text verbatim (planted
+    # contamination); train doc 2 shares nothing; train doc 3 shares a
+    # single trigram with eval 101 (below min_shared=2).
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six"),
+            (3, "red green blue cyan magenta yellow"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [
+            (100, "beta gamma delta epsilon"),
+            (101, "red green blue violet indigo"),
+        ],
+        ["doc_id", "text"],
+    )
+    return train, eval_df
+
+
+def test_contamination_pairs_planted(corpora):
+    train, eval_df = corpora
+    # broadcast path (no cap)
+    got = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in contamination_pairs(train, eval_df, min_shared=1).collect()
+    }
+    # eval 100 has trigrams {bgd, gde, dee'}: all 2... "beta gamma delta",
+    # "gamma delta epsilon" — both inside train doc 1.
+    assert got[(1, 100)] == 2
+    # train 3 and eval 101 share exactly "red green blue".
+    assert got[(3, 101)] == 1
+    assert (2, 100) not in got and (2, 101) not in got
+
+    # min_shared threshold drops the single-trigram pair
+    strict = contamination_pairs(train, eval_df, min_shared=2).collect()
+    assert {(r["train_id"], r["eval_id"]) for r in strict} == {(1, 100)}
+
+    # capped path agrees with the broadcast path on this tiny corpus
+    capped = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in contamination_pairs(
+            train, eval_df, min_shared=1, max_doc_freq=10
+        ).collect()
+    }
+    assert capped == got
+
+
+def test_contamination_cap_drops_frequent_shingles(spark):
+    # the same trigram in 3 docs; cap of 2 must drop it entirely
+    train = spark.createDataFrame(
+        [(1, "x y z a"), (2, "x y z b")], ["doc_id", "text"]
+    )
+    eval_df = spark.createDataFrame([(100, "x y z c")], ["doc_id", "text"])
+    assert (
+        contamination_pairs(train, eval_df, min_shared=1, max_doc_freq=2).count() == 0
+    )
+    assert (
+        contamination_pairs(train, eval_df, min_shared=1, max_doc_freq=3).count() == 2
+    )
+
+
+def test_decontaminate_anti_join(corpora):
+    train, eval_df = corpora
+    kept = decontaminate(train, eval_df, min_shared=2)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+
+def test_broadcast_plan_shape(corpora):
+    train, eval_df = corpora
+    plan = contamination_pairs(train, eval_df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # eval postings broadcast, train never shuffled
+
+
+def test_temperature_rates_math(spark):
+    # 70/30 split, tau=0.5: weights prop sqrt(0.7), sqrt(0.3)
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 70, "big").otherwise("small").alias("source"),
+    )
+    rates = {r["domain"]: r for r in temperature_mix_rates(docs, "source").collect()}
+    import math
+
+    wb, ws = math.sqrt(0.7), math.sqrt(0.3)
+    assert rates["big"]["p_share"] == pytest.approx(0.7)
+    assert rates["big"]["p_tau"] == pytest.approx(wb / (wb + ws), rel=1e-9)
+    assert rates["small"]["p_tau"] == pytest.approx(ws / (wb + ws), rel=1e-9)
+    # target half the corpus: 50 * p_tau docs expected from each domain
+    assert rates["small"]["sample_rate"] == pytest.approx(
+        50 * ws / (wb + ws) / 30, rel=1e-9
+    )
+    # low-resource domain is up-sampled relative to its share
+    assert rates["small"]["sample_rate"] > rates["big"]["sample_rate"]
+
+
+def test_temperature_rate_caps_at_one(spark):
+    # an extreme split where the small domain's computed rate exceeds 1
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 998, "big").otherwise("tiny").alias("source"),
+    )
+    rates = {r["domain"]: r for r in temperature_mix_rates(docs, "source").collect()}
+    assert rates["tiny"]["sample_rate"] == 1.0
+
+
+def test_temperature_sample_deterministic(spark):
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),
+        F.lit("t").alias("text"),
+    )
+    a = sorted(r["doc_id"] for r in temperature_sample(docs).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_sample(docs.repartition(7)).collect()
+    )
+    assert a == b  # partition-layout independent
+    assert 0 < len(a) < 500
+    # realized total near the target fraction
+    assert len(a) == pytest.approx(250, abs=40)
+
+
+def test_lcg_uniform_range(spark):
+    vals = (
+        spark.range(1000)
+        .select(lcg_uniform(F.col("id")).alias("u"))
+        .agg(F.min("u"), F.max("u"), F.avg("u"))
+        .first()
+    )
+    assert 0.0 <= vals[0] and vals[1] < 1.0
+    assert vals[2] == pytest.approx(0.5, abs=0.05)
