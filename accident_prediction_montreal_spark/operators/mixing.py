@@ -87,6 +87,41 @@ def temperature_mix_rates(
     )
 
 
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+) -> DataFrame:
+    """Deterministic id-hash split: adds a ``split`` column assigning each
+    row to a named bucket by cumulative-weight thresholds over
+    ``lcg_uniform(id)``.
+
+    This is the production replacement for ``randomSplit`` at scale:
+    randomSplit draws per-partition, so the SAME row can land in a
+    different bucket when partitioning changes (re-shuffles, AQE,
+    cluster resize) — an id-hash split is a pure function of the row's
+    id, stable across runs, engines, and layouts, and needs no extra
+    pass (randomSplit's two DataFrames each re-scan the parent). One
+    withColumn; filters on ``split`` stay pushable.
+    """
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    total = float(sum(weights))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    u = lcg_uniform(id_col)
+    acc = 0.0
+    expr = F.lit(names[-1])  # last bucket takes the remainder
+    cuts: list[tuple[float, str]] = []
+    for w, nm in zip(weights[:-1], names[:-1]):
+        acc += w / total
+        cuts.append((acc, nm))
+    for cut, nm in reversed(cuts):
+        expr = F.when(u < F.lit(cut), F.lit(nm)).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
 def temperature_sample(
     docs: DataFrame,
     domain_col: str = "source",

@@ -102,8 +102,8 @@ _PRIORITY = [
     "text_quality_deciles",
     # Multimodal: Arrow-batched mapInPandas under value oracles. The new
     # BMP codec (r4 verdict #7) takes mm_wav_decode's slot — WAV already
-    # has two driver greens (r4 + r2) and moves to the head of the tail.
-    "mm_payload_stats",
+    # has two driver greens (r4 + r2) and moves to the head of the tail,
+    # as does mm_payload_stats (2 greens, ceding to r5_hash_split).
     "mm_bmp_decode",
     "mm_ppm_decode",
     # Streaming: the five kept REAL availableNow queries + the four
@@ -120,11 +120,14 @@ _PRIORITY = [
     "st_tumbling_window",
     "st_sliding_window",
     # ML surface + sampling contracts + the never-checked ML tail.
+    # r5_hash_split (new r5: deterministic id-hash split) takes
+    # mm_payload_stats's slot (2 driver greens; moves to the tail head).
     "m7_auc_evaluator",
     "m_calibration_bins",
     "m_rf_pipeline_invariants",
     "r_sampling_invariants",
     "r_stratified_sample_invariants",
+    "r5_hash_split",
     # Pandas-UDF / SQL-shape / window / partition-pattern evidence.
     "f_pandas_grouped_agg",
     "f_apply_in_pandas_zscore",
@@ -141,6 +144,7 @@ _PRIORITY = [
 _TAIL_HEAD = [
     "a6_idw_interpolation",
     "mm_wav_decode",
+    "mm_payload_stats",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_orders",
 ]

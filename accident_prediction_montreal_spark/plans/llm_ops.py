@@ -2228,3 +2228,33 @@ def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
         )
     )
+
+
+@register(
+    "r5_hash_split",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, source,
+        CAST(((doc_id % 1000003) * 2654435761 + 12345) % 1000000007 AS DOUBLE)
+          / 1000000007 AS u
+      FROM documents
+    )
+    SELECT source,
+      CASE WHEN u < 0.5 THEN 'train' WHEN u < 0.75 THEN 'val' ELSE 'test' END AS split,
+      CAST(COUNT(*) AS BIGINT) AS n
+    FROM u GROUP BY 1, 2
+    """,
+    description="Deterministic id-hash split (production replacement for "
+    "randomSplit, which draws per-partition and can re-bucket the SAME "
+    "row when layout changes): split = cumulative-weight thresholds over "
+    "an integer-LCG uniform of doc_id — a pure function of the row, "
+    "stable across runs/engines/partitionings, zero extra passes. "
+    "Weights 0.5/0.25/0.25 keep the cumulative cuts float-exact so the "
+    "oracle's thresholds are bit-identical. operators/mixing.py::hash_split.",
+)
+def r5_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.mixing import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = hash_split(docs, "doc_id", weights=(0.5, 0.25, 0.25))
+    return out.groupBy("source", "split").agg(F.count(F.lit(1)).cast("long").alias("n"))

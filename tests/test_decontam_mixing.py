@@ -150,3 +150,32 @@ def test_lcg_uniform_range(spark):
     )
     assert 0.0 <= vals[0] and vals[1] < 1.0
     assert vals[2] == pytest.approx(0.5, abs=0.05)
+
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    from accident_prediction_montreal_spark.operators.mixing import hash_split
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(13)).collect()
+    }
+    assert a == b  # pure function of the id, layout-independent
+    assert set(a.values()) <= {"train", "val", "test"}
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert c["train"] == pytest.approx(1600, abs=120)  # 80/10/10 default
+    assert c["val"] == pytest.approx(200, abs=70)
+    assert sum(c.values()) == 2000  # exhaustive, disjoint by construction
+
+
+def test_hash_split_validates_weights(spark):
+    from accident_prediction_montreal_spark.operators.mixing import hash_split
+
+    docs = spark.range(5).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        hash_split(docs, weights=(1.0,), names=("a", "b"))
+    with pytest.raises(ValueError):
+        hash_split(docs, weights=(0.0, 0.0), names=("a", "b"))

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -261,3 +263,81 @@ def test_repetition_signals_matches_counter(spark, toks):
     assert r["n_distinct"] == len(c)
     assert abs(r["dup_frac"] - round(1 - len(c) / len(grams), 6)) < 1e-9
     assert abs(r["top_frac"] - round(max(c.values()) / len(grams), 6)) < 1e-9
+
+
+# --- decontamination (r5) ------------------------------------------------------
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee"]
+
+corpus_texts = st.lists(
+    st.lists(st.integers(0, 4), min_size=0, max_size=8).map(
+        lambda ids: " ".join(_WORDS[i] for i in ids)
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _naive_trigrams(text: str) -> set[tuple[str, str, str]]:
+    w = text.strip().lower().split()
+    return {tuple(w[i : i + 3]) for i in range(len(w) - 2)}
+
+
+@settings(**SETTINGS)
+@given(train_texts=corpus_texts, eval_texts=corpus_texts)
+def test_contamination_pairs_match_naive_intersection(spark, train_texts, eval_texts):
+    from accident_prediction_montreal_spark.operators.decontam import (
+        contamination_pairs,
+    )
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], ["doc_id", "text"]
+    )
+    eval_df = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(eval_texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in contamination_pairs(train, eval_df, min_shared=1).collect()
+    }
+    want = {}
+    for i, t in enumerate(train_texts):
+        for j, e in enumerate(eval_texts):
+            n = len(_naive_trigrams(t) & _naive_trigrams(e))
+            if n >= 1:
+                want[(i, 1000 + j)] = n
+    assert got == want
+
+
+# --- temperature mixing (r5) ---------------------------------------------------
+
+domain_sizes = st.lists(st.integers(1, 40), min_size=1, max_size=5)
+
+
+@settings(**SETTINGS)
+@given(sizes=domain_sizes)
+def test_temperature_mix_rates_match_naive(spark, sizes):
+    import math
+
+    from accident_prediction_montreal_spark.operators.mixing import (
+        temperature_mix_rates,
+    )
+
+    rows, doc_id = [], 0
+    for d, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((doc_id, f"dom{d}"))
+            doc_id += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {r["domain"]: r for r in temperature_mix_rates(docs, "source").collect()}
+
+    total = float(sum(sizes))
+    pw = [round(math.sqrt(n / total), 12) for n in sizes]
+    denom = sum(pw)  # exact: each term has 12 decimals, sum of <=5 terms
+    for d, n in enumerate(sizes):
+        r = got[f"dom{d}"]
+        assert r["n_docs"] == n
+        assert r["p_share"] == pytest.approx(n / total, rel=1e-12)
+        assert r["p_tau"] == pytest.approx(pw[d] / denom, rel=1e-9)
+        expect_rate = min(1.0, 0.5 * total * (pw[d] / denom) / n)
+        assert r["sample_rate"] == pytest.approx(expect_rate, rel=1e-9)
