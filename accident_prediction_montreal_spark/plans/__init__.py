@@ -82,6 +82,17 @@ _PRIORITY = [
     "tpch_q14_promo_revenue",
     "tpch_q16_supplier_cnt",
     "tpch_q22_global_sales_opportunity",
+    # New in r5: the four hardest remaining TPC-H shapes (regional
+    # correlated-MIN, revenue-view + MAX subquery, correlated-AVG
+    # threshold, EXISTS/NOT-EXISTS double self-join). They take the
+    # slots of st_availablenow_stream / m7_auc_evaluator /
+    # j_salted_skew_join / sql_correlated_subquery (2 driver greens
+    # each; availableNow machinery stays pinned by the other 9 streaming
+    # entries, and q2/q15/q17 subsume the correlated-subquery shape).
+    "tpch_q2_min_cost_supplier",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_supplier",
     # LLM-pipeline: corpus flagship + the dedup/ANN contract queries that
     # carry the xxhash/MLlib rows-only tail, + the upgraded SimHash
     # invariants, + the never-checked text tail.
@@ -109,7 +120,6 @@ _PRIORITY = [
     # Streaming: the five kept REAL availableNow queries + the four
     # never-checked (REAL sliding + foreachBatch sink + stream-static
     # join + the two batch twins of the windowed aggs).
-    "st_availablenow_stream",
     "st_session_stream",
     "st_stream_dedup",
     "st_late_data_eviction",
@@ -122,7 +132,6 @@ _PRIORITY = [
     # ML surface + sampling contracts + the never-checked ML tail.
     # r5_hash_split (new r5: deterministic id-hash split) takes
     # mm_payload_stats's slot (2 driver greens; moves to the tail head).
-    "m7_auc_evaluator",
     "m_calibration_bins",
     "m_rf_pipeline_invariants",
     "r_sampling_invariants",
@@ -131,8 +140,6 @@ _PRIORITY = [
     # Pandas-UDF / SQL-shape / window / partition-pattern evidence.
     "f_pandas_grouped_agg",
     "f_apply_in_pandas_zscore",
-    "j_salted_skew_join",
-    "sql_correlated_subquery",
     "w5_running_sums",
     "a_approx_percentile_invariant",
     "x5_month_shard_backfill",
@@ -147,6 +154,10 @@ _TAIL_HEAD = [
     "mm_payload_stats",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_orders",
+    "st_availablenow_stream",
+    "m7_auc_evaluator",
+    "j_salted_skew_join",
+    "sql_correlated_subquery",
 ]
 
 

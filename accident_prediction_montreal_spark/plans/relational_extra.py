@@ -1156,3 +1156,244 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    ps AS (
+      SELECT l.l_partkey, l.l_suppkey,
+        MIN(l.l_extendedprice / l.l_quantity) AS supply_cost
+      FROM lineitem l JOIN eu ON eu.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey,
+      ROUND(ps.supply_cost, 6) + 0.0 AS supply_cost
+    FROM part p
+    JOIN ps ON ps.l_partkey = p.p_partkey
+    JOIN eu ON eu.s_suppkey = ps.l_suppkey
+    WHERE p.p_size = 3 AND p.p_type = 'STANDARD'
+      AND ps.supply_cost = (
+        SELECT MIN(ps2.supply_cost) FROM ps ps2 WHERE ps2.l_partkey = p.p_partkey
+      )
+    """,
+    description="TPC-H Q2 shape (lineitem as the part-supplier bridge; this "
+    "schema has no partsupp): cheapest EUROPEAN supplier per part — as in "
+    "the spec, the correlated MIN subquery ranges over the SAME region-"
+    "filtered supplier set as the outer query, and decorrelates to a "
+    "per-part min aggregate joined back on (partkey, cost-equality). The "
+    "region filter broadcasts down to the lineitem scan BEFORE the "
+    "per-(part,supplier) aggregate, so the bridge aggregate only touches "
+    "the regional slice; unit cost is MIN(price/qty), order-independent "
+    "so double math is engine-exact and the equality filter is safe.",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "EUROPE"
+    ).select("r_regionkey")
+    eu = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    ps = (
+        li.join(F.broadcast(eu.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+    )
+    min_cost = ps.groupBy("l_partkey").agg(F.min("supply_cost").alias("min_cost"))
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter((F.col("p_size") == 3) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    return (
+        ps.join(min_cost, "l_partkey")
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            (F.round("supply_cost", 6) + 0.0).alias("supply_cost"),
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+          AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    description="TPC-H Q15 shape (the revenue view + uncorrelated MAX "
+    "subquery): per-supplier quarterly revenue (decimal-exact, so the "
+    "MAX-equality filter compares bit-identical doubles in both engines), "
+    "the 1-row max broadcast back over the aggregate — no second scan of "
+    "lineitem, matching the view reuse the spec intends.",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec4 = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dec4(F.col("l_extendedprice")) * dec4(F.lit(1) - F.col("l_discount")))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey,
+        0.2 * CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS DOUBLE)
+          AS qty_lim
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / 7.0
+        AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2') AND l.l_quantity < pq.qty_lim
+    GROUP BY p.p_brand
+    """,
+    description="TPC-H Q17 shape (small-quantity orders below 20% of the "
+    "part's average): the correlated AVG subquery decorrelates to a "
+    "per-part aggregate joined back to the fact — computed with the "
+    "decimal-exact davg so the 0.2x threshold is bit-identical across "
+    "engines (a float AVG would make the < comparison flaky at the "
+    "boundary); brand filter broadcast-prunes parts before the join.",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.functions.money import davg
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pq = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * davg("l_quantity")).alias("qty_lim")
+    )
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2"))
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pq, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0)
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    """,
+    description="TPC-H Q21 shape (suppliers who kept orders waiting; "
+    "l_returnflag='R' stands in for receipt-after-commit, which this "
+    "schema lacks): the classic EXISTS + NOT EXISTS double self-join on "
+    "the fact — Spark expresses them as a compound-condition left_semi "
+    "(another supplier touched the order) then left_anti (no OTHER "
+    "supplier was late) against the same lineitem projection, both "
+    "shuffling only (orderkey, suppkey, flag) triples; orders filter "
+    "prunes to finalized orders before the semi/anti pair, supplier "
+    "dimension broadcasts for the final count.",
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1.l_orderkey == F.col("o3")) & (l1.l_suppkey != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
