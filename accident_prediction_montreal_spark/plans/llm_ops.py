@@ -2126,7 +2126,7 @@ def f_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     capped AS (
       SELECT doc_id, s FROM sh
-      QUALIFY COUNT(*) OVER (PARTITION BY s) <= 4
+      QUALIFY COUNT(*) OVER (PARTITION BY s) <= 8
     )
     SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
            CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -2154,7 +2154,7 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 10 != 0)
     eval_df = docs.filter(F.col("doc_id") % 10 == 0)
     return contamination_pairs(
-        train, eval_df, n=3, min_shared=2, max_doc_freq=4
+        train, eval_df, n=3, min_shared=2, max_doc_freq=8
     )
 
 
