@@ -126,3 +126,52 @@ def test_ntz_date_predicates_push_to_scan(spark):
     assert "GreaterThan(l_shipdate" in pushed
     # and the scan type is the naive passthrough, not a converted column
     assert "o_orderdate:timestamp_ntz" in plan.replace(" ", "")
+
+
+def test_q21_semi_anti_pair(spark):
+    # EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, both against the narrow
+    # lineitem projection; supplier dim broadcasts.
+    plan = plan_of(spark, "tpch_q21_waiting_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    # the fact projection shuffled by the self-joins is narrow: no
+    # lineitem money columns may appear in the read schema
+    schema = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert not any("l_extendedprice" in s for s in schema)
+
+
+def test_q2_region_filter_below_bridge_aggregate(spark):
+    # The EUROPE slice must reach the lineitem side BEFORE the
+    # per-(part,supplier) aggregate (broadcast), not after it.
+    plan = plan_of(spark, "tpch_q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    # two-phase min aggregates for the bridge + per-part min
+    assert plan.count("partial_min") >= 2
+
+
+def test_q17_threshold_join_shares_partkey_key(spark):
+    # correlated-AVG decorrelation: per-part aggregate joined back on
+    # l_partkey — no cross join, and the brand dim broadcasts.
+    plan = plan_of(spark, "tpch_q17_small_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_sample_broadcasts_rates(spark):
+    from accident_prediction_montreal_spark.operators.mixing import (
+        temperature_sample,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),
+    )
+    plan = (
+        temperature_sample(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles
