@@ -35,9 +35,18 @@ _LCG_MOD_OUT = 1000000007
 
 def lcg_uniform(id_col: Column | str) -> Column:
     """Deterministic pseudo-uniform in [0,1) from an integer id — exact
-    int64 arithmetic, reproducible across engines and partitionings."""
+    int64 arithmetic, reproducible across engines and partitionings.
+
+    Uses a positive modulus fold (``(x % m + m) % m``), because SQL ``%``
+    keeps the dividend's sign: a plain ``id % m`` would make every
+    NEGATIVE id produce u < 0, silently landing all such rows in the
+    first split/below every sampling threshold. For non-negative ids the
+    fold is the identity, so SQL oracles over natural keys can mirror
+    the plain expression.
+    """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    u = (c % _LCG_MOD_IN) * F.lit(_LCG_MULT) + F.lit(_LCG_ADD)
+    folded = (c % _LCG_MOD_IN + _LCG_MOD_IN) % _LCG_MOD_IN
+    u = folded * F.lit(_LCG_MULT) + F.lit(_LCG_ADD)
     return (u % _LCG_MOD_OUT).cast("double") / F.lit(float(_LCG_MOD_OUT))
 
 

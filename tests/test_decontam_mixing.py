@@ -179,3 +179,13 @@ def test_hash_split_validates_weights(spark):
         hash_split(docs, weights=(1.0,), names=("a", "b"))
     with pytest.raises(ValueError):
         hash_split(docs, weights=(0.0, 0.0), names=("a", "b"))
+
+
+def test_lcg_uniform_negative_ids_stay_in_range(spark):
+    vals = (
+        spark.range(-500, 0)
+        .select(lcg_uniform(F.col("id")).alias("u"))
+        .agg(F.min("u").alias("lo"), F.max("u").alias("hi"))
+        .first()
+    )
+    assert 0.0 <= vals["lo"] and vals["hi"] < 1.0
