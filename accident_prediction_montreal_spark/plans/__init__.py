@@ -97,7 +97,12 @@ _PRIORITY = [
     # carry the xxhash/MLlib rows-only tail, + the upgraded SimHash
     # invariants, + the never-checked text tail.
     "llm_prepare_corpus",
-    # New in r5: decontamination + temperature mixing (first evidence).
+    # New in r5: decontamination + temperature mixing (first evidence) +
+    # the capstone composing quality->dedup->decontam->mix->split in one
+    # plan (takes f_apply_in_pandas_zscore's slot; 2 driver greens, and
+    # the pandas surface stays pinned by f_pandas_grouped_agg + the mm_*
+    # mapInPandas queries).
+    "llm_pretrain_pipeline",
     "llm_decontaminate",
     "llm_temperature_mix",
     "dedup_embedding_cosine",
@@ -139,7 +144,6 @@ _PRIORITY = [
     "r5_hash_split",
     # Pandas-UDF / SQL-shape / window / partition-pattern evidence.
     "f_pandas_grouped_agg",
-    "f_apply_in_pandas_zscore",
     "w5_running_sums",
     "a_approx_percentile_invariant",
     "x5_month_shard_backfill",
@@ -158,6 +162,7 @@ _TAIL_HEAD = [
     "m7_auc_evaluator",
     "j_salted_skew_join",
     "sql_correlated_subquery",
+    "f_apply_in_pandas_zscore",
 ]
 
 

@@ -2258,3 +2258,140 @@ def r5_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     out = hash_split(docs, "doc_id", weights=(0.5, 0.25, 0.25))
     return out.groupBy("source", "split").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+_PRETRAIN_ORACLE_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, text, source,
+        CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+      FROM documents
+    ),
+    clean AS (
+      SELECT doc_id, text, source, w, len(w) AS n_tokens FROM toks
+      WHERE len(w) >= 20
+        AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+            / CAST(length(text) AS DOUBLE) <= 0.2
+        AND len(list_filter(w, t -> t IN ({_stop_in("en")})))
+            / CAST(len(w) AS DOUBLE) >= 0.02
+    ),
+    ev AS (SELECT * FROM clean WHERE doc_id % 10 = 0),
+    train0 AS (SELECT * FROM clean WHERE doc_id % 10 <> 0),
+    train AS (
+      SELECT doc_id, source, w, n_tokens FROM (
+        SELECT t.*,
+          md5(trim(regexp_replace(regexp_replace(lower(t.text), '[^a-z0-9\\s]', '', 'g'),
+                                  '\\s+', ' ', 'g'))) AS fp
+        FROM train0 t
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    ),
+    sh AS (
+      SELECT doc_id,
+        UNNEST(list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM (
+        SELECT doc_id, w FROM train
+        UNION ALL
+        SELECT doc_id, w FROM ev
+      ) WHERE len(w) >= 3
+    ),
+    capped AS (
+      SELECT doc_id, s FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY s) <= 8
+    ),
+    pairs AS (
+      SELECT t.doc_id AS train_id
+      FROM capped t JOIN capped e ON t.s = e.s
+      WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+      GROUP BY t.doc_id, e.doc_id
+      HAVING COUNT(*) >= 2
+    ),
+    kept AS (
+      SELECT * FROM train
+      WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.train_id = train.doc_id)
+    ),
+    d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM kept GROUP BY source),
+    t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS total FROM d),
+    wgt AS (
+      SELECT source, n_docs,
+        CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE) / total), 12) AS DECIMAL(20,12)) AS pw
+      FROM d, t
+    ),
+    rates AS (
+      SELECT source, n_docs,
+        LEAST(1.0, 0.5 * (SELECT total FROM t)
+          * (CAST(pw AS DOUBLE) / CAST(SUM(pw) OVER () AS DOUBLE)) / n_docs) AS rate
+      FROM wgt
+    ),
+    samp AS (
+      SELECT k.source, k.n_tokens,
+        CAST(((k.doc_id % 1000003) * 2654435761 + 12345) % 1000000007 AS DOUBLE)
+          / 1000000007 AS u
+      FROM kept k JOIN rates r USING (source)
+      WHERE CAST(((k.doc_id % 1000003) * 2654435761 + 12345) % 1000000007 AS DOUBLE)
+            / 1000000007 < r.rate
+    )
+    SELECT source,
+      CASE WHEN u < 0.5 THEN 'train' WHEN u < 0.75 THEN 'val' ELSE 'test' END AS split,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM samp GROUP BY 1, 2
+    """
+
+
+@register(
+    "llm_pretrain_pipeline",
+    oracle=_PRETRAIN_ORACLE_SQL,
+    description="Capstone pretraining-data composite (north-star flagship "
+    "#2, composing the r5 surface end-to-end): quality filter (min "
+    "tokens, digit ratio, stopword ratio) -> fingerprint dedup (lowest "
+    "doc_id per canonical md5) -> DECONTAMINATION against the held-out "
+    "eval slice (doc_id%10==0; >=2 shared rare trigrams, combined "
+    "doc-freq cap 8) -> temperature mixing (tau=0.5, target half the "
+    "corpus, deterministic LCG keep) -> deterministic hash split "
+    "(0.5/0.25/0.25) -> per (source, split) doc and exact token totals. "
+    "Every stage is the registered operator itself (text_quality, "
+    "fingerprint, decontaminate, temperature_sample, hash_split), so "
+    "this query proves they COMPOSE: one lazy plan, shuffles only at "
+    "the dedup window, the decontam postings bucket, and the final "
+    "aggregate; the mixing/split stages are map-side (broadcast rates, "
+    "pure id arithmetic).",
+)
+def llm_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.decontam import decontaminate
+    from accident_prediction_montreal_spark.operators.mixing import (
+        hash_split,
+        temperature_sample,
+    )
+    from accident_prediction_montreal_spark.operators.text import (
+        fingerprint,
+        text_quality,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "source")
+    q = text_quality(docs, "text")
+    clean = q.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("digit_ratio") <= 0.2)
+        & (F.col("stopword_ratio") >= 0.02)
+    ).select("doc_id", "text", "source", "n_tokens")
+
+    eval_df = clean.filter(F.col("doc_id") % 10 == 0)
+    train0 = clean.filter(F.col("doc_id") % 10 != 0)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    train = (
+        train0.withColumn("fp", fingerprint("text"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "text", "source", "n_tokens")
+    )
+    kept = decontaminate(train, eval_df, n=3, min_shared=2, max_doc_freq=8)
+    sampled = temperature_sample(
+        kept, "source", "doc_id", temperature=0.5, target_frac=0.5
+    )
+    split = hash_split(sampled, "doc_id", weights=(0.5, 0.25, 0.25))
+    return split.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
