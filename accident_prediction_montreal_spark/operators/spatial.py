@@ -14,6 +14,8 @@ candidate pairs instead of the full cartesian product.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -407,9 +409,24 @@ def knn_join_grid_exact(
         # Exactly one rank-1 row exists per left point (outer join), and
         # _proven is constant within a point — so the convergence scalar
         # is a plain filtered count on the cached candidates: ONE action
-        # per round, no expand, no distinct.
+        # per round (the same agg also reads the worst unproven k-th
+        # candidate distance, used below to size the next cell).
         bad_firsts = flagged.filter((F.col("knn_rank") == 1) & ~F.col("_proven"))
-        n_bad = bad_firsts.count()
+        conv = flagged.agg(
+            F.sum(
+                F.when((F.col("knn_rank") == 1) & ~F.col("_proven"), 1).otherwise(0)
+            ).alias("n_bad"),
+            F.max(
+                F.when(
+                    ~F.col("_proven") & (F.col("knn_rank") == k), F.col("distance_m")
+                )
+            ).alias("max_dk"),
+            F.max(
+                F.when(~F.col("_proven"), F.abs(F.col(left_coords[0])))
+            ).alias("max_bad_lat"),
+        ).first()
+        n_bad, max_dk = int(conv["n_bad"] or 0), conv["max_dk"]
+        max_bad_lat = conv["max_bad_lat"]
         if n_bad == 0:
             remaining = None
             break
@@ -439,7 +456,30 @@ def knn_join_grid_exact(
             residue = remaining
             remaining = None
             break
-        cell_deg *= growth
+        # Data-driven escalation: most unproven points found k candidates
+        # whose k-th distance simply exceeded the proof bound — the cell
+        # that WOULD prove them is d_k/(M·margin·cos), known from this
+        # round. Jump straight to the worst such cell (capped at
+        # 8×growth to keep occupancy bounded against outliers) instead of
+        # blind growth steps: one escalation round instead of several,
+        # i.e. fewer barriers on a cluster. Exactness is untouched — the
+        # per-point proof gates every round regardless of cell size; a
+        # too-small jump just escalates again, a too-large one costs
+        # candidates. max_dk is None when every unproven point lacks k
+        # candidates (empty/short blocks) — fall back to the growth step.
+        # The cos uses the worst UNPROVEN latitude plus the current cell;
+        # if the jumped cell widens the band further the proof simply
+        # fails again and escalates — sizing can never break exactness.
+        needed = 0.0
+        if max_dk is not None:
+            cos_w = math.cos(
+                math.radians(min(float(max_bad_lat or 0.0) + cell_deg, 89.0))
+            )
+            if cos_w > 0.05:
+                needed = max_dk / (_M_PER_DEG * margin * cos_w)
+        cell_deg = min(
+            max(cell_deg * growth, needed * 1.05), cell_deg * growth * 8.0
+        )
     if remaining is not None:
         # Escalation exhausted: the stragglers go to the fallback.
         residue = remaining
@@ -551,8 +591,6 @@ def idw_interpolate_radius(
     the worst-latitude bound, mirroring the kNN proof's curvature
     margin (negligible at km-scale radii, free to keep).
     """
-    import math
-
     s_lat, s_lon = sample_coords
     t_lat, t_lon = station_coords
     use_grid = True
