@@ -137,7 +137,7 @@ def decode_wav(payload: bytes) -> dict:
 
     import numpy as np
 
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt_chunk, data = 12, None, None
     while pos + 8 <= len(payload):
@@ -223,7 +223,7 @@ def decode_ppm(payload: bytes) -> dict:
     """
     import numpy as np
 
-    if not payload.startswith(b"P6"):
+    if payload is None or not payload.startswith(b"P6"):
         raise ValueError("not a binary PPM (P6) payload")
     # Header = 4 whitespace-separated tokens; '#' comments run to newline.
     pos, tokens = 2, []
@@ -335,7 +335,7 @@ def decode_bmp(payload: bytes) -> dict:
 
     import numpy as np
 
-    if len(payload) < 54 or payload[:2] != b"BM":
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (offset,) = struct.unpack_from("<I", payload, 10)
     hdr_size, width, raw_height = struct.unpack_from("<Iii", payload, 14)

@@ -251,3 +251,15 @@ def test_bmp_features_mapinpandas(spark):
     assert got[2]["mean_g"] == pytest.approx(
         px2.reshape(-1, 3)[:, 1].astype("float64").mean(), abs=1e-9
     )
+
+
+def test_decoders_reject_null_payload():
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+    )
+
+    for dec in (decode_wav, decode_ppm, decode_bmp):
+        with pytest.raises(ValueError):
+            dec(None)  # null payload must be the documented error, not a TypeError
