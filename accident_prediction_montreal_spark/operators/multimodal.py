@@ -346,6 +346,11 @@ def decode_bmp(payload: bytes) -> dict:
         raise ValueError(
             f"unsupported encoding: planes={planes} bpp={bpp} compression={compression}"
         )
+    if width <= 0 or raw_height == 0:
+        # zero/negative dims pass every byte-length check (0 == 0) and
+        # would surface as IndexError/NaN downstream instead of the
+        # documented error class
+        raise ValueError(f"degenerate BMP dimensions {width}x{raw_height}")
     height = abs(raw_height)
     top_down = raw_height < 0
     row_bytes = width * 3

@@ -450,7 +450,7 @@ def knn_join_grid_exact(
             n_right = right.count()
         budget = fallback_budget_pairs
         if area is not None:
-            occ_next = 9.0 * (cell_deg * growth) ** 2 * n_right / (0.96 * area)
+            occ_next = 9.0 * (cell_deg * growth) ** 2 * 0.96 * n_right / area
             budget = max(budget, int(3.0 * n_bad * min(occ_next, float(n_right))))
         if n_right <= 1_000_000 and n_bad * n_right <= budget:
             residue = remaining

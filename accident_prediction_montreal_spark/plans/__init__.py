@@ -149,9 +149,9 @@ _PRIORITY = [
     "x5_month_shard_backfill",
 ]
 
-# Positions 51-54: the exhaustive reference-semantics IDW twin adjacent
-# to its in-window scale path per the r4 verdict, then the rotated-out
-# WAV codec and TPC-H q5/q18 (every one multiply driver-evidenced).
+# Positions 51-60: the exhaustive reference-semantics IDW twin adjacent
+# to its in-window scale path per the r4 verdict, then every query the
+# r5 rotations displaced (each one multiply driver-evidenced).
 _TAIL_HEAD = [
     "a6_idw_interpolation",
     "mm_wav_decode",

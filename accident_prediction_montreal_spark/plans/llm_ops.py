@@ -2139,7 +2139,7 @@ def f_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flag train docs sharing >=2 distinct word-3-grams with an eval set "
     "(doc_id % 10 == 0 plays the benchmark). operators/decontam.py: "
     "postings-bucket inverted index over 64-bit shingle hashes, combined "
-    "doc-frequency cap (4) drops non-discriminative frequent n-grams "
+    "doc-frequency cap (8) drops non-discriminative frequent n-grams "
     "BEFORE any pair is formed (quadratic-skew guard); counts are "
     "hash-invariant, so the DuckDB oracle computes over string trigrams. "
     "The uncapped operator path broadcasts the (small) eval postings -- "

@@ -48,18 +48,15 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_session("bench")
-
-    # Warm up executors / codegen / parquet footer caches.
+def run_headline(spark, sf_dir: str, runs: int) -> dict:
+    """Shared timing protocol for every bench artifact (sf0.1 here,
+    sf1 in scripts/bench_sf1.py): one warm-up query (executors/codegen/
+    parquet footers), then min over ``runs`` repetitions per query —
+    first execution pays one-off plan compilation; steady-state is what
+    a resident engine serves and what the 2x-of-baseline gate measures.
+    One implementation so the artifacts can never measure different
+    protocols."""
     REGISTRY["s1_scan_project_filter"].fn(spark, sf_dir).count()
-
-    # min over BENCH_RUNS repetitions: the first execution of a query pays
-    # one-off plan compilation; steady-state is what a resident engine
-    # serves and what the 2x-of-baseline gate should measure.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -68,19 +65,22 @@ def main() -> None:
             REGISTRY[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    return {
+        "metric": "headline_query_set_wall_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+    }
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("bench")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    out = run_headline(spark, sf_dir, runs)
+    out["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

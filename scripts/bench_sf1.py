@@ -19,13 +19,11 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-import bench  # noqa: E402  (HEADLINE is the single source of truth)
-from accident_prediction_montreal_spark.plans import REGISTRY  # noqa: E402
+import bench  # noqa: E402  (HEADLINE + run_headline: the single timing protocol)
 from accident_prediction_montreal_spark.session import get_session  # noqa: E402
 
 STRESS_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
@@ -52,25 +50,9 @@ def main() -> None:
     spark = get_session("bench-sf1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
-    REGISTRY["s1_scan_project_filter"].fn(spark, sf_dir).count()  # warm-up
-
-    timings: dict[str, float] = {}
-    for name in bench.HEADLINE:
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-
-    out = {
-        "metric": "headline_query_set_wall_time",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": 1.0,
-        "runs": runs,
-    }
+    out = bench.run_headline(spark, sf_dir, runs)
+    out["sf"] = 1.0
+    out["runs"] = runs
     path = os.path.join(REPO, f"BENCH_sf1_r{rnd}.json")
     with open(path, "w") as f:
         f.write(json.dumps(out) + "\n")

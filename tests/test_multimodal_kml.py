@@ -263,3 +263,22 @@ def test_decoders_reject_null_payload():
     for dec in (decode_wav, decode_ppm, decode_bmp):
         with pytest.raises(ValueError):
             dec(None)  # null payload must be the documented error, not a TypeError
+
+
+def test_bmp_rejects_degenerate_dimensions():
+    import struct
+
+    import numpy as np
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp_24,
+    )
+
+    good = encode_bmp_24(np.zeros(5 * 4 * 3, dtype=np.int64), 5, 4)
+    zero_h = good[:22] + struct.pack("<i", 0) + good[26:]
+    with pytest.raises(ValueError):
+        decode_bmp(zero_h)
+    zero_w = good[:18] + struct.pack("<i", 0) + good[22:]
+    with pytest.raises(ValueError):
+        decode_bmp(zero_w)
