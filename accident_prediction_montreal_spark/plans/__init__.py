@@ -70,7 +70,6 @@ _PRIORITY = [
     # The graded IDW is now the scale-safe radius form (verdict r4 #2);
     # the exhaustive twin leads the tail at position 51.
     "a6_idw_radius",
-    "j9_asof_join",
     # TPC-H shapes: the five never-checked rotate in next to the
     # single/double-green keepers. q5/q18 (2 greens each, join/agg
     # shapes fully covered by the in-window q3-q22 family) ceded their
@@ -93,6 +92,14 @@ _PRIORITY = [
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
     "tpch_q21_waiting_supplier",
+    # Late r5: disjunctive-predicate pushdown + nested correlated chain
+    # (first evidence); they take the slots of j9_asof_join and
+    # st_stream_dedup (2 driver greens each — as-of stays pinned by
+    # test_asof + the property suite, watermark machinery by the
+    # in-window st_late_data_eviction). q11 heads the tail as the next
+    # rotation candidate.
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
     # LLM-pipeline: corpus flagship + the dedup/ANN contract queries that
     # carry the xxhash/MLlib rows-only tail, + the upgraded SimHash
     # invariants, + the never-checked text tail.
@@ -126,7 +133,6 @@ _PRIORITY = [
     # never-checked (REAL sliding + foreachBatch sink + stream-static
     # join + the two batch twins of the windowed aggs).
     "st_session_stream",
-    "st_stream_dedup",
     "st_late_data_eviction",
     "st_time_rollup",
     "st_sliding_stream",
@@ -153,7 +159,10 @@ _PRIORITY = [
 # to its in-window scale path per the r4 verdict, then every query the
 # r5 rotations displaced (each one multiply driver-evidenced).
 _TAIL_HEAD = [
+    "tpch_q11_important_stock",
     "a6_idw_interpolation",
+    "j9_asof_join",
+    "st_stream_dedup",
     "mm_wav_decode",
     "mm_payload_stats",
     "tpch_q5_local_supplier_volume",

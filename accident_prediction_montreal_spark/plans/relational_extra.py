@@ -1397,3 +1397,198 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey,
+        CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(l.l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+          AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_nationkey < 13
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, part_value FROM val
+    WHERE part_value > (
+      SELECT 1.5 * CAST(CAST(SUM(CAST(part_value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+               / COUNT(part_value)
+      FROM val
+    )
+    """,
+    description="TPC-H Q11 shape (lineitem as the part-supplier bridge, one "
+    "region's stock value): per-part value sums for half the nations' "
+    "suppliers, keeping parts above 1.5x the mean part value — the "
+    "uncorrelated scalar subquery over the SAME aggregate. Spark computes "
+    "the aggregate once, derives the 1-row threshold from it, and "
+    "broadcasts it back — the view-reuse plan Q11 intends (no second "
+    "lineitem scan); sums are decimal-exact so the > threshold compares "
+    "identically in both engines.",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec4 = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_nationkey") < 13
+    ).select("n_nationkey")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    val = (
+        li.join(F.broadcast(supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)),
+                li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(dec4(F.col("l_extendedprice")) * dec4(F.col("l_quantity")))
+            .cast("double")
+            .alias("part_value")
+        )
+    )
+    # decimal-exact mean: part_value doubles are exact DECIMAL(18,4)
+    # values, so the threshold is bit-identical in both engines (a plain
+    # AVG(double) would be summation-order-dependent).
+    thresh = val.agg(
+        (
+            F.lit(1.5)
+            * F.sum(F.col("part_value").cast("decimal(18,4)")).cast("double")
+            / F.count("part_value")
+        ).alias("t")
+    )
+    return (
+        val.join(F.broadcast(thresh))
+        .filter(F.col("part_value") > F.col("t"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle="""
+    SELECT
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE
+      (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+        AND l.l_quantity BETWEEN 1 AND 11)
+      OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+        AND l.l_quantity BETWEEN 10 AND 20)
+      OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    description="TPC-H Q19 shape (disjunctive mixed-table predicates): an OR "
+    "of three (brand, size-range, quantity-range) conjunctions spanning "
+    "both join sides. Catalyst splits the disjunction: the part-only "
+    "implications (brand IN ..., size <= 15) and lineitem-only "
+    "implications (quantity <= 30) push below the join as derived "
+    "filters, the full OR evaluates after — the constraint-propagation "
+    "shape this query exists to exercise. Revenue decimal-exact.",
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec4 = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(dec4(F.col("l_extendedprice")) * dec4(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    part_avg AS (
+      SELECT l_partkey,
+        CAST(CAST(SUM(CAST(qty AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(qty)
+          AS avg_qty
+      FROM shipped GROUP BY l_partkey
+    ),
+    heavy AS (
+      SELECT DISTINCT sh.l_suppkey
+      FROM shipped sh
+      JOIN part_avg pa ON pa.l_partkey = sh.l_partkey
+      JOIN part p ON p.p_partkey = sh.l_partkey
+      WHERE p.p_type = 'PROMO' AND sh.qty > 1.5 * pa.avg_qty
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    """,
+    description="TPC-H Q20 shape (nested correlated chain: suppliers IN "
+    "(bridge rows WHERE partkey IN (filtered parts) AND qty > correlated "
+    "aggregate)): per-(part,supplier) shipped quantity in 1996 compared "
+    "against 1.5x the part's per-supplier average — the correlated "
+    "subquery decorrelates to a per-part aggregate joined back — then "
+    "the qualifying supplier set applied as a left_semi into the "
+    "supplier dimension. The per-part mean is a decimal-exact sum over "
+    "exact counts, keeping the 1.5x boundary engine-identical.",
+)
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec4 = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec4(F.col("l_quantity"))).cast("double").alias("qty")
+    )
+    # qty doubles are exact DECIMAL(18,4) values -> decimal-exact mean,
+    # keeping the 1.5x boundary engine-identical (plain AVG(double) is
+    # summation-order-dependent).
+    part_avg = shipped.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("qty").cast("decimal(18,4)")).cast("double") / F.count("qty")
+        ).alias("avg_qty")
+    )
+    promo = load_table(spark, "part", sf_dir).filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    heavy = (
+        shipped.join(part_avg, "l_partkey")
+        .join(F.broadcast(promo), shipped.l_partkey == promo.p_partkey)
+        .filter(F.col("qty") > F.lit(1.5) * F.col("avg_qty"))
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+    )
