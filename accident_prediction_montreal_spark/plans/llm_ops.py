@@ -21,6 +21,11 @@ from accident_prediction_montreal_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from accident_prediction_montreal_spark.operators.mixing import (
+    SALT_SAMPLE,
+    SALT_SPLIT,
+    lcg_uniform_sql,
+)
 from accident_prediction_montreal_spark.operators.sessionize import sessionize
 from accident_prediction_montreal_spark.operators.similarity import brp_lsh_ann, cosine_topk
 from accident_prediction_montreal_spark.operators.text import (
@@ -2160,7 +2165,7 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_temperature_mix",
-    oracle="""
+    oracle=f"""
     WITH d AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
     ),
@@ -2183,8 +2188,7 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     samp AS (
       SELECT doc.source, CAST(COUNT(*) AS BIGINT) AS n_sampled
       FROM documents doc JOIN rates r USING (source)
-      WHERE CAST(((doc.doc_id % 1000003) * 2654435761 + 12345) % 1000000007 AS DOUBLE)
-            / 1000000007 < r.sample_rate
+      WHERE {lcg_uniform_sql('doc.doc_id', SALT_SAMPLE)} < r.sample_rate
       GROUP BY doc.source
     )
     SELECT r.source, r.n_docs,
@@ -2232,11 +2236,10 @@ def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r5_hash_split",
-    oracle="""
+    oracle=f"""
     WITH u AS (
       SELECT doc_id, source,
-        CAST(((doc_id % 1000003) * 2654435761 + 12345) % 1000000007 AS DOUBLE)
-          / 1000000007 AS u
+        {lcg_uniform_sql('doc_id', SALT_SPLIT)} AS u
       FROM documents
     )
     SELECT source,
@@ -2326,11 +2329,9 @@ _PRETRAIN_ORACLE_SQL = f"""
     ),
     samp AS (
       SELECT k.source, k.n_tokens,
-        CAST(((k.doc_id % 1000003) * 2654435761 + 12345) % 1000000007 AS DOUBLE)
-          / 1000000007 AS u
+        {lcg_uniform_sql('k.doc_id', SALT_SPLIT)} AS u
       FROM kept k JOIN rates r USING (source)
-      WHERE CAST(((k.doc_id % 1000003) * 2654435761 + 12345) % 1000000007 AS DOUBLE)
-            / 1000000007 < r.rate
+      WHERE {lcg_uniform_sql('k.doc_id', SALT_SAMPLE)} < r.rate
     )
     SELECT source,
       CASE WHEN u < 0.5 THEN 'train' WHEN u < 0.75 THEN 'val' ELSE 'test' END AS split,

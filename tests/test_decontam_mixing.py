@@ -189,3 +189,68 @@ def test_lcg_uniform_negative_ids_stay_in_range(spark):
         .first()
     )
     assert 0.0 <= vals["lo"] and vals["hi"] < 1.0
+
+
+def test_hash_split_rejects_negative_weights(spark):
+    from accident_prediction_montreal_spark.operators.mixing import hash_split
+
+    docs = spark.range(5).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="non-negative"):
+        hash_split(docs, weights=(1.5, -0.5), names=("a", "b"))
+
+
+def test_lcg_uniform_full_width_no_stratum_collisions(spark):
+    """Ids differing by exactly 1000003 (the old single-modulus period)
+    must NOT share u — the round-6 CRT mix keeps full id width."""
+    base = spark.range(200).select(
+        (F.col("id") * 1000003).alias("doc_id")
+    )
+    n_distinct = (
+        base.select(lcg_uniform(F.col("doc_id")).alias("u"))
+        .agg(F.countDistinct("u").alias("n"))
+        .first()["n"]
+    )
+    assert n_distinct == 200
+
+
+def test_lcg_uniform_salts_decorrelate(spark):
+    """Distinct salts produce (near-)independent uniforms on the SAME ids."""
+    from accident_prediction_montreal_spark.operators.mixing import (
+        SALT_SAMPLE,
+        SALT_SPLIT,
+    )
+
+    row = (
+        spark.range(4000)
+        .select(
+            lcg_uniform(F.col("id"), salt=SALT_SAMPLE).alias("ua"),
+            lcg_uniform(F.col("id"), salt=SALT_SPLIT).alias("ub"),
+        )
+        .agg(F.corr("ua", "ub").alias("c"))
+        .first()
+    )
+    assert abs(row["c"]) < 0.05
+
+
+def test_sample_then_split_populates_all_buckets(spark):
+    """The ADVICE-high regression: temperature_sample -> hash_split used
+    one shared hash, so every sampled doc (u < rate <= 0.5) also fell
+    under the u < 0.5 'train' cut and val/test came out EMPTY. With
+    per-use salts the split of the sampled corpus must be proportional."""
+    from collections import Counter
+
+    from accident_prediction_montreal_spark.operators.mixing import hash_split
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("source"),
+    )
+    sampled = temperature_sample(docs, "source", "doc_id", target_frac=0.5)
+    out = hash_split(sampled, "doc_id", weights=(0.5, 0.25, 0.25))
+    c = Counter(r["split"] for r in out.collect())
+    n = sum(c.values())
+    assert n == pytest.approx(2000, abs=150)
+    # every bucket populated, near its weight
+    assert c["train"] / n == pytest.approx(0.5, abs=0.06)
+    assert c["val"] / n == pytest.approx(0.25, abs=0.05)
+    assert c["test"] / n == pytest.approx(0.25, abs=0.05)
