@@ -658,17 +658,86 @@ def sim_ann_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checks("lsh", lsh).unionByName(checks("ivf", ivf))
 
 
+
+# (chk, ok) row builder for the literal-1 invariant-oracle queries.
+def _chk(chk, ok_col):
+    return F.lit(chk).alias("chk"), ok_col.cast("long").alias("ok")
+
+
+_MINHASH_PLANT_OFFSET = 10_000_000
+
+
 @register(
     "dedup_minhash_pairs",
-    oracle=None,  # xxhash64-based signatures have no ANSI oracle; rows-only.
-    description="MinHash+LSH candidate dup pairs: banded signature equi-join "
-    "(shingle→minhash→band→bucket-join)",
+    oracle="""
+    SELECT 'minhash_planted_pairs_found_est_1' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'minhash_est_jaccard_in_threshold_range', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'minhash_pair_id_ordering', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'minhash_pair_ids_in_corpus', CAST(1 AS BIGINT)
+    """,
+    description="MinHash+LSH candidate-pair contracts (xxhash64 signatures "
+    "have no ANSI oracle, so the r6 upgrade reduces the REAL pair output "
+    "to literal-1 checks): every PLANTED exact duplicate (each doc_id "
+    "divisible by 17 with >=3 tokens re-inserted at id+1e7) must surface "
+    "as a candidate pair with estimated Jaccard exactly 1.0 — identical "
+    "text gives identical signatures in every band — plus est_jaccard "
+    "respects the 0.5 threshold, pairs are id_a < id_b, and both sides "
+    "come from the corpus. The bucket skew cap is lifted to 1e6 here so "
+    "the check pins the BANDING math (the cap's drop semantics are "
+    "pinned by dedup_ngram_jaccard's mirrored-cap oracle).",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return minhash_dedup_pairs(
-        docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3, min_est_jaccard=0.5
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    from accident_prediction_montreal_spark.operators.text import tokenize
+
+    plantable = docs.filter(
+        (F.col("doc_id") % 17 == 0) & (F.size(tokenize(F.col("text"))) >= 3)
     )
+    planted = plantable.select(
+        (F.col("doc_id") + _MINHASH_PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    pairs = minhash_dedup_pairs(
+        corpus,
+        "doc_id",
+        "text",
+        num_hashes=32,
+        bands=8,
+        shingle_n=3,
+        min_est_jaccard=0.5,
+        max_bucket_size=1_000_000,
+    )
+
+    expected = plantable.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + _MINHASH_PLANT_OFFSET).alias("id_b"),
+    )
+    missing = expected.join(
+        pairs.filter(F.col("est_jaccard") == 1.0), ["id_a", "id_b"], "left_anti"
+    )
+    planted_ok = missing.agg(F.count(F.lit(1)).alias("n_miss")).select(
+        *_chk("minhash_planted_pairs_found_est_1", F.col("n_miss") == 0)
+    )
+    stats = pairs.agg(
+        F.min(
+            ((F.col("est_jaccard") >= 0.5) & (F.col("est_jaccard") <= 1.0)).cast("long")
+        ).alias("rng"),
+        F.min((F.col("id_a") < F.col("id_b")).cast("long")).alias("ordr"),
+    )
+    rng_ok = stats.select(
+        *_chk("minhash_est_jaccard_in_threshold_range", F.col("rng") == 1)
+    )
+    ord_ok = stats.select(*_chk("minhash_pair_id_ordering", F.col("ordr") == 1))
+    ids = corpus.select(F.col("doc_id").alias("cid"))
+    stray = (
+        pairs.select(F.col("id_a").alias("cid"))
+        .unionByName(pairs.select(F.col("id_b").alias("cid")))
+        .join(ids, "cid", "left_anti")
+    )
+    stray_ok = stray.agg(F.count(F.lit(1)).alias("n_stray")).select(
+        *_chk("minhash_pair_ids_in_corpus", F.col("n_stray") == 0)
+    )
+    return planted_ok.unionByName(rng_ok).unionByName(ord_ok).unionByName(stray_ok)
 
 
 @register(
@@ -804,22 +873,46 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ann_lsh",
-    oracle=None,  # MLlib random hyperplanes; rows-only.
-    description="LSH-bucketed approximate NN (BucketedRandomProjectionLSH scale path)",
+    oracle="""
+    SELECT 'lsh_self_hit_dist_zero' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'lsh_k_bound_and_rank_dense', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'lsh_results_in_corpus', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'lsh_dist_monotone_in_rank', CAST(1 AS BIGINT)
+    """,
+    description="BucketedRandomProjectionLSH approximate-NN contracts (MLlib's "
+    "random hyperplanes have no ANSI oracle; r6 upgrade reduces the REAL "
+    "(query_id, vec_id, dist, rank) output to literal-1 checks): each "
+    "query vector is drawn from the corpus, so its own bucket always "
+    "collides — every query must surface ITSELF at distance 0; at most "
+    "k=5 results per query with ranks exactly 1..n; every candidate "
+    "from the corpus; distance non-decreasing in rank. Deterministic at "
+    "seed 42. Measured recall is pinned separately by sim_ann_recall.",
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return brp_lsh_ann(emb, queries, k=5)
+    out = brp_lsh_ann(emb, queries, k=5)
+    return _ann_contract_checks(out, emb, queries, "lsh", "dist", ascending=True)
 
 
 @register(
     "sim_ann_ivf",
-    oracle=None,  # KMeans cells are engine-internal; rows-only.
-    description="IVF approximate NN: k-means coarse cells + n_probe cell scan "
-    "(the partition-pruned ANN scale path)",
+    oracle="""
+    SELECT 'ivf_self_hit_dist_zero' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'ivf_k_bound_and_rank_dense', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'ivf_results_in_corpus', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'ivf_dist_monotone_in_rank', CAST(1 AS BIGINT)
+    """,
+    description="IVF approximate-NN contracts (k-means coarse cells + n_probe "
+    "scan; cell assignments are engine-internal, so the r6 upgrade pins "
+    "the REAL top-k output's contracts to literal 1): every query (drawn "
+    "from the corpus) is assigned to its own nearest cell, which is "
+    "always probed first, so the query must surface ITSELF at cosine 1; "
+    "at most k=5 results per query with dense ranks; candidates from "
+    "the corpus; cosine non-increasing in rank. Measured recall is "
+    "pinned by sim_ann_recall.",
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from accident_prediction_montreal_spark.operators.ivf import (
@@ -832,7 +925,62 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     assigned, cents = build_ivf_index(emb, n_cells=8)
-    return ivf_cosine_topk(queries, assigned, cents, k=5, n_probe=3)
+    out = ivf_cosine_topk(queries, assigned, cents, k=5, n_probe=3)
+    return _ann_contract_checks(out, emb, queries, "ivf", "cosine", ascending=False)
+
+
+def _ann_contract_checks(
+    out: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    prefix: str,
+    score_col: str,
+    ascending: bool,
+) -> DataFrame:
+    """Shared (chk, ok) reduction for the two ANN scale paths: self-hit,
+    k bound + dense ranks, corpus membership, score monotone in rank."""
+    if ascending:  # euclidean distance: self-hit at dist 0, best = min
+        self_hit = F.col(score_col) <= 1e-9
+        mono = F.col(score_col) >= F.lag(score_col).over(
+            Window.partitionBy("query_id").orderBy("rank")
+        )
+    else:  # cosine: self-hit at 1, best = max
+        self_hit = F.col(score_col) >= 1.0 - 1e-9
+        mono = F.col(score_col) <= F.lag(score_col).over(
+            Window.partitionBy("query_id").orderBy("rank")
+        )
+
+    n_queries = queries.agg(F.count(F.lit(1)).alias("n_q"))
+    self_hits = out.filter((F.col("query_id") == F.col("vec_id")) & self_hit).agg(
+        F.countDistinct("query_id").alias("n_self")
+    )
+    self_ok = self_hits.crossJoin(n_queries).select(
+        *_chk(f"{prefix}_self_hit_dist_zero", F.col("n_self") == F.col("n_q"))
+    )
+    per_q = out.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("rank").alias("max_rank"),
+        F.countDistinct("rank").alias("n_ranks"),
+    )
+    k_ok = per_q.agg(
+        F.min(
+            (
+                (F.col("n") <= 5)
+                & (F.col("max_rank") == F.col("n"))
+                & (F.col("n_ranks") == F.col("n"))
+            ).cast("long")
+        ).alias("ok")
+    ).select(*_chk(f"{prefix}_k_bound_and_rank_dense", F.col("ok") == 1))
+    stray = out.select("vec_id").join(emb.select("vec_id"), "vec_id", "left_anti")
+    corpus_ok = stray.agg(F.count(F.lit(1)).alias("n_stray")).select(
+        *_chk(f"{prefix}_results_in_corpus", F.col("n_stray") == 0)
+    )
+    mono_ok = (
+        out.withColumn("__ok", F.coalesce(mono, F.lit(True)))
+        .agg(F.min(F.col("__ok").cast("long")).alias("ok"))
+        .select(*_chk(f"{prefix}_dist_monotone_in_rank", F.col("ok") == 1))
+    )
+    return self_ok.unionByName(k_ok).unionByName(corpus_ok).unionByName(mono_ok)
 
 
 @register(

@@ -849,13 +849,32 @@ def m_rf_pipeline_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imp_ok.select("chk", F.col("ok").cast("long")).unionByName(checks)
 
 
-# --- Rows-only: sampling + sketches (no ANSI oracle possible) -----------------
+# --- Sampling + sketches: the randomness itself has no ANSI oracle, so
+# each query reduces its operator's REAL output to deterministic
+# contract rows (chk, ok) and the oracle pins each to literal 1 — the
+# dedup_simhash pattern, r6 upgrade so every registry entry is
+# hash-checkable. Complementary to r_sampling_invariants (which pins
+# partition/subset/positive-preservation): these pin realized RATES,
+# duplicate-freedom, and seed sensitivity. -------------------------------------
+
+def _chk(chk: str, ok_col):
+    return F.lit(chk).alias("chk"), ok_col.cast("long").alias("ok")
+
 
 @register(
     "m2_random_undersampler",
-    oracle=None,  # engine-internal Bernoulli sampling; rows-only.
-    description="RandomUnderSampler fit+transform: seeded undersampling of the "
-    "negative class to a target imbalance ratio (M2)",
+    oracle="""
+    SELECT 'm2_ratio_achieved' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'm2_subset_of_input', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'm2_no_duplicate_rows', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'm2_transform_deterministic', CAST(1 AS BIGINT)
+    """,
+    description="RandomUnderSampler fit+transform contracts (M2; the seeded "
+    "Bernoulli draw has no ANSI oracle, so its CONTRACTS are pinned to "
+    "literal 1): realized negative:positive ratio within 25%% of the "
+    "target 1.0, output a duplicate-free subset of the input index set, "
+    "and transform reproducible for a fixed seed + layout. Complements "
+    "r_sampling_invariants' positive-preservation checks.",
 )
 def m2_random_undersampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).select(
@@ -865,31 +884,112 @@ def m2_random_undersampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = RandomUnderSampler(
         targetImbalanceRatio=1.0, indexCol="index", labelCol="label", seed=42
     ).fit(orders)
-    return model.transform(orders)
+    out = model.transform(orders)
+
+    stats = out.agg(
+        F.sum("label").alias("pos"),
+        F.sum(F.lit(1.0) - F.col("label")).alias("neg"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("index").alias("n_ids"),
+    )
+    ratio_ok = stats.select(
+        *_chk(
+            "m2_ratio_achieved",
+            (F.col("neg") / F.col("pos") >= 0.75) & (F.col("neg") / F.col("pos") <= 1.25),
+        )
+    )
+    dup_ok = stats.select(*_chk("m2_no_duplicate_rows", F.col("n") == F.col("n_ids")))
+    stray = out.select("index").join(orders.select("index"), "index", "left_anti")
+    subset_ok = stray.agg(F.count(F.lit(1)).alias("n_stray")).select(
+        *_chk("m2_subset_of_input", F.col("n_stray") == 0)
+    )
+    out2 = model.transform(orders)
+    sym = out.select("index").exceptAll(out2.select("index")).unionByName(
+        out2.select("index").exceptAll(out.select("index"))
+    )
+    det_ok = sym.agg(F.count(F.lit(1)).alias("n_diff")).select(
+        *_chk("m2_transform_deterministic", F.col("n_diff") == 0)
+    )
+    return ratio_ok.unionByName(subset_ok).unionByName(dup_ok).unionByName(det_ok)
 
 
 @register(
     "r2_seeded_sample",
-    oracle=None,  # Bernoulli sample; rows-only.
-    description="Seeded Bernoulli sample (R1/R2) — named-args form so the seed "
-    "actually applies",
+    oracle="""
+    SELECT 'r2_fraction_within_tol' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'r2_no_duplicate_rows', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'r2_seed_applies', CAST(1 AS BIGINT)
+    """,
+    description="Seeded Bernoulli sample contracts (R1/R2; named-args form so "
+    "the seed actually applies in pyspark 4): realized fraction within "
+    "+/-0.04 of 0.1 (>5 sigma at every test SF), no duplicate draws "
+    "without replacement, and DIFFERENT seeds draw different subsets — "
+    "the check that catches a silently-dropped seed. Oracle pins each "
+    "contract to literal 1.",
 )
 def r2_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
-    return orders.sample(withReplacement=False, fraction=0.1, seed=42).select(
+    s1 = orders.sample(withReplacement=False, fraction=0.1, seed=42).select(
         "o_orderkey", "o_custkey"
     )
+    n_tot = orders.agg(F.count(F.lit(1)).alias("n_tot"))
+    stats = s1.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("o_orderkey").alias("n_ids")
+    ).crossJoin(n_tot)
+    frac = F.col("n") / F.col("n_tot")
+    frac_ok = stats.select(
+        *_chk("r2_fraction_within_tol", (frac >= 0.06) & (frac <= 0.14))
+    )
+    dup_ok = stats.select(*_chk("r2_no_duplicate_rows", F.col("n") == F.col("n_ids")))
+    s_other = orders.sample(withReplacement=False, fraction=0.1, seed=43)
+    sym = s1.select("o_orderkey").exceptAll(s_other.select("o_orderkey")).unionByName(
+        s_other.select("o_orderkey").exceptAll(s1.select("o_orderkey"))
+    )
+    seed_ok = sym.agg(F.count(F.lit(1)).alias("n_diff")).select(
+        *_chk("r2_seed_applies", F.col("n_diff") > 0)
+    )
+    return frac_ok.unionByName(dup_ok).unionByName(seed_ok)
 
 
 @register(
     "r3_random_split",
-    oracle=None,  # randomSplit; rows-only.
-    description="Seeded randomSplit train partition (R3, main mains pattern)",
+    oracle="""
+    SELECT 'r3_fractions_within_tol' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'r3_both_nonempty', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'r3_split_deterministic', CAST(1 AS BIGINT)
+    """,
+    description="Seeded randomSplit contracts (R3, mains pattern; per-"
+    "partition draws have no ANSI oracle): realized train fraction "
+    "within +/-0.05 of 0.8, both splits non-empty, and a second split "
+    "with the same seed + layout reproduces the identical train set. "
+    "Disjointness/completeness are pinned by r_sampling_invariants; "
+    "the layout-INDEPENDENT production alternative is r5_hash_split. "
+    "Oracle pins each contract to literal 1.",
 )
 def r3_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
-    train, _test = orders.randomSplit([0.8, 0.2], seed=0)
-    return train.select("o_orderkey")
+    train, test = orders.randomSplit([0.8, 0.2], seed=0)
+    n_tot = orders.agg(F.count(F.lit(1)).alias("n_tot"))
+    stats = (
+        train.agg(F.count(F.lit(1)).alias("n_tr"))
+        .crossJoin(test.agg(F.count(F.lit(1)).alias("n_te")))
+        .crossJoin(n_tot)
+    )
+    frac = F.col("n_tr") / F.col("n_tot")
+    frac_ok = stats.select(
+        *_chk("r3_fractions_within_tol", (frac >= 0.75) & (frac <= 0.85))
+    )
+    nonempty_ok = stats.select(
+        *_chk("r3_both_nonempty", (F.col("n_tr") > 0) & (F.col("n_te") > 0))
+    )
+    train2, _ = orders.randomSplit([0.8, 0.2], seed=0)
+    sym = train.select("o_orderkey").exceptAll(train2.select("o_orderkey")).unionByName(
+        train2.select("o_orderkey").exceptAll(train.select("o_orderkey"))
+    )
+    det_ok = sym.agg(F.count(F.lit(1)).alias("n_diff")).select(
+        *_chk("r3_split_deterministic", F.col("n_diff") == 0)
+    )
+    return frac_ok.unionByName(nonempty_ok).unionByName(det_ok)
 
 
 @register(
@@ -970,15 +1070,46 @@ def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a8_approx_distinct",
-    oracle=None,  # HLL sketch differs across engines; rows-only.
-    description="approx_count_distinct — the sketch path for distinct counts at "
-    "scale (A8)",
+    oracle="""
+    SELECT 'a8_group_rel_err_le_15pct' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'a8_global_rel_err_le_15pct', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'a8_all_positive', CAST(1 AS BIGINT)
+    """,
+    description="approx_count_distinct contracts (A8; Spark's HLL++ sketch "
+    "differs bit-for-bit from DuckDB's, so the ACCURACY contract is "
+    "pinned instead): per-group and global estimates of distinct "
+    "l_partkey within 15%% relative error of the exact count (default "
+    "rsd 0.05, so 15%% is 3 sigma), every estimate positive. The sketch "
+    "is deterministic given the data, so the checks are stable. Oracle "
+    "pins each contract to literal 1.",
 )
 def a8_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    rel_err = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        / F.col("exact_parts").cast("double")
+    )
+    group_ok = per_group.agg(
+        F.min((rel_err <= 0.15).cast("long")).alias("all_ok"),
+        F.min((F.col("approx_parts") > 0).cast("long")).alias("all_pos"),
+    )
+    g_rel = group_ok.select(*_chk("a8_group_rel_err_le_15pct", F.col("all_ok") == 1))
+    g_pos = group_ok.select(*_chk("a8_all_positive", F.col("all_pos") == 1))
+    global_stats = li.agg(
+        F.approx_count_distinct("l_partkey").alias("a"),
+        F.countDistinct("l_partkey").alias("e"),
+    )
+    glob_ok = global_stats.select(
+        *_chk(
+            "a8_global_rel_err_le_15pct",
+            F.abs(F.col("a") - F.col("e")) / F.col("e").cast("double") <= 0.15,
+        )
+    )
+    return g_rel.unionByName(glob_ok).unionByName(g_pos)
 
 
 @register(
