@@ -212,21 +212,12 @@ def encode_ppm_p6(pixels, width: int, height: int) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + arr.tobytes()
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """REAL PPM (P6) image decode, no media libraries: parse the ASCII
-    header (magic, dimensions, maxval, comment lines), then the packed
-    RGB8 raster.
-
-    Returns {width, height, mean_r, mean_g, mean_b} — the feature set a
-    PIL-class decoder would feed a model head with. Raises ValueError on
-    non-P6 payloads (where the stubbed decode path takes over).
-    """
-    import numpy as np
-
-    if payload is None or not payload.startswith(b"P6"):
-        raise ValueError("not a binary PPM (P6) payload")
-    # Header = 4 whitespace-separated tokens; '#' comments run to newline.
-    pos, tokens = 2, []
+def _parse_pnm_header(payload: bytes, magic: bytes, kind: str) -> tuple[int, int, int]:
+    """Parse a binary-PNM ASCII header (magic, width, height, maxval;
+    '#' comments run to newline). Returns (width, height, raster_pos)."""
+    if payload is None or not payload.startswith(magic):
+        raise ValueError(f"not a binary {kind} payload")
+    pos, tokens = len(magic), []
     while len(tokens) < 3 and pos < len(payload):
         c = payload[pos : pos + 1]
         if c == b"#":
@@ -240,11 +231,25 @@ def decode_ppm(payload: bytes) -> dict:
             tokens.append(int(payload[pos:end]))
             pos = end
     if len(tokens) < 3:
-        raise ValueError("truncated PPM header")
+        raise ValueError(f"truncated {kind} header")
     width, height, maxval = tokens
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
-    pos += 1  # single whitespace byte after maxval
+    return width, height, pos + 1  # single whitespace byte after maxval
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL PPM (P6) image decode, no media libraries: parse the ASCII
+    header (magic, dimensions, maxval, comment lines), then the packed
+    RGB8 raster.
+
+    Returns {width, height, mean_r, mean_g, mean_b} — the feature set a
+    PIL-class decoder would feed a model head with. Raises ValueError on
+    non-P6 payloads (where the stubbed decode path takes over).
+    """
+    import numpy as np
+
+    width, height, pos = _parse_pnm_header(payload, b"P6", "PPM (P6)")
     raster = payload[pos : pos + width * height * 3]
     if len(raster) != width * height * 3:
         raise ValueError("truncated PPM raster")
@@ -255,6 +260,35 @@ def decode_ppm(payload: bytes) -> dict:
         "mean_r": float(rgb[:, 0].mean()),
         "mean_g": float(rgb[:, 1].mean()),
         "mean_b": float(rgb[:, 2].mean()),
+    }
+
+
+def encode_pgm_p5(pixels, width: int, height: int) -> bytes:
+    """Minimal binary PGM (P5) writer: 8-bit grayscale, stdlib only."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8).reshape(height, width)
+    return b"P5\n%d %d\n255\n" % (width, height) + arr.tobytes()
+
+
+def decode_pgm(payload: bytes) -> dict:
+    """REAL PGM (P5) grayscale decode — the single-channel sibling of
+    ``decode_ppm`` (same ASCII header grammar, 1 byte/pixel raster).
+
+    Returns {width, height, mean_gray, max_gray}. Raises ValueError on
+    non-P5 payloads (stubbed decode path takes over)."""
+    import numpy as np
+
+    width, height, pos = _parse_pnm_header(payload, b"P5", "PGM (P5)")
+    raster = payload[pos : pos + width * height]
+    if len(raster) != width * height:
+        raise ValueError("truncated PGM raster")
+    gray = np.frombuffer(raster, dtype=np.uint8).astype("float64")
+    return {
+        "width": width,
+        "height": height,
+        "mean_gray": float(gray.mean()),
+        "max_gray": float(gray.max()),
     }
 
 
@@ -285,6 +319,39 @@ def ppm_features(
                     "mean_r": [f["mean_r"] for f in feats],
                     "mean_g": [f["mean_g"] for f in feats],
                     "mean_b": [f["mean_b"] for f in feats],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        decode_batches, schema=out_schema
+    )
+
+
+def pgm_features(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, width, height, mean_gray, max_gray) via the REAL PGM decoder
+    inside the Arrow batch loop — grayscale twin of ``ppm_features``."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("mean_gray", T.DoubleType()),
+            T.StructField("max_gray", T.DoubleType()),
+        ]
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_pgm(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "mean_gray": [f["mean_gray"] for f in feats],
+                    "max_gray": [f["max_gray"] for f in feats],
                 }
             )
 

@@ -68,7 +68,9 @@ def weather_for_samples(
     joined = joined.withColumn("idw_w", F.lit(1.0) / F.pow(d, F.lit(2.0)))
 
     aggs = []
-    for c in WEATHER_COLS:
+    # Interpolate the WEATHER_COLS actually present: fixture-backed
+    # callers may supply a subset of the full station schema.
+    for c in [c for c in WEATHER_COLS if c in weather.columns]:
         x = F.col(c)
         valid = (~F.isnan(x)) & x.isNotNull()
         num = F.sum(F.when(valid, F.col("idw_w") * x).otherwise(F.lit(0.0)))

@@ -22,6 +22,7 @@ from accident_prediction_montreal_spark.plans import relational  # noqa: F401,E4
 from accident_prediction_montreal_spark.plans import relational_extra  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import composite  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import llm_ops  # noqa: F401,E402
+from accident_prediction_montreal_spark.plans import apm_pipeline  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #

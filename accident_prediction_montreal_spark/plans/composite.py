@@ -161,6 +161,85 @@ def j8_knn_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- J8 at the antimeridian + pole: the exactness guarantees under fire -------
+
+# Seam-straddling polar fixture: samples at lat ~86.5-86.8 around lon
+# ±180 (raw lon > 180 wraps to the negative side), stations spread up to
+# ~88 N. At 86.5 N a longitude degree is only ~6.8 km, so nearest
+# neighbors are dominated by latitude and roughly half the true NN pairs
+# CROSS the seam — a grid that does not handle the wrap proves the wrong
+# answer, and degenerate polar lon-cells stress the cos clamp
+# (spatial.py seam_safe + worst_cos guards, both r5 fixes).
+SEAM_LAT = "86.5 + (c_custkey % 997) / 3000.0"
+SEAM_LON_RAW = "179.9 + (c_custkey % 1009) / 3000.0"
+SEAM_RLAT = "86.5 + (s_suppkey % 89) / 60.0"
+SEAM_RLON_RAW = "179.9 + (s_suppkey % 97) / 300.0"
+
+
+def _wrap_sql(raw: str) -> str:
+    return f"CASE WHEN ({raw}) > 180.0 THEN ({raw}) - 360.0 ELSE ({raw}) END"
+
+
+def _wrap_col(raw):
+    return F.when(raw > 180.0, raw - 360.0).otherwise(raw)
+
+
+@register(
+    "j8_knn_seam_polar",
+    oracle=f"""
+    WITH samples AS (
+      SELECT c_custkey, {SEAM_LAT} AS lat, {_wrap_sql(SEAM_LON_RAW)} AS lon
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    sites AS (
+      SELECT s_suppkey, {SEAM_RLAT} AS rlat, {_wrap_sql(SEAM_RLON_RAW)} AS rlon
+      FROM supplier
+    ),
+    pairs AS (
+      SELECT c_custkey, s_suppkey,
+        {_haversine_sql("lat", "lon", "rlat", "rlon")} AS distance_m
+      FROM samples CROSS JOIN sites
+    )
+    SELECT c_custkey, s_suppkey, ROUND(distance_m, 3) AS distance_m,
+           CAST(knn_rank AS BIGINT) AS knn_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY c_custkey ORDER BY distance_m ASC, s_suppkey ASC) AS knn_rank
+      FROM pairs
+    ) WHERE knn_rank <= 3
+    """,
+    description="Spatial kNN join over an ANTIMERIDIAN-straddling polar "
+    "fixture (samples ~86.5N at lon ±180, stations up to ~88N on both "
+    "sides of the seam): the oracle is the exhaustive cross join, whose "
+    "haversine is wrap-correct by construction (sin² of half-angles), so "
+    "its true nearest neighbors routinely CROSS lon ±180 — a grid path "
+    "that prunes by non-wrapping lon cells, or trusts cos(lat) bounds in "
+    "degenerate polar cells, proves the wrong neighbor and hash-"
+    "mismatches. Exercises knn_join_grid_exact's seam_safe refusal + "
+    "polar cos clamp (spatial.py): every seam-adjacent point escalates "
+    "to the exhaustive fallback, trading speed for guaranteed exactness "
+    "on exactly the rows where the grid bound cannot prove it.",
+)
+def j8_knn_seam_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        (F.lit(86.5) + (F.col("c_custkey") % 997) / 3000.0).alias("lat"),
+        _wrap_col(F.lit(179.9) + (F.col("c_custkey") % 1009) / 3000.0).alias("lon"),
+    )
+    right = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        (F.lit(86.5) + (F.col("s_suppkey") % 89) / 60.0).alias("rlat"),
+        _wrap_col(F.lit(179.9) + (F.col("s_suppkey") % 97) / 300.0).alias("rlon"),
+    )
+    out = knn_join_grid_exact(left, right, k=3, left_id="c_custkey", right_id="s_suppkey")
+    return out.select(
+        "c_custkey",
+        "s_suppkey",
+        F.round("distance_m", 3).alias("distance_m"),
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+    )
+
+
 # --- A6: IDW interpolation ------------------------------------------------------
 
 @register(

@@ -162,7 +162,7 @@ def test_ppm_roundtrip_and_comments():
     with_comment = b"P6\n# synthetic fixture\n5 4\n255\n" + px.astype("u1").tobytes()
     assert decode_ppm(with_comment)["mean_r"] == feats["mean_r"]
     with pytest.raises(ValueError):
-        decode_ppm(b"P5\n1 1\n255\n\x00")  # greyscale PGM: stub territory
+        decode_ppm(b"P5\n1 1\n255\n\x00")  # PGM belongs to decode_pgm
     with pytest.raises(ValueError):
         decode_ppm(encode_ppm_p6(px, w, h)[:-7])  # truncated raster
 
@@ -256,11 +256,12 @@ def test_bmp_features_mapinpandas(spark):
 def test_decoders_reject_null_payload():
     from accident_prediction_montreal_spark.operators.multimodal import (
         decode_bmp,
+        decode_pgm,
         decode_ppm,
         decode_wav,
     )
 
-    for dec in (decode_wav, decode_ppm, decode_bmp):
+    for dec in (decode_wav, decode_ppm, decode_pgm, decode_bmp):
         with pytest.raises(ValueError):
             dec(None)  # null payload must be the documented error, not a TypeError
 
@@ -282,3 +283,26 @@ def test_bmp_rejects_degenerate_dimensions():
     zero_w = good[:18] + struct.pack("<i", 0) + good[22:]
     with pytest.raises(ValueError):
         decode_bmp(zero_w)
+
+
+def test_pgm_roundtrip_comments_and_rejects():
+    import numpy as np
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        decode_pgm,
+        encode_pgm_p5,
+    )
+
+    rng = np.random.default_rng(13)
+    w, h = 6, 3
+    px = rng.integers(0, 256, size=w * h, dtype=np.int64)
+    feats = decode_pgm(encode_pgm_p5(px, w, h))
+    assert (feats["width"], feats["height"]) == (w, h)
+    assert feats["mean_gray"] == pytest.approx(px.astype("float64").mean(), abs=1e-9)
+    assert feats["max_gray"] == float(px.max())
+    with_comment = b"P5\n# synthetic fixture\n6 3\n255\n" + px.astype("u1").tobytes()
+    assert decode_pgm(with_comment)["mean_gray"] == feats["mean_gray"]
+    with pytest.raises(ValueError):
+        decode_pgm(b"P6\n1 1\n255\n\x00\x00\x00")  # RGB PPM is not PGM
+    with pytest.raises(ValueError):
+        decode_pgm(encode_pgm_p5(px, w, h)[:-3])  # truncated raster
