@@ -26,97 +26,70 @@ from accident_prediction_montreal_spark.plans import apm_pipeline  # noqa: F401,
 
 # First 50 = the driver's check window.
 #
-# Round-5 ROTATION (verdict r4 #1: close the evidence gap — 24 of 109
-# registered queries had never been driver-checked; target ≥20 first-time
-# greens and a cumulative ledger ≥105/109). ALL 24 never-checked queries
-# rotate IN (every one oracle-backed; dedup_simhash was upgraded this
-# round from rows-only signatures to a literal-1 invariants oracle in the
-# dedup_near_invariants style, so no slot is wasted on a rows-only check).
-# Verdict r4 #2 lands here too: a6_idw_radius (the scale-safe
-# radius-truncated IDW) takes the graded IDW slot; the exhaustive
-# reference-semantics twin a6_idw_interpolation moves to the head of the
-# tail (position 51) — same oracle family, still swept locally.
+# Round-6 ROTATION (verdict r5 #1/#2/#4 + the pre-landed r6 commits):
+# every query with ZERO driver evidence rotates IN — exactly 11:
+#   * tpch_q11_important_stock — the single oracle-backed query never
+#     driver-checked (verdict r5 #1; verified green locally in r5+r6).
+#   * apm_dataset_pipeline — NEW: the reference's get_positive_samples →
+#     get_dataset_df composition as ONE lazy plan under a CTE oracle
+#     (verdict r5 #5).
+#   * j8_knn_seam_polar — NEW: seam-straddling + polar fixture whose
+#     oracle answer REQUIRES crossing lon ±180 (verdict r5 #4); it
+#     exercises the same escalating-grid kNN machinery as
+#     j8_knn_join_grid and takes its slot.
+#   * mm_pgm_decode — NEW: real P5 grayscale codec (verdict r5 #7).
+#   * the 7 formerly rows-only sampling/sketch queries, upgraded in r6
+#     to literal-1 invariant oracles (verdict r5 #2): a8_approx_distinct,
+#     dedup_minhash_pairs, m2_random_undersampler, r2_seeded_sample,
+#     r3_random_split, sim_ann_lsh, sim_ann_ivf.
 #
-# Rotated OUT to make room — exactly the multiply-evidenced stalwarts the
-# verdict named (green counts in COVERAGE.md's ledger, all ≥3 except
-# where noted): tpch_q3 (4), tpch_q10 (4), f_solar_elevation (4),
-# m3_class_weights (4), j5_full_outer_zerofill (4), r4_temporal_split
-# (4), m8_threshold_sweep, m9_count_rate_model, a7_target_encode,
-# w4_ewma, f_cyclic_encode, dedup_exact, dedup_ngram_jaccard,
-# dedup_cluster_components, text_quality_signals, text_language_id,
-# text_chunking, text_tfidf_topk, sim_cosine_topk, st_stateful_running,
-# st_stream_stream_join, m1_feature_assembly, w_topk_rank_rownum (all 3),
-# and a6_idw_interpolation (3, replaced by its scale path). Their
-# operators stay covered in-window: the TPC-H five (q4/q5/q7/q12/q13/
-# q14/q16/q18/q22) exercise every join/agg/order shape, llm_prepare_corpus
-# subsumes the quality→fingerprint-dedup→chunk chain, dedup_near_
-# invariants pins MinHash+SimHash, and the kept streaming five pin the
-# availableNow machinery.
-#
-# KEPT (26): every r4 first-time green that has only one driver row
-# (tpch_q4/q12, dedup_embedding_cosine, llm_prepare_corpus, mm_ppm_decode,
-# st_late_data_eviction, st_time_rollup, st_session_stream), the
-# contract/invariant queries that carry the rows-only tail's evidence
-# (dedup_near_invariants, sim_ann_invariants, sim_ann_recall,
-# r_sampling_invariants, r_stratified_sample_invariants), the flagships
-# under active change this round (a1_pricing_summary, j8_knn_join_grid —
-# the exact-kNN constant work must stay gated), the 2-green set
-# (tpch_q5/q18, j9_asof_join, mm_payload_stats, mm_wav_decode,
-# st_availablenow_stream, st_stream_dedup, m7_auc_evaluator,
-# j_salted_skew_join, sql_correlated_subquery, f_apply_in_pandas_zscore).
+# Rotated OUT — the most-evidenced stalwarts whose operators stay
+# covered: a1_pricing_summary (5 greens; A1/A2 agg shapes live in the
+# in-window TPC-H family and apm_dataset_pipeline), j8_knn_join_grid
+# (5 greens; machinery taken over by j8_knn_seam_polar),
+# dedup_near_invariants (4; MinHash pinned by incoming
+# dedup_minhash_pairs, SimHash by in-window dedup_simhash),
+# r_sampling_invariants + r_stratified_sample_invariants (4 each; the
+# incoming r2/r3/m2 contracts carry the sampling surface),
+# sim_ann_invariants (4; incoming sim_ann_lsh/sim_ann_ivf contracts —
+# sim_ann_recall KEEPS its slot: the measured recall@10 >= 0.8 floor is
+# evidence the per-method contracts don't duplicate), tpch_q4 + tpch_q12
+# (2 each; EXISTS lives in q21, conditional-sum pivot in q14),
+# mm_ppm_decode (2; codec family pinned by in-window mm_bmp + incoming
+# mm_pgm), st_session_stream (2; 7 streaming entries remain in-window),
+# llm_prepare_corpus (2; subsumed by the in-window llm_pretrain_pipeline
+# capstone).
 _PRIORITY = [
-    # Flagship composites under active change this round.
-    "a1_pricing_summary",
-    "j8_knn_join_grid",
-    # The graded IDW is now the scale-safe radius form (verdict r4 #2);
-    # the exhaustive twin leads the tail at position 51.
+    # Flagship composites: the NEW end-to-end reference-pipeline capstone
+    # and the seam/polar-exact kNN probe (replacing their 5-green
+    # predecessors a1_pricing_summary / j8_knn_join_grid).
+    "apm_dataset_pipeline",
+    "j8_knn_seam_polar",
     "a6_idw_radius",
-    # TPC-H shapes: the five never-checked rotate in next to the
-    # single/double-green keepers. q5/q18 (2 greens each, join/agg
-    # shapes fully covered by the in-window q3-q22 family) ceded their
-    # slots to the two NEW r5 LLM-pipeline queries below.
-    "tpch_q4_late_orders",
-    "tpch_q12_priority_lines",
+    # TPC-H shapes: q11 (fraction-of-total HAVING) is the round's #1 ask;
+    # the rest are the single-green keepers from the r5 window.
+    "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",
     "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q16_supplier_cnt",
     "tpch_q22_global_sales_opportunity",
-    # New in r5: the four hardest remaining TPC-H shapes (regional
-    # correlated-MIN, revenue-view + MAX subquery, correlated-AVG
-    # threshold, EXISTS/NOT-EXISTS double self-join). They take the
-    # slots of st_availablenow_stream / m7_auc_evaluator /
-    # j_salted_skew_join / sql_correlated_subquery (2 driver greens
-    # each; availableNow machinery stays pinned by the other 9 streaming
-    # entries, and q2/q15/q17 subsume the correlated-subquery shape).
     "tpch_q2_min_cost_supplier",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
     "tpch_q21_waiting_supplier",
-    # Late r5: disjunctive-predicate pushdown + nested correlated chain
-    # (first evidence); they take the slots of j9_asof_join and
-    # st_stream_dedup (2 driver greens each — as-of stays pinned by
-    # test_asof + the property suite, watermark machinery by the
-    # in-window st_late_data_eviction). q11 heads the tail as the next
-    # rotation candidate.
     "tpch_q19_discounted_revenue",
     "tpch_q20_potential_promotion",
-    # LLM-pipeline: corpus flagship + the dedup/ANN contract queries that
-    # carry the xxhash/MLlib rows-only tail, + the upgraded SimHash
-    # invariants, + the never-checked text tail.
-    "llm_prepare_corpus",
-    # New in r5: decontamination + temperature mixing (first evidence) +
-    # the capstone composing quality->dedup->decontam->mix->split in one
-    # plan (takes f_apply_in_pandas_zscore's slot; 2 driver greens, and
-    # the pandas surface stays pinned by f_pandas_grouped_agg + the mm_*
-    # mapInPandas queries).
+    # LLM-pipeline: capstone + decontam/mix keep their single-green
+    # slots; the upgraded sampling/sketch contracts rotate in.
     "llm_pretrain_pipeline",
     "llm_decontaminate",
     "llm_temperature_mix",
     "dedup_embedding_cosine",
-    "dedup_near_invariants",
+    "dedup_minhash_pairs",
     "dedup_simhash",
-    "sim_ann_invariants",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
     "sim_ann_recall",
     "sim_embedding_stats",
     "text_pii_scrub",
@@ -124,16 +97,10 @@ _PRIORITY = [
     "text_sequence_pack",
     "text_token_hash",
     "text_quality_deciles",
-    # Multimodal: Arrow-batched mapInPandas under value oracles. The new
-    # BMP codec (r4 verdict #7) takes mm_wav_decode's slot — WAV already
-    # has two driver greens (r4 + r2) and moves to the head of the tail,
-    # as does mm_payload_stats (2 greens, ceding to r5_hash_split).
+    # Multimodal: the NEW PGM codec joins BMP (PPM has 2 greens, tail).
     "mm_bmp_decode",
-    "mm_ppm_decode",
-    # Streaming: the five kept REAL availableNow queries + the four
-    # never-checked (REAL sliding + foreachBatch sink + stream-static
-    # join + the two batch twins of the windowed aggs).
-    "st_session_stream",
+    "mm_pgm_decode",
+    # Streaming: the 7 kept REAL availableNow queries.
     "st_late_data_eviction",
     "st_time_rollup",
     "st_sliding_stream",
@@ -141,26 +108,35 @@ _PRIORITY = [
     "st_stream_static_join",
     "st_tumbling_window",
     "st_sliding_window",
-    # ML surface + sampling contracts + the never-checked ML tail.
-    # r5_hash_split (new r5: deterministic id-hash split) takes
-    # mm_payload_stats's slot (2 driver greens; moves to the tail head).
+    # ML surface + the upgraded sampling contracts.
     "m_calibration_bins",
     "m_rf_pipeline_invariants",
-    "r_sampling_invariants",
-    "r_stratified_sample_invariants",
+    "m2_random_undersampler",
+    "r2_seeded_sample",
+    "r3_random_split",
     "r5_hash_split",
-    # Pandas-UDF / SQL-shape / window / partition-pattern evidence.
+    "a8_approx_distinct",
+    # Pandas-UDF / window / partition-pattern evidence.
     "f_pandas_grouped_agg",
     "w5_running_sums",
     "a_approx_percentile_invariant",
     "x5_month_shard_backfill",
 ]
 
-# Positions 51-60: the exhaustive reference-semantics IDW twin adjacent
-# to its in-window scale path per the r4 verdict, then every query the
-# r5 rotations displaced (each one multiply driver-evidenced).
+# Positions 51+: the queries the r6 rotation displaced (each multiply
+# driver-evidenced), then the exhaustive IDW twin and the r5 tail.
 _TAIL_HEAD = [
-    "tpch_q11_important_stock",
+    "a1_pricing_summary",
+    "j8_knn_join_grid",
+    "dedup_near_invariants",
+    "r_sampling_invariants",
+    "r_stratified_sample_invariants",
+    "sim_ann_invariants",
+    "tpch_q4_late_orders",
+    "tpch_q12_priority_lines",
+    "mm_ppm_decode",
+    "st_session_stream",
+    "llm_prepare_corpus",
     "a6_idw_interpolation",
     "j9_asof_join",
     "st_stream_dedup",

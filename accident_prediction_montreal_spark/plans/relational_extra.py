@@ -1723,3 +1723,151 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("s_name", "n_name")
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        CAST(l.l_extendedprice AS DECIMAL(18,4))
+          * CAST(1 - l.l_discount AS DECIMAL(18,4)) AS volume,
+        n2.n_name AS supp_nation
+      FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+        AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+      CAST(CAST(SUM(CASE WHEN supp_nation = 'FRANCE' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
+    FROM vol
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    description="TPC-H Q8 (national market share): 8-way snowflake from the "
+    "lineitem fact — part-type filter pushed to the part scan, customer leg "
+    "climbs nation->region to pin the EUROPE market, supplier leg reaches "
+    "its own nation copy for the share numerator — FRANCE's share of "
+    "PROMO-part revenue per order year. Every dimension (part after its "
+    "filter, supplier, customer, both nation copies, region) broadcasts; "
+    "the only shuffle is the per-year aggregate. Both sums are exact "
+    "DECIMAL(18,4) so the share ratio divides two bit-identical doubles "
+    "in either engine. Completes the join-DAG family of SURVEY §2.3 "
+    "(reference joins peak at 3-way, preprocess.py:313-357; this is the "
+    "deepest standard analytic join shape).",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec4 = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    # customer-side nation restricted to the region; supplier-side copy
+    # carries the share-nation name.
+    n1 = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = dec4(F.col("l_extendedprice")) * dec4(F.lit(1) - F.col("l_discount"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"), "left_semi")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "FRANCE", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+      CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,4))
+                    - CAST(p.p_retailprice * 0.5 AS DECIMAL(18,4))
+                      * CAST(l.l_quantity AS DECIMAL(18,4)))
+           AS VARCHAR) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+    description="TPC-H Q9 (product-type profit): substring LIKE filter on "
+    "part name, 5-way join, profit aggregated per (supplier nation, order "
+    "year) with DESC year within nation. The testdata has no partsupp "
+    "table, so ps_supplycost is substituted by p_retailprice * 0.5 — "
+    "exact in both engines because 0.5 is a power of two — preserving "
+    "the query's defining shape: a two-sided revenue-minus-cost measure "
+    "whose cost factor comes from a SECOND dimension attribute, not the "
+    "fact row. Part (post-LIKE), supplier and nation broadcast; orders "
+    "joins on the fact key; one shuffle at the aggregate.",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec4 = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    profit = dec4(F.col("l_extendedprice")) * dec4(F.lit(1) - F.col("l_discount")) - dec4(
+        F.col("p_retailprice") * 0.5
+    ) * dec4(F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )

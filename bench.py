@@ -47,6 +47,11 @@ HEADLINE = [
     "tpch_q10_returned_items",
 ]
 
+# Reference-parity twins: queries kept for exhaustive reference-semantics
+# parity whose cost is structurally quadratic and NOT the scale signal.
+# run_headline reports their total separately from the scale-safe total.
+PARITY_TWINS = {"a6_idw_interpolation"}
+
 
 def run_headline(spark, sf_dir: str, runs: int) -> dict:
     """Shared timing protocol for every bench artifact (sf0.1 here,
@@ -65,11 +70,22 @@ def run_headline(spark, sf_dir: str, runs: int) -> dict:
             REGISTRY[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    scale_safe = round(
+        sum(t for n, t in timings.items() if n not in PARITY_TWINS), 3
+    )
     return {
         "metric": "headline_query_set_wall_time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # Split totals (r5 verdict #3): the exhaustive reference-semantics
+        # IDW twin is structurally Θ(samples × stations) and would dominate
+        # the sf1 total; the scale-safe set is the signal a 100-TB plan is
+        # graded on, the twin total tracks reference parity separately.
+        "scale_safe_total": scale_safe,
+        "parity_twin_total": round(
+            sum(t for n, t in timings.items() if n in PARITY_TWINS), 3
+        ),
     }
 
 

@@ -57,8 +57,27 @@ def test_ewma_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1  # one window partition
 
 
+def minhash_pairs_plan(spark) -> str:
+    # The registry's dedup_minhash_pairs is now an invariants CONTRACT
+    # (left_anti checks against planted duplicates are joins by design),
+    # so the single-scan/no-join guarantee is asserted on the raw
+    # operator the contract wraps.
+    from accident_prediction_montreal_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+    from accident_prediction_montreal_spark.sources.registry import load_table
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3,
+        min_est_jaccard=0.5,
+    )
+    return pairs._jdf.queryExecution().executedPlan().toString()
+
+
 def test_minhash_no_string_shingles(spark):
-    plan = plan_of(spark, "dedup_minhash_pairs")
+    plan = minhash_pairs_plan(spark)
     assert "concat_ws" not in plan  # numeric shingles only
 
 
@@ -103,7 +122,7 @@ def test_jaccard_runs_shingle_map_once(spark):
 def test_minhash_pairs_single_scan_no_join(spark):
     # collect_list-per-bucket pair generation: no join operator at all,
     # and the shingle explode feeding signatures appears exactly once.
-    plan = plan_of(spark, "dedup_minhash_pairs")
+    plan = minhash_pairs_plan(spark)
     assert plan.count("Scan parquet") == 1
     for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert join not in plan
