@@ -704,9 +704,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=32,
         bands=8,
         shingle_n=3,
+        # persist below: 4 contract branches fan out from `pairs`; without
+        # it the signature computation re-runs per branch (X3 pattern).
         min_est_jaccard=0.5,
         max_bucket_size=1_000_000,
-    )
+    ).persist()
 
     expected = plantable.select(
         F.col("doc_id").alias("id_a"),
