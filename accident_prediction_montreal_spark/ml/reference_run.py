@@ -98,10 +98,19 @@ def train_reference(
     if out_base is None:
         from accident_prediction_montreal_spark.ml.evaluate import (
             evaluate_binary_classifier,
+            recall_at_flag_rate,
         )
 
+        test_pred = model.transform(test).persist()
+        test_metrics = evaluate_binary_classifier(test_pred)
+        # The reference's headline operating point (README.md:9 "top 13%
+        # flagged => 85% of collisions"), asserted at fixture scale by
+        # the goldens alongside the area metrics.
+        test_metrics["recallAtFlag13pct"] = recall_at_flag_rate(
+            test_pred, flag_rate=0.13
+        )
         return {
-            "test": evaluate_binary_classifier(model.transform(test)),
+            "test": test_metrics,
             "train": evaluate_binary_classifier(model.transform(train)),
         }
     n_neg = train.filter(F.col("label") == 0.0).count()

@@ -324,3 +324,50 @@ def mask_pii(text: Column | str) -> Column:
     text = F.col(text) if isinstance(text, str) else text
     masked = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
     return F.regexp_replace(masked, PHONE_PATTERN, "<PHONE>")
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 16,
+    min_coverage_pct: int = 60,
+) -> DataFrame:
+    """Corpus-vocabulary coverage filter (CCNet/Gopher-style OOV gate).
+
+    Two passes, both scale-safe: (1) token occurrence counts -> top
+    ``vocab_size`` tokens (DESC count, ASC token — a total order, so the
+    cut is deterministic in any engine); (2) per-document token totals
+    with the vocabulary broadcast back, keeping documents whose in-vocab
+    token share meets ``min_coverage_pct``. The comparison is integer
+    arithmetic (n_in_vocab * 100 >= pct * n_tokens) — no float ratio, so
+    the kept set is bit-exact across engines. Documents with zero tokens
+    produce no explode rows and are dropped (no coverage evidence).
+
+    At 100 TB the vocabulary aggregate is a map-side-combined count over
+    tokens (vocabulary cardinality, not corpus size, bounds the shuffle)
+    and the top-V cut is a tiny TakeOrdered; the per-doc pass shuffles
+    (doc_id) once. The exploded token stream is intentionally NOT
+    persisted — it is corpus-sized, and two streaming passes beat
+    materializing it.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(vocab_size)
+        .select("token")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))), "token", "left"
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce(F.col("__in_vocab"), F.lit(0))).alias("n_in_vocab"),
+    )
+    return per_doc.filter(
+        F.col("n_in_vocab") * 100 >= F.lit(min_coverage_pct) * F.col("n_tokens")
+    )

@@ -2612,3 +2612,45 @@ def llm_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        unnest(CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+               ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+      ) ORDER BY cnt DESC, token LIMIT 16
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+        COUNT(*) AS n_tokens,
+        CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_in_vocab
+      FROM toks t LEFT JOIN vocab v USING (token)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, n_in_vocab FROM per_doc
+    WHERE n_in_vocab * 100 >= 60 * n_tokens
+    """,
+    description="Corpus-vocabulary coverage filter (CCNet/Gopher-style OOV "
+    "gate, north-star text analysis): top-16 corpus vocabulary by "
+    "occurrence count (DESC count, ASC token — deterministic cut), then "
+    "per-document in-vocab share with the vocabulary broadcast back; "
+    "documents below 60% coverage drop. Integer-exact comparison "
+    "(n_in_vocab*100 >= 60*n_tokens) — no float ratio to flake the hash. "
+    "Vocabulary agg shuffles token cardinality (not corpus size); per-doc "
+    "agg shuffles doc_id once; token stream deliberately unpersisted "
+    "(corpus-sized — two streaming passes beat materializing it).",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.text import vocab_coverage
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return vocab_coverage(docs, vocab_size=16, min_coverage_pct=60)

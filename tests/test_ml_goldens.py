@@ -58,6 +58,20 @@ def test_model_quality_matches_golden(trained_metrics, algo):
             assert got == pytest.approx(want, abs=TOL), (
                 f"{algo} {split} {metric}: got {got:.4f}, golden {want:.4f}"
             )
+
+
+@pytest.mark.parametrize("algo", ["brf", "urf", "gbt"])
+def test_recall_at_flag_rate_matches_golden(trained_metrics, algo):
+    """The reference's headline operating point (README.md:9 'top 13%
+    flagged => 85% of collisions') as a fixture-scale contract: recall
+    when flagging the top 13% by predicted probability. Random flagging
+    scores ~0.13 — the golden band also guards 'stopped learning'."""
+    got = trained_metrics[algo]["test"]["recallAtFlag13pct"]
+    want = GOLDENS[algo]["test"]["recallAtFlag13pct"]
+    assert got == pytest.approx(want, abs=TOL), (
+        f"{algo} recall@13%flag: got {got:.4f}, golden {want:.4f}"
+    )
+    assert got > 0.2  # far above the 0.13 random-flagging floor
     # Absolute floor: the model must actually LEARN the planted structure
     # (random baseline: AUROC 0.5, AUPRC = positive rate ~0.24).
     assert metrics["test"]["areaUnderROC"] > 0.65
