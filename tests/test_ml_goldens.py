@@ -58,6 +58,10 @@ def test_model_quality_matches_golden(trained_metrics, algo):
             assert got == pytest.approx(want, abs=TOL), (
                 f"{algo} {split} {metric}: got {got:.4f}, golden {want:.4f}"
             )
+    # Absolute floor: the model must actually LEARN the planted structure
+    # (random baseline: AUROC 0.5, AUPRC = positive rate ~0.24).
+    assert metrics["test"]["areaUnderROC"] > 0.65
+    assert metrics["test"]["areaUnderPR"] > 0.40
 
 
 @pytest.mark.parametrize("algo", ["brf", "urf", "gbt"])
@@ -72,7 +76,3 @@ def test_recall_at_flag_rate_matches_golden(trained_metrics, algo):
         f"{algo} recall@13%flag: got {got:.4f}, golden {want:.4f}"
     )
     assert got > 0.2  # far above the 0.13 random-flagging floor
-    # Absolute floor: the model must actually LEARN the planted structure
-    # (random baseline: AUROC 0.5, AUPRC = positive rate ~0.24).
-    assert metrics["test"]["areaUnderROC"] > 0.65
-    assert metrics["test"]["areaUnderPR"] > 0.40
