@@ -1871,3 +1871,101 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(profit).cast("double").alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
+
+
+@register(
+    "a11_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, ts,
+        min(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events
+    )
+    SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+      CAST(date_diff('day', CAST(date_trunc('week', first_ts) AS DATE),
+                     CAST(ts AS DATE)) // 7 AS BIGINT) AS week_offset,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM firsts
+    GROUP BY 1, 2
+    """,
+    description="Weekly cohort-retention matrix over the events table (the "
+    "classic product-analytics OLAP shape): cohort = Monday-truncated week "
+    "of each user's FIRST event, week_offset = whole weeks since, cell = "
+    "distinct active users. ONE scan and one user_id shuffle: the first-"
+    "event timestamp comes from a min-over-user window (not a groupBy + "
+    "self-join, which would scan events twice); the distinct count then "
+    "shuffles (cohort, offset, user) triples. All derivations are integer/"
+    "date arithmetic — no float to flake the hash. Both engines truncate "
+    "weeks to Monday and floor-divide non-negative day deltas.",
+)
+def a11_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    firsts = ev.withColumn("first_ts", F.min("ts").over(w))
+    cohort_week = F.date_trunc("week", F.col("first_ts")).cast("date")
+    week_offset = F.floor(
+        F.datediff(F.col("ts").cast("date"), cohort_week) / 7
+    ).cast("long")
+    return (
+        firsts.select(
+            cohort_week.alias("cohort_week"),
+            week_offset.alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(F.col("user_id")).alias("n_active"))
+    )
+
+
+@register(
+    "j10_range_join",
+    oracle="""
+    WITH windows AS (
+      SELECT s AS start_ts, s + INTERVAL 2 HOUR AS end_ts
+      FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                           TIMESTAMP '2024-01-30 18:00:00',
+                           INTERVAL 6 HOUR) AS t(s)
+    )
+    SELECT w.start_ts, COUNT(*) AS n_events,
+      CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        AS value_sum
+    FROM events e JOIN windows w
+      ON e.ts >= w.start_ts AND e.ts < w.end_ts
+    GROUP BY w.start_ts
+    """,
+    description="Point-in-interval RANGE JOIN (OSS Spark has no native "
+    "range-join strategy; naive BETWEEN theta joins plan as nested-loop "
+    "products): 2-hour maintenance windows every 6 hours joined to the "
+    "events stream via operators/rangejoin.py — intervals exploded into "
+    "the >= max-duration time cells they touch, points bucketed to the "
+    "same cells, plain equi-join on the cell id, exact BETWEEN predicate "
+    "post-filtered on the bounded candidate set. Candidates are bounded "
+    "by intervals-per-cell (not total intervals), the hash join is AQE-"
+    "sizable/skew-splittable, and the oracle is the naive BETWEEN join — "
+    "same semantics, different physical strategy. Event values sum in "
+    "DECIMAL(18,2): partition-order-proof.",
+)
+def j10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    events = load_table(spark, "events", sf_dir).select("ts", "value")
+    windows = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("2024-01-30 18:00:00").cast("timestamp_ntz"),
+                F.expr("interval 6 hours"),
+            )
+        ).alias("start_ts")
+    ).withColumn("end_ts", F.col("start_ts") + F.expr("interval 2 hours"))
+    joined = point_in_interval_join(
+        events, windows, ts_col="ts", bucket_seconds=2 * 3600
+    )
+    return joined.groupBy("start_ts").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )

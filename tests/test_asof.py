@@ -36,3 +36,86 @@ def test_asof_tolerance(spark):
     tight = asof_join(left, right, by=["user_id"], tolerance_seconds=60).first()
     assert loose["v_right"] == 5.0
     assert tight["v_right"] is None  # match older than tolerance nulled
+
+
+class TestRangeJoin:
+    """Bucketed point-in-interval join vs the naive theta-join twin."""
+
+    def test_matches_naive_and_covers_boundaries(self, spark):
+        from pyspark.sql import functions as F
+
+        from accident_prediction_montreal_spark.operators.rangejoin import (
+            point_in_interval_join,
+            point_in_interval_join_naive,
+        )
+
+        points = spark.createDataFrame(
+            [(i, f"2024-01-01 {h:02d}:{m:02d}:00") for i, (h, m) in enumerate(
+                [(0, 0), (1, 59), (2, 0), (3, 30), (5, 59), (6, 0), (23, 59)]
+            )],
+            "pid long, ts_s string",
+        ).select("pid", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+        # 2h windows at 0/6/12/18h, plus one ending exactly on a cell
+        # boundary (04:00-06:00): a 06:00 point must NOT join it.
+        ivs = spark.createDataFrame(
+            [(k, f"2024-01-01 {s:02d}:00:00", f"2024-01-01 {e:02d}:00:00")
+             for k, (s, e) in enumerate([(0, 2), (4, 6), (6, 8), (18, 20)])],
+            "wid long, s string, e string",
+        ).select(
+            "wid",
+            F.col("s").cast("timestamp_ntz").alias("start_ts"),
+            F.col("e").cast("timestamp_ntz").alias("end_ts"),
+        )
+        got = point_in_interval_join(
+            points, ivs, bucket_seconds=2 * 3600
+        ).select("pid", "wid")
+        want = point_in_interval_join_naive(points, ivs).select("pid", "wid")
+        assert sorted(got.collect()) == sorted(want.collect())
+        rows = set(tuple(r) for r in got.collect())
+        assert (0, 0) in rows      # inclusive start
+        assert (5, 1) not in rows  # exists? pid5=06:00 vs wid1 ends 06:00
+        assert (5, 2) in rows      # 06:00 starts wid2 exactly
+
+    def test_long_intervals_still_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from accident_prediction_montreal_spark.operators.rangejoin import (
+            point_in_interval_join,
+            point_in_interval_join_naive,
+        )
+
+        # duration (9h) > bucket (2h): fan-out grows but results stay
+        # identical to the naive join.
+        points = spark.createDataFrame(
+            [(i, f"2024-01-01 {h:02d}:30:00") for i, h in enumerate(range(0, 24, 3))],
+            "pid long, ts_s string",
+        ).select("pid", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+        ivs = spark.createDataFrame(
+            [(0, "2024-01-01 01:00:00", "2024-01-01 10:00:00"),
+             (1, "2024-01-01 08:00:00", "2024-01-01 17:00:00")],
+            "wid long, s string, e string",
+        ).select(
+            "wid",
+            F.col("s").cast("timestamp_ntz").alias("start_ts"),
+            F.col("e").cast("timestamp_ntz").alias("end_ts"),
+        )
+        got = point_in_interval_join(points, ivs, bucket_seconds=2 * 3600)
+        want = point_in_interval_join_naive(points, ivs)
+        assert sorted(got.select("pid", "wid").collect()) == sorted(
+            want.select("pid", "wid").collect()
+        )
+
+    def test_rejects_bad_bucket(self, spark):
+        import pytest as _pytest
+
+        from accident_prediction_montreal_spark.operators.rangejoin import (
+            point_in_interval_join,
+        )
+
+        df = spark.range(1).selectExpr("timestamp_ntz'2024-01-01' AS ts")
+        iv = spark.range(1).selectExpr(
+            "timestamp_ntz'2024-01-01' AS start_ts",
+            "timestamp_ntz'2024-01-02' AS end_ts",
+        )
+        with _pytest.raises(ValueError):
+            point_in_interval_join(df, iv, bucket_seconds=0)

@@ -194,3 +194,12 @@ def test_temperature_sample_broadcasts_rates(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan  # corpus side never shuffles
+
+
+def test_range_join_is_hash_equi_join(spark):
+    # The whole point of the bucketed range join: a HASH join on the
+    # cell id (AQE-sizable), never a nested-loop over all intervals.
+    plan = plan_of(spark, "j10_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # broadcast or shuffled, either is fine
