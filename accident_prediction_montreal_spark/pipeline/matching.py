@@ -114,6 +114,11 @@ def match_accidents_with_roads(
         .filter(F.col("rn") == 1)
         .select("accident_id", "street_id")
     )
-    top_k.unpersist()
-    first_match.unpersist()
+    # NOTE: deliberately NOT unpersisting top_k/first_match here. The
+    # return value is a LAZY plan over both; an eager unpersist at return
+    # time (as r1-r5 did) drops the caches before any action runs, so
+    # every downstream branch (accept + refine + disambiguation, and the
+    # caller's fan-out into counts/encoders/splits) silently re-ran the
+    # kNN matching — measured 2x on apm_dataset_pipeline at sf0.1.
+    # Cache lifecycle belongs to the session/caller (X3 pattern).
     return out

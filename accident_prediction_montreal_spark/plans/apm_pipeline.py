@@ -525,7 +525,12 @@ def apm_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     weather = _weather(spark, sf_dir)
     stations = _stations(spark, sf_dir)
 
-    pos = positive_samples(spark, accidents, road_points, weather, stations)
+    # persist: build_dataset fans the sample sides into the accident-count
+    # aggregate, two target encoders and the train/test union — without a
+    # persist the matching + IDW subtree recomputes per branch (the
+    # reference's mains persist exactly these two frames,
+    # main_train_brf.py:24-60).
+    pos = positive_samples(spark, accidents, road_points, weather, stations).persist()
 
     # Negative date x road grid with the DETERMINISTIC keep decision
     # (operators/mixing.py lcg, salt 3) replacing the reference's
@@ -541,7 +546,7 @@ def apm_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sample_id", _sample_id(F.lit("neg"), "date", "hour", "street_id"))
     )
     wx = weather_for_samples(neg_base, smooth_risky_weather(weather), stations)
-    neg = _add_date_features(neg_base.join(wx, "sample_id"))
+    neg = _add_date_features(neg_base.join(wx, "sample_id")).persist()
 
     train, test = build_dataset(spark, pos, neg, split_date=_SPLIT_DATE)
     both = train.withColumn("split", F.lit("train")).unionByName(
