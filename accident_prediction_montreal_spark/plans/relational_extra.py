@@ -1969,3 +1969,72 @@ def j10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
     )
+
+
+@register(
+    "a12_funnel_steps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    x AS (
+      SELECT e.user_id, min(e.ts) AS t_err
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'error' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'view>click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 'view>click>error', CAST((SELECT COUNT(*) FROM x) AS BIGINT)
+    """,
+    description="Ordered 3-step funnel over the events stream (product-"
+    "analytics shape the reference lacks): users who viewed, then clicked "
+    "AFTER their first view, then errored AFTER that first qualifying "
+    "click. Each stage is a per-user min-timestamp aggregate joined back "
+    "— the strictly-ordered semantics (step N+1 must follow the EARLIEST "
+    "qualifying step N) decorrelate into 3 chained aggregates; all "
+    "shuffles share the user_id key so Catalyst reuses one partitioning, "
+    "and per-step results are 1-row counts unioned. Timestamps compare "
+    "exactly — no float in the funnel.",
+)
+def a12_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    x = (
+        ev.filter(F.col("event_type") == "error")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_err"))
+    )
+
+    def step(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(name).alias("step"), "n_users"
+        )
+
+    return (
+        step("view", v)
+        .unionByName(step("view>click", c))
+        .unionByName(step("view>click>error", x))
+    )
