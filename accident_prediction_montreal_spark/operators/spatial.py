@@ -614,8 +614,46 @@ def idw_interpolate_radius(
         # 1.05: curvature/rounding slack — oversizing cells is always
         # safe (more candidates), undersizing drops in-radius pairs.
         cell_deg = radius_m / _M_PER_DEG / min_cos_lat * 1.05
-        sample_cells = _with_cell(samples, s_lat, s_lon, cell_deg)
-        station_cells = _with_neighbor_cells(stations, t_lat, t_lon, cell_deg)
+        # ANTIMERIDIAN: longitude cells must WRAP, or an in-radius pair
+        # straddling lon ±180 lands in far-apart cell_j and is silently
+        # dropped (the kNN path refuses proofs near the seam instead;
+        # an aggregate can't refuse, so the grid itself wraps). The lon
+        # axis is tiled with n_lon = floor(360/cell_deg) cells of
+        # exactly 360/n_lon >= cell_deg degrees (oversize-safe), and
+        # cell_j arithmetic is mod n_lon. Below 4 lon cells the 3x3
+        # neighbor block would self-overlap (duplicate pairs would
+        # double-count IDW sums) — the cells cover most of the globe
+        # then anyway, so use the exhaustive pairing.
+        n_lon = int(360.0 // cell_deg)
+        if n_lon < 4:
+            use_grid = False
+    if use_grid:
+        lon_cell = 360.0 / n_lon
+
+        def wrap_j(col: Column) -> Column:
+            return F.pmod(F.floor((col + F.lit(180.0)) / F.lit(lon_cell)).cast("long"), F.lit(n_lon))
+
+        sample_cells = samples.withColumn(
+            "cell_i", F.floor(F.col(s_lat) / cell_deg).cast("long")
+        ).withColumn("cell_j", wrap_j(F.col(s_lon)))
+        base = stations.columns
+        offsets = F.array(
+            *[
+                F.struct(F.lit(a).alias("di"), F.lit(b).alias("dj"))
+                for a in (-1, 0, 1)
+                for b in (-1, 0, 1)
+            ]
+        )
+        station_cells = (
+            stations.withColumn("base_i", F.floor(F.col(t_lat) / cell_deg).cast("long"))
+            .withColumn("base_j", wrap_j(F.col(t_lon)))
+            .withColumn("off", F.explode(offsets))
+            .select(
+                *base,
+                (F.col("base_i") + F.col("off.di")).alias("cell_i"),
+                F.pmod(F.col("base_j") + F.col("off.dj"), F.lit(n_lon)).alias("cell_j"),
+            )
+        )
         joined = sample_cells.join(station_cells, ["cell_i", "cell_j"])
     else:
         joined = samples.crossJoin(F.broadcast(stations))

@@ -65,7 +65,11 @@ _PRIORITY = [
     # predecessors a1_pricing_summary / j8_knn_join_grid).
     "apm_dataset_pipeline",
     "j8_knn_seam_polar",
-    "a6_idw_radius",
+    # r6 late: the seam-straddling radius IDW (same operator as
+    # a6_idw_radius, same 2 km semantics, PLUS the modular lon-cell
+    # wrap under fire) takes the graded IDW slot; the plain radius
+    # form (green r5) moves to the tail head.
+    "a6_idw_seam",
     # TPC-H shapes: q11 (fraction-of-total HAVING) is the round's #1 ask;
     # the rest are the single-green keepers from the r5 window.
     "tpch_q11_important_stock",
@@ -126,6 +130,7 @@ _PRIORITY = [
 # Positions 51+: the queries the r6 rotation displaced (each multiply
 # driver-evidenced), then the exhaustive IDW twin and the r5 tail.
 _TAIL_HEAD = [
+    "a6_idw_radius",
     "a1_pricing_summary",
     "j8_knn_join_grid",
     "dedup_near_invariants",

@@ -687,3 +687,82 @@ def a7_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("risk", 6) + 0.0).alias("risk"),
         F.col("risk_index").cast("long").alias("risk_index"),
     )
+
+
+# --- A6 radius IDW across the antimeridian (r6: wrapped lon cells) ------------
+
+# MID-latitude seam fixture (~45.4 N, lon raw 179.9..180.24 wrapping to
+# the negative side): cos(lat) ~ 0.70, so idw_interpolate_radius takes
+# its GRID path (the polar fixture above would fall back to exhaustive
+# and never exercise the wrap) — in-radius sample-station pairs
+# routinely straddle lon ±180, and a non-wrapping cell_j would silently
+# drop their weight from the interpolation sums.
+IDW_SEAM_LAT = "45.4 + (c_custkey % 997) / 3000.0"
+IDW_SEAM_LON_RAW = "179.9 + (c_custkey % 1009) / 3000.0"
+IDW_SEAM_RLAT = "45.4 + (s_suppkey % 89) / 300.0"
+IDW_SEAM_RLON_RAW = "179.9 + (s_suppkey % 97) / 300.0"
+
+
+@register(
+    "a6_idw_seam",
+    oracle=f"""
+    WITH samples AS (
+      SELECT c_custkey, {IDW_SEAM_LAT} AS lat, {_wrap_sql(IDW_SEAM_LON_RAW)} AS lon
+      FROM customer
+    ),
+    stations AS (
+      SELECT s_suppkey, s_acctbal, {IDW_SEAM_RLAT} AS slat,
+             {_wrap_sql(IDW_SEAM_RLON_RAW)} AS slon
+      FROM supplier
+    ),
+    pairs AS (
+      SELECT c_custkey, s_acctbal, d, 1.0 / pow(d, 2.0) AS w
+      FROM (
+        SELECT c_custkey, s_acctbal,
+          {_haversine_sql("lat", "lon", "slat", "slon")} AS d
+        FROM samples CROSS JOIN stations
+      ) WHERE d <= 2000.0
+    )
+    SELECT c_custkey,
+      ROUND(
+        SUM(CASE WHEN NOT isnan(s_acctbal) AND s_acctbal IS NOT NULL THEN w * s_acctbal ELSE 0.0 END)
+        / SUM(CASE WHEN NOT isnan(s_acctbal) AND s_acctbal IS NOT NULL THEN w ELSE 0.0 END),
+      6) AS acctbal_idw
+    FROM pairs GROUP BY c_custkey
+    """,
+    description="Radius-truncated IDW over an ANTIMERIDIAN-straddling "
+    "mid-latitude fixture (r6): the oracle's exhaustive cross join is "
+    "wrap-correct by construction, so stations within 2 km ACROSS lon "
+    "±180 must contribute their weight — exercising the r6 modular "
+    "lon-cell wrap in idw_interpolate_radius's grid path (cos ~0.70 "
+    "here, so the polar fallback does NOT absorb the case; a "
+    "non-wrapping grid loses the cross-seam stations and the weighted "
+    "means hash-mismatch).",
+)
+def a6_idw_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.spatial import (
+        idw_interpolate_radius,
+    )
+
+    samples = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        (F.lit(45.4) + (F.col("c_custkey") % 997) / 3000.0).alias("lat"),
+        _wrap_col(F.lit(179.9) + (F.col("c_custkey") % 1009) / 3000.0).alias("lon"),
+    )
+    stations = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("acctbal_idw"),
+        (F.lit(45.4) + (F.col("s_suppkey") % 89) / 300.0).alias("station_lat"),
+        _wrap_col(F.lit(179.9) + (F.col("s_suppkey") % 97) / 300.0).alias("station_lon"),
+    )
+    out = idw_interpolate_radius(
+        samples,
+        stations,
+        value_cols=["acctbal_idw"],
+        radius_m=2000.0,
+        sample_id="c_custkey",
+        sample_coords=("lat", "lon"),
+        station_coords=("station_lat", "station_lon"),
+        power=2.0,
+    )
+    return out.select("c_custkey", F.round("acctbal_idw", 6).alias("acctbal_idw"))

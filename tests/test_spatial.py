@@ -398,3 +398,34 @@ def test_idw_radius_includes_outlier_latitude_stations(spark):
     assert len(out) == 1
     # both lat-70 stations (and nothing else) are in radius -> exactly 100.0
     assert out[0]["temp"] == pytest.approx(100.0, abs=1e-9)
+
+
+def test_idw_radius_antimeridian_wrap(spark):
+    """A station 1.5 km across lon ±180 must contribute its weight: the
+    r6 modular lon-cell wrap keeps cross-seam pairs that a non-wrapping
+    floor(lon/cell) grid silently dropped (cell_j -9000 vs +8999)."""
+    import pytest as _pytest
+
+    from accident_prediction_montreal_spark.operators.spatial import (
+        idw_interpolate_radius,
+    )
+
+    # sample just west of the seam; one station 1.5 km EAST across the
+    # seam (lon wraps to -179.993) and one 1 km west (same side).
+    stations = spark.createDataFrame(
+        [(1, 45.0, -179.9934, 100.0), (2, 45.0, 179.9937, 10.0)],
+        ["sid", "station_lat", "station_lon", "temp"],
+    )
+    samples = spark.createDataFrame(
+        [(1, 45.0, 179.9810)], ["sample_id", "lat", "lon"]
+    )
+    out = idw_interpolate_radius(
+        samples, stations, ["temp"], radius_m=2500.0
+    ).collect()
+    assert len(out) == 1
+    # both stations in radius: cross-seam d~2.02km, same-side d~1.0km
+    # weighted mean must include BOTH (dropping the cross-seam one
+    # yields exactly 10.0 — the regression signature).
+    got = out[0]["temp"]
+    assert got != _pytest.approx(10.0, abs=1e-6)
+    assert 10.0 < got < 100.0
