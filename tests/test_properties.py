@@ -341,3 +341,48 @@ def test_temperature_mix_rates_match_naive(spark, sizes):
         assert r["p_tau"] == pytest.approx(pw[d] / denom, rel=1e-9)
         expect_rate = min(1.0, 0.5 * total * (pw[d] / denom) / n)
         assert r["sample_rate"] == pytest.approx(expect_rate, rel=1e-9)
+
+
+# --- bucketed range join ------------------------------------------------------
+
+range_points = st.lists(st.integers(0, 7200), min_size=1, max_size=20)
+range_intervals = st.lists(
+    # (start offset sec, duration sec) — durations from instant to 3x
+    # the 1800 s bucket, so the cell fan-out path with >2 cells runs.
+    st.tuples(st.integers(0, 7200), st.integers(0, 5400)),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(**SETTINGS)
+@given(points=range_points, intervals=range_intervals)
+def test_range_join_matches_naive(spark, points, intervals):
+    """Bucketed point-in-interval join == naive BETWEEN theta join for
+    any point/interval placement, including boundary landings and
+    intervals longer than the bucket."""
+    from accident_prediction_montreal_spark.operators.rangejoin import (
+        point_in_interval_join,
+        point_in_interval_join_naive,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, BASE + timedelta(seconds=s)) for i, s in enumerate(points)],
+        "pid long, ts timestamp_ntz",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (k, BASE + timedelta(seconds=s), BASE + timedelta(seconds=s + d))
+            for k, (s, d) in enumerate(intervals)
+        ],
+        "wid long, start_ts timestamp_ntz, end_ts timestamp_ntz",
+    )
+    got = sorted(
+        point_in_interval_join(pts, ivs, bucket_seconds=1800)
+        .select("pid", "wid")
+        .collect()
+    )
+    want = sorted(
+        point_in_interval_join_naive(pts, ivs).select("pid", "wid").collect()
+    )
+    assert got == want
