@@ -368,3 +368,75 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-span masking stats (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": remove substrings that
+    occur verbatim more than once in the corpus).
+
+    Per document: total token count and the number of token positions
+    covered by at least one k-token span whose exact sequence occurs
+    >= ``min_count`` times ANYWHERE in the corpus (including twice in
+    the same document). Returns (id, n_tokens, n_masked) — integer
+    exact, so the result hash cannot flake.
+
+    Scale shape: positional span hashes are built with the same
+    hash-each-token-once + zip_with chaining as ``word_shingle_hashes``
+    (no per-span strings); the global span count is a map-side-combined
+    groupBy on an 8-byte key — boilerplate spans with millions of
+    occurrences cost ONE aggregate row, never a pair join — and only
+    spans that pass the count gate flow into the (bounded) position
+    explode. The mask decision is hash-invariant, so an oracle may
+    compute it over string spans.
+    """
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokenize(text)
+
+    def spans_of(th: Column) -> Column:
+        count = F.greatest(F.size(th) - (k - 1), F.lit(0))
+        gram = F.slice(th, 1, count)
+        for j in range(1, k):
+            gram = F.zip_with(
+                gram, F.slice(th, j + 1, count), lambda a, b: F.xxhash64(a, b)
+            )
+        return gram
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        _bind_once(F.transform(toks, lambda t: F.xxhash64(t)), spans_of).alias(
+            "__spans"
+        ),
+    )
+    spans = base.select(id_col, F.posexplode("__spans").alias("pos", "h"))
+    repeated = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("h")
+    )
+    masked = (
+        spans.join(repeated, "h")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
+                "tokidx"
+            ),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_masked"))
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(masked, id_col, "left")
+        .na.fill(0, ["n_masked"])
+        .select(id_col, "n_tokens", F.col("n_masked").cast("long").alias("n_masked"))
+    )

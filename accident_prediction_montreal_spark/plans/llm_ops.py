@@ -2654,3 +2654,100 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return vocab_coverage(docs, vocab_size=16, min_coverage_pct=60)
+
+
+@register(
+    "st_stream_range_join",
+    oracle="""
+    WITH windows AS (
+      SELECT s AS start_ts, s + INTERVAL 2 HOUR AS end_ts
+      FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                           TIMESTAMP '2024-01-30 18:00:00',
+                           INTERVAL 6 HOUR) AS t(s)
+    )
+    SELECT w.start_ts, COUNT(*) AS n_events,
+      CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        AS value_sum
+    FROM events e JOIN windows w
+      ON e.ts >= w.start_ts AND e.ts < w.end_ts
+    GROUP BY w.start_ts
+    """,
+    description="REAL streaming RANGE join (§2.12 x the r6 rangejoin "
+    "operator): events readStream bucketed to interval-sized time cells "
+    "per micro-batch and equi-joined against the static exploded window "
+    "set — the same point_in_interval_join plan shape, valid under "
+    "append-mode stream-static rules (no stream-side state), availableNow "
+    "to a memory sink, then batch-aggregated per window. The oracle is "
+    "the batch BETWEEN join: any window mis-bucketed by the streaming "
+    "path changes a count or a DECIMAL-exact value sum.",
+)
+def st_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    windows = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("2024-01-30 18:00:00").cast("timestamp_ntz"),
+                F.expr("interval 6 hours"),
+            )
+        ).alias("start_ts")
+    ).withColumn("end_ts", F.col("start_ts") + F.expr("interval 2 hours"))
+    stream = _events_stream(spark, sf_dir).select("ts", "value")
+    joined = point_in_interval_join(
+        stream, windows, ts_col="ts", bucket_seconds=2 * 3600
+    ).select("start_ts", "value")
+    out = _run_to_memory_sink(spark, joined, "append")
+    return out.groupBy("start_ts").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i AS pos, array_to_string(w[i+1:i+3], ' ') AS s
+      FROM toks, UNNEST(range(0, GREATEST(len(w) - 2, 0))) AS t(i)
+    ),
+    rep AS (
+      SELECT s FROM spans GROUP BY s HAVING COUNT(*) >= 2
+    ),
+    masked AS (
+      SELECT DISTINCT sp.doc_id, sp.pos + u.o AS tokidx
+      FROM spans sp JOIN rep USING (s), UNNEST(range(0, 3)) AS u(o)
+    ),
+    mc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_masked
+      FROM masked GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+      COALESCE(mc.n_masked, 0) AS n_masked
+    FROM toks t LEFT JOIN mc USING (doc_id)
+    """,
+    description="Exact repeated-span dedup stats (Lee et al. 2021 'Deduplicating "
+    "Training Data Makes Language Models Better' — remove substrings occurring "
+    "verbatim more than once): per document, the token positions covered by a "
+    "3-token span repeated anywhere in the corpus. Spark computes positional "
+    "span hashes (hash-each-token-once + zip_with chaining, no span strings) "
+    "and a map-side-combined global count on the 8-byte key — a "
+    "million-occurrence boilerplate span costs ONE aggregate row, never a "
+    "pair join; the mask decision is hash-invariant, so the oracle computes "
+    "the SAME mask over string spans. Integer-exact output.",
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.dedup import (
+        repeated_span_stats,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return repeated_span_stats(docs, k=3, min_count=2)
