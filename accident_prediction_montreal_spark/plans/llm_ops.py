@@ -2751,3 +2751,53 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return repeated_span_stats(docs, k=3, min_count=2)
+
+
+@register(
+    "f_udtf_json_kv",
+    oracle="""
+    WITH kv AS (
+      SELECT event_id, unnest(json_keys(props)) AS k, props
+      FROM events
+    )
+    SELECT k, COUNT(*) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS INTEGER)) AS BIGINT)
+        AS v_sum
+    FROM kv GROUP BY k
+    """,
+    description="REAL Python UDTF (SURVEY §2.10 F-surface completion — the "
+    "reference's de-facto UDTF is scalar-UDF-returns-array + explode, "
+    "weather.py:161-181; Spark 4's @udtf is the first-class form): a "
+    "table function yielding one (key, value) row per JSON property of "
+    "the events props column, applied via correlated LATERAL join, then "
+    "aggregated per key with an integer-exact value sum. Arrow-batched "
+    "like any Python UDF; variable-row-count output per input row is the "
+    "part no scalar UDF can express.",
+)
+def f_udtf_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="k string, v string")
+    class JsonKV:
+        def eval(self, props: str):
+            import json
+
+            if props:
+                try:
+                    for key, val in json.loads(props).items():
+                        yield (str(key), str(val))
+                except (ValueError, AttributeError):
+                    return
+
+    name = "json_kv_r6"
+    spark.udtf.register(name, JsonKV)
+    ev = load_table(spark, "events", sf_dir).select("event_id", "props")
+    ev.createOrReplaceTempView("__udtf_events")
+    return spark.sql(
+        f"""
+        SELECT t.k, COUNT(*) AS n,
+          CAST(SUM(CAST(t.v AS LONG)) AS LONG) AS v_sum
+        FROM __udtf_events e, LATERAL {name}(e.props) t
+        GROUP BY t.k
+        """
+    )

@@ -2038,3 +2038,38 @@ def a12_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(step("view>click", c))
         .unionByName(step("view>click>error", x))
     )
+
+
+@register(
+    "w7_range_frame",
+    oracle="""
+    SELECT event_id,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+      ) AS VARCHAR) AS DOUBLE) AS roll_sum
+    FROM events
+    """,
+    description="RANGE-frame window (the time-interval sibling of w3's "
+    "ROWS-frame rolling average): per user, the trailing 1-hour sum of "
+    "event values — the frame is defined by event-TIME distance, not row "
+    "count, so bursts widen the frame and gaps shrink it. Spark expresses "
+    "the interval as rangeBetween over microsecond epochs (RANGE frames "
+    "take numeric offsets); DuckDB uses the native INTERVAL frame — both "
+    "inclusive at cur - 1h, microsecond-exact. One shuffle on user_id; "
+    "sums DECIMAL-exact so peer-row order cannot flake the hash.",
+)
+def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts", "value")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("roll_sum"),
+    )
