@@ -127,9 +127,23 @@ _PRIORITY = [
     "x5_month_shard_backfill",
 ]
 
-# Positions 51+: the queries the r6 rotation displaced (each multiply
-# driver-evidenced), then the exhaustive IDW twin and the r5 tail.
+# Positions 51+: FIRST the r6 late additions with zero driver evidence
+# (the natural r7 rotate-in set, every one oracle-backed and verified
+# green locally at sf0.01), then a6_idw_radius (1 green, displaced by
+# its seam twin), then the queries the r6 rotation displaced (each
+# multiply driver-evidenced), then the r5 tail.
 _TAIL_HEAD = [
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "j10_range_join",
+    "st_stream_range_join",
+    "dedup_repeated_spans",
+    "text_vocab_coverage",
+    "a11_cohort_retention",
+    "a12_funnel_steps",
+    "a13_grouping_sets",
+    "f_udtf_json_kv",
+    "w7_range_frame",
     "a6_idw_radius",
     "a1_pricing_summary",
     "j8_knn_join_grid",

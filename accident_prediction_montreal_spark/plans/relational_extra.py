@@ -2073,3 +2073,42 @@ def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("roll_sum"),
     )
+
+
+@register(
+    "a13_grouping_sets",
+    oracle="""
+    SELECT event_type,
+      CAST(year(ts) * 100 + month(ts) AS BIGINT) AS ym,
+      CAST(GROUPING(event_type) * 2 + GROUPING(ym) AS BIGINT) AS gid,
+      COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        AS value_sum
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, ym), (event_type), (ym))
+    """,
+    description="Arbitrary GROUPING SETS (A9's cube/rollup sibling — the "
+    "three-set shape neither cube nor rollup produces: (type, month), "
+    "(type), (month), but NOT the grand total): one scan, Catalyst's "
+    "Expand feeds a single hash aggregate, grouping_id disambiguates the "
+    "null-vs-missing dimension exactly as the oracle's GROUPING() bits. "
+    "Decimal-exact sums; month key kept numeric (y*100+m) so no date "
+    "formatting can drift between engines.",
+)
+def a13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    ev.select(
+        "event_type",
+        (F.year("ts") * 100 + F.month("ts")).cast("long").alias("ym"),
+        "value",
+    ).createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, ym,
+          CAST(grouping(event_type) * 2 + grouping(ym) AS LONG) AS gid,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type, ym), (event_type), (ym))
+        """
+    )
