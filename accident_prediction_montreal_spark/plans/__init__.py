@@ -144,6 +144,8 @@ _TAIL_HEAD = [
     "a13_grouping_sets",
     "f_udtf_json_kv",
     "w7_range_frame",
+    "j12_nullsafe_join",
+    "p12_unpivot",
     "a6_idw_radius",
     "a1_pricing_summary",
     "j8_knn_join_grid",

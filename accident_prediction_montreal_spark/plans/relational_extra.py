@@ -2112,3 +2112,87 @@ def a13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type, ym), (event_type), (ym))
         """
     )
+
+
+@register(
+    "j12_nullsafe_join",
+    oracle="""
+    WITH keyed AS (
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 11 = 0 THEN NULL
+             ELSE c_nationkey % 5 END AS bucket
+      FROM customer
+    ),
+    dim AS (
+      SELECT DISTINCT bucket,
+        COALESCE(CAST(bucket AS VARCHAR), 'unbucketed') AS bucket_name
+      FROM keyed
+    )
+    SELECT d.bucket_name, CAST(COUNT(*) AS BIGINT) AS n
+    FROM keyed k JOIN dim d ON k.bucket IS NOT DISTINCT FROM d.bucket
+    GROUP BY d.bucket_name
+    """,
+    description="NULL-safe equi-join (Spark eqNullSafe <=> / SQL IS NOT "
+    "DISTINCT FROM): every 11th customer's bucket key is NULL, and the "
+    "null-safe join must match those rows to the dimension's NULL bucket "
+    "— a plain equi-join silently drops them (the classic missed-rows "
+    "bug this operator exists to prevent). Catalyst plans <=> as a "
+    "hashable key, so the dim still broadcasts — no nested loop.",
+)
+def j12_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keyed = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("long"))
+        .otherwise((F.col("c_nationkey") % 5).cast("long"))
+        .alias("bucket"),
+    )
+    dim = keyed.select("bucket").distinct().withColumn(
+        "bucket_name",
+        F.coalesce(F.col("bucket").cast("string"), F.lit("unbucketed")),
+    )
+    return (
+        keyed.join(F.broadcast(dim), keyed.bucket.eqNullSafe(dim.bucket))
+        .groupBy("bucket_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "p12_unpivot",
+    oracle="""
+    WITH long AS (
+      SELECT l_orderkey, 'qty' AS measure, CAST(l_quantity AS DOUBLE) AS v
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'price', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'disc', CAST(l_discount AS DOUBLE) FROM lineitem
+    )
+    SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
+    FROM long GROUP BY measure
+    """,
+    description="UNPIVOT / melt (wide -> long reshaping, Spark 4 "
+    "df.unpivot): three lineitem measures melted into (measure, value) "
+    "rows in ONE scan — Catalyst's Expand emits 3 rows per input without "
+    "re-reading the table, vs the naive 3-scan UNION ALL the oracle "
+    "spells out — then aggregated per measure with decimal-exact totals. "
+    "At 100 TB the single-scan property is the whole point.",
+)
+def p12_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_discount").cast("double").alias("disc"),
+    )
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["qty", "price", "disc"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
