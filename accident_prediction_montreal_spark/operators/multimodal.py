@@ -541,3 +541,148 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def decode_ppm_pixels(payload: bytes):
+    """REAL P6 decode to the raw (height, width, 3) uint8 array — the
+    pixel-level sibling of ``decode_ppm`` for transforms (resize, crop)
+    that need the raster, not just summary features."""
+    import numpy as np
+
+    width, height, pos = _parse_pnm_header(payload, b"P6", "PPM (P6)")
+    raster = payload[pos : pos + width * height * 3]
+    if len(raster) != width * height * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
+
+
+def resize_nearest(pixels, out_w: int, out_h: int):
+    """Nearest-neighbor resize of an (h, w, c) array: pure integer index
+    math — dst (x, y) samples src ((x*w)//out_w, (y*h)//out_h) — so the
+    result is bit-deterministic and closed-form reproducible (the
+    property the oracle-backed resize query relies on). The real
+    resize step of an image-pipeline; no media libraries."""
+    import numpy as np
+
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("output dimensions must be positive")
+    h, w = pixels.shape[0], pixels.shape[1]
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    return pixels[np.ix_(ys, xs)]
+
+
+def ppm_resize_features(
+    media: DataFrame,
+    scale_den: int = 2,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode P6 -> nearest-neighbor downscale by ``scale_den`` (floor,
+    min 1 px) -> per-channel means of the RESIZED raster, in one Arrow
+    batch pass (decode and transform share the batch loop — the payload
+    is never re-shipped between stages)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("out_w", T.LongType()),
+            T.StructField("out_h", T.LongType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {
+            id_col: [], "out_w": [], "out_h": [],
+            "mean_r": [], "mean_g": [], "mean_b": [],
+        }
+        for pdf in it:
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_ppm_pixels(payload)
+                h, w = px.shape[0], px.shape[1]
+                ow, oh = max(w // scale_den, 1), max(h // scale_den, 1)
+                small = resize_nearest(px, ow, oh).astype("float64")
+                rows[id_col].append(mid)
+                rows["out_w"].append(ow)
+                rows["out_h"].append(oh)
+                rows["mean_r"].append(float(small[:, :, 0].mean()))
+                rows["mean_g"].append(float(small[:, :, 1].mean()))
+                rows["mean_b"].append(float(small[:, :, 2].mean()))
+        yield pd.DataFrame(rows)
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def encode_rawvideo_pv1(frames, n_frames: int, width: int, height: int) -> bytes:
+    """Minimal raw-video container ('PV1', grayscale 8-bit): ASCII header
+    then n_frames packed w*h rasters. Stands in for mp4/mkv (no ffmpeg in
+    the container) with REAL container plumbing — header grammar, frame
+    addressing, truncation checks — so the frame-sampling operator is
+    exercised end to end."""
+    import numpy as np
+
+    arr = np.asarray(frames, dtype=np.uint8).reshape(n_frames, height, width)
+    return b"PV1\n%d %d %d\n" % (n_frames, width, height) + arr.tobytes()
+
+
+def decode_rawvideo_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(n_frames, width, height, raster_pos); ValueError on non-PV1."""
+    if not payload:
+        raise ValueError("null/empty payload")
+    if not payload.startswith(b"PV1\n"):
+        raise ValueError("not a PV1 raw video")
+    nl = payload.index(b"\n", 4)
+    parts = payload[4:nl].split()
+    if len(parts) != 3:
+        raise ValueError("malformed PV1 header")
+    n, w, h = (int(x) for x in parts)
+    if n <= 0 or w <= 0 or h <= 0:
+        raise ValueError("degenerate PV1 dimensions")
+    return n, w, h, nl + 1
+
+
+def frame_sample_features(
+    media: DataFrame,
+    stride: int = 3,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling (the video op of the multimodal pipeline): decode
+    the PV1 container, keep every ``stride``-th frame (0, s, 2s, ...),
+    emit ONE ROW PER SAMPLED FRAME with its mean intensity — a
+    variable-fan-out mapInPandas (frame rows per media depend on the
+    payload), the shape a real video pipeline needs before any per-frame
+    model runs. Frames that are not sampled are never materialized as
+    arrays — the raster is sliced by offset."""
+    import numpy as np
+
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("mean_gray", T.DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, fidx, means = [], [], []
+        for pdf in it:
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                n, w, h, pos = decode_rawvideo_header(bytes(payload))
+                fsize = w * h
+                if len(payload) - pos != n * fsize:
+                    raise ValueError("truncated PV1 raster")
+                for k in range(0, n, stride):
+                    frame = np.frombuffer(
+                        payload, dtype=np.uint8, count=fsize, offset=pos + k * fsize
+                    ).astype("float64")
+                    ids.append(mid)
+                    fidx.append(k)
+                    means.append(float(frame.mean()))
+        yield pd.DataFrame({id_col: ids, "frame_idx": fidx, "mean_gray": means})
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)

@@ -146,6 +146,8 @@ _TAIL_HEAD = [
     "w7_range_frame",
     "j12_nullsafe_join",
     "p12_unpivot",
+    "mm_ppm_resize",
+    "mm_frame_sample",
     "a6_idw_radius",
     "a1_pricing_summary",
     "j8_knn_join_grid",

@@ -2801,3 +2801,143 @@ def f_udtf_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.k
         """
     )
+
+
+@register(
+    "mm_ppm_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h FROM documents
+    ), odims AS (
+      SELECT doc_id, w, h,
+        GREATEST(w // 2, 1) AS ow, GREATEST(h // 2, 1) AS oh
+      FROM dims
+    ), opx AS (
+      SELECT doc_id, w, h, ow, oh, unnest(range(0, ow * oh * 3)) AS q
+      FROM odims
+    ), v AS (
+      SELECT doc_id, ow, oh, q % 3 AS chan,
+        CAST((doc_id * 13 +
+          ((((q // 3) // ow) * h // oh) * w + (((q // 3) % ow) * w // ow))
+            * 3 * 17 + (q % 3) * 17) % 256 AS DOUBLE) AS val
+      FROM opx
+    )
+    SELECT doc_id AS media_id,
+      CAST(MAX(ow) AS BIGINT) AS out_w, CAST(MAX(oh) AS BIGINT) AS out_h,
+      ROUND(AVG(val) FILTER (chan = 0), 6) + 0.0 AS mean_r,
+      ROUND(AVG(val) FILTER (chan = 1), 6) + 0.0 AS mean_g,
+      ROUND(AVG(val) FILTER (chan = 2), 6) + 0.0 AS mean_b
+    FROM v GROUP BY doc_id
+    """,
+    description="REAL image RESIZE (the transform step of the multimodal "
+    "pipeline, de-stubbed): per document, the synthetic P6 raster is "
+    "DECODED (real header+raster parse) and nearest-neighbor downscaled "
+    "2x by pure integer index math — dst (x,y) samples src "
+    "((x*w)//ow, (y*h)//oh) — inside ONE Arrow batch pass, then the "
+    "resized per-channel means are value-checked against the oracle's "
+    "closed-form replay of the SAME index map. A wrong sampling formula, "
+    "row/column swap, or channel leak changes a mean and hash-mismatches.",
+)
+def mm_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        encode_ppm_p6,
+        ppm_resize_features,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    enc_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                w, h = 8 + d % 8, 6 + d % 6
+                p = np.arange(w * h * 3, dtype=np.int64)
+                payloads.append(encode_ppm_p6((d * 13 + p * 17) % 256, w, h))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, schema=enc_schema)
+    out = ppm_resize_features(media, scale_den=2)
+    return out.select(
+        "media_id",
+        "out_w",
+        "out_h",
+        (F.round("mean_r", 6) + 0.0).alias("mean_r"),
+        (F.round("mean_g", 6) + 0.0).alias("mean_g"),
+        (F.round("mean_b", 6) + 0.0).alias("mean_b"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 9 AS nf, 6 + doc_id % 5 AS w,
+             4 + doc_id % 4 AS h
+      FROM documents
+    ), frames AS (
+      SELECT doc_id, w, h, unnest(range(0, nf, 3)) AS k FROM dims
+    ), px AS (
+      SELECT doc_id, k, w, h, unnest(range(0, w * h)) AS p FROM frames
+    )
+    SELECT doc_id AS media_id, CAST(k AS BIGINT) AS frame_idx,
+      ROUND(AVG(CAST((doc_id * 7 + k * w * h * 11 + p * 11) % 256 AS DOUBLE)), 6)
+        + 0.0 AS mean_gray
+    FROM px GROUP BY doc_id, k
+    """,
+    description="REAL video FRAME SAMPLING (the last stubbed multimodal "
+    "op, de-stubbed via a minimal PV1 raw-video container standing in "
+    "for mp4 — no ffmpeg in the sandbox, but the container plumbing is "
+    "real: header grammar, frame addressing, truncation checks): every "
+    "3rd frame of each synthetic grayscale video is sliced from the "
+    "raster BY OFFSET (unsampled frames never materialize), one output "
+    "row per sampled frame (variable fan-out mapInPandas), per-frame "
+    "mean intensity value-checked against the closed-form raster "
+    "formula. Off-by-one frame addressing or a wrong stride changes "
+    "rows or means and hash-mismatches.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        encode_rawvideo_pv1,
+        frame_sample_features,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    enc_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                nf, w, h = 4 + d % 9, 6 + d % 5, 4 + d % 4
+                p = np.arange(nf * w * h, dtype=np.int64)
+                # frame k pixel p: (d*7 + k*w*h*11 + p_in_frame*11) % 256
+                # == (d*7 + global_p*11) % 256 with global_p = k*w*h + p
+                payloads.append(encode_rawvideo_pv1((d * 7 + p * 11) % 256, nf, w, h))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, schema=enc_schema)
+    out = frame_sample_features(media, stride=3)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        (F.round("mean_gray", 6) + 0.0).alias("mean_gray"),
+    )

@@ -306,3 +306,57 @@ def test_pgm_roundtrip_comments_and_rejects():
         decode_pgm(b"P6\n1 1\n255\n\x00\x00\x00")  # RGB PPM is not PGM
     with pytest.raises(ValueError):
         decode_pgm(encode_pgm_p5(px, w, h)[:-3])  # truncated raster
+
+
+class TestResizeAndFrameSample:
+    def test_resize_nearest_identity_and_downscale(self):
+        import numpy as np
+
+        from accident_prediction_montreal_spark.operators.multimodal import (
+            resize_nearest,
+        )
+
+        px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        assert (resize_nearest(px, 6, 4) == px).all()  # identity
+        small = resize_nearest(px, 3, 2)
+        assert small.shape == (2, 3, 3)
+        # dst (0,0) samples src (0,0); dst (2,1) samples src ((2*6)//3=4, (1*4)//2=2)
+        assert (small[0, 0] == px[0, 0]).all()
+        assert (small[1, 2] == px[2, 4]).all()
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            resize_nearest(px, 0, 2)
+
+    def test_pv1_roundtrip_and_guards(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from accident_prediction_montreal_spark.operators.multimodal import (
+            decode_rawvideo_header,
+            encode_rawvideo_pv1,
+        )
+
+        frames = np.arange(3 * 2 * 2, dtype=np.uint8)
+        payload = encode_rawvideo_pv1(frames, 3, 2, 2)
+        assert decode_rawvideo_header(payload) == (3, 2, 2, len(b"PV1\n3 2 2\n"))
+        with _pytest.raises(ValueError):
+            decode_rawvideo_header(b"")
+        with _pytest.raises(ValueError):
+            decode_rawvideo_header(b"P6\n2 2\n255\n")
+        with _pytest.raises(ValueError):
+            decode_rawvideo_header(b"PV1\n0 2 2\n")
+
+    def test_frame_sample_truncated_raster_raises(self, spark):
+        import pytest as _pytest
+
+        from accident_prediction_montreal_spark.operators.multimodal import (
+            frame_sample_features,
+        )
+
+        bad = b"PV1\n2 2 2\n" + b"\x00" * 7  # needs 8 bytes
+        media = spark.createDataFrame([(1, bytearray(bad))], "media_id long, payload binary")
+        with _pytest.raises(Exception, match="truncated"):
+            frame_sample_features(media).collect()
+        with _pytest.raises(ValueError):
+            frame_sample_features(media, stride=0)
