@@ -660,7 +660,17 @@ def idw_interpolate_radius(
                 F.pmod(F.col("base_j") + F.col("off.dj"), F.lit(n_lon)).alias("cell_j"),
             )
         )
-        joined = sample_cells.join(station_cells, ["cell_i", "cell_j"])
+        # Cheap latitude band BEFORE the trig: a 3-cell block spans
+        # ~3.15r of latitude but only |dlat| <= r can be in radius —
+        # one abs-subtract rejects ~1/3 of candidates without touching
+        # sin/cos/atan2 (latitude degrees are distance-exact, so the
+        # band plus rounding slack cannot cut a true in-radius pair;
+        # longitude gets no such prefilter — its degree width varies
+        # and wraps, exactly what the haversine handles).
+        lat_band = radius_m / _M_PER_DEG * 1.0001
+        joined = sample_cells.join(station_cells, ["cell_i", "cell_j"]).filter(
+            F.abs(F.col(s_lat) - F.col(t_lat)) <= lat_band
+        )
     else:
         joined = samples.crossJoin(F.broadcast(stations))
     joined = (
