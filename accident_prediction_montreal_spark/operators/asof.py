@@ -30,9 +30,17 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, the most recent right row (same ``by`` keys,
     right.ts ≤ left.ts, within ``tolerance_seconds`` if given).
+
+    ``direction="forward"`` mirrors the semantics: the EARLIEST right
+    row at or after left.ts (right.ts ≥ left.ts), the "next state"
+    join — same one-shuffle union trick, with the carry running
+    backward (first non-null over [current, unbounded following]) and
+    the equal-timestamp tie flipped so a right row at exactly left.ts
+    still matches.
 
     Returns all left columns plus ``{v}{suffix}`` for each value column
     and ``{ts_col}{suffix}`` (the matched right timestamp) — null when no
@@ -42,6 +50,8 @@ def asof_join(
     pre-dedup with a window if it isn't (equal-timestamp right rows have
     no defined winner otherwise).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     value_cols = value_cols or [
         c for c in right.columns if c not in by and c != ts_col
     ]
@@ -60,10 +70,11 @@ def asof_join(
             f"left={l_ts_dtype}, right={r_ts_dtype} — cast one side first"
         )
 
+    r_side, l_side = (0, 1) if direction == "backward" else (1, 0)
     right_tagged = right.select(
         *by,
         F.col(ts_col),
-        F.lit(0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         epoch_us(F.col(ts_col), r_ts_dtype).alias("__tie"),
         F.col(ts_col).alias(rts),
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
@@ -71,7 +82,7 @@ def asof_join(
     left_cols = left.columns
     left_tagged = left.select(
         "*",
-        F.lit(1).alias("__side"),
+        F.lit(l_side).alias("__side"),
         epoch_us(F.col(ts_col), l_ts_dtype).alias("__tie"),
         F.lit(None).cast(dict(right_tagged.dtypes)[rts]).alias(rts),
         *[
@@ -83,28 +94,38 @@ def asof_join(
         right_tagged, allowMissingColumns=True
     )
 
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tie").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tie").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tie").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     carried = [rts] + [f"{c}{suffix}" for c in value_cols]
     out = allrows
     for c in carried:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = out.filter(F.col("__side") == 1).drop("__side", "__tie")
+        out = out.withColumn(c, carry(c))
+    out = out.filter(F.col("__side") == F.lit(l_side)).drop("__side", "__tie")
 
     if tolerance_seconds is not None:
         # Materialize the staleness flag BEFORE nulling anything: the loop
         # overwrites rts first, and a flag recomputed from the nulled rts
         # would stop firing for the remaining columns.
+        gap = (
+            epoch_us(F.col(ts_col), l_ts_dtype) - epoch_us(F.col(rts), r_ts_dtype)
+            if direction == "backward"
+            else epoch_us(F.col(rts), r_ts_dtype) - epoch_us(F.col(ts_col), l_ts_dtype)
+        )
         out = out.withColumn(
             "__too_old",
-            F.coalesce(
-                epoch_us(F.col(ts_col), l_ts_dtype) - epoch_us(F.col(rts), r_ts_dtype)
-                > tolerance_seconds * 1_000_000,
-                F.lit(False),
-            ),
+            F.coalesce(gap > tolerance_seconds * 1_000_000, F.lit(False)),
         )
         for c in carried:
             out = out.withColumn(

@@ -148,6 +148,7 @@ _TAIL_HEAD = [
     "p12_unpivot",
     "mm_ppm_resize",
     "mm_frame_sample",
+    "j9_asof_forward",
     "a6_idw_radius",
     "a1_pricing_summary",
     "j8_knn_join_grid",

@@ -2196,3 +2196,55 @@ def p12_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("total"),
     )
+
+
+@register(
+    "j9_asof_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    errors AS (
+      SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'
+    )
+    SELECT e.user_id, e.event_id,
+      c.event_id AS next_click_event_id,
+      ROUND(c.value, 6) AS next_click_value
+    FROM errors e
+    ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts <= c.ts
+    """,
+    description="FORWARD as-of join (J9's mirror, r6): the EARLIEST click "
+    "at or after each error per user — 'what did the user do next' "
+    "semantics. Same one-shuffle union trick with the carry running "
+    "backward (first non-null over [current, unbounded following], "
+    "equal-ts tie flipped so a click at exactly the error time matches); "
+    "oracle is DuckDB's native ASOF with the <= inequality.",
+)
+def j9_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from accident_prediction_montreal_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id"
+    )
+    out = asof_join(
+        errors, clicks, by=["user_id"], value_cols=["event_id", "value"],
+        direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("event_id_right").alias("next_click_event_id"),
+        F.round("value_right", 6).alias("next_click_value"),
+    )

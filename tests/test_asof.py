@@ -119,3 +119,51 @@ class TestRangeJoin:
         )
         with _pytest.raises(ValueError):
             point_in_interval_join(df, iv, bucket_seconds=0)
+
+
+class TestAsofForward:
+    def test_forward_matches_and_ties(self, spark):
+        from pyspark.sql import functions as F
+
+        from accident_prediction_montreal_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 100), (1, 250), (1, 400)], "k long, ts long"
+        ).select("k", F.timestamp_seconds("ts").alias("ts"))
+        right = spark.createDataFrame(
+            [(1, 100, "a"), (1, 300, "b")], "k long, ts long, v string"
+        ).select("k", F.timestamp_seconds("ts").alias("ts"), "v")
+        out = {
+            r["ts"].second + r["ts"].minute * 60: r["v_right"]
+            for r in asof_join(left, right, by=["k"], direction="forward").collect()
+        }
+        assert out[100] == "a"   # equal ts matches forward
+        assert out[250] == "b"   # next state
+        assert out[400] is None  # nothing after
+
+    def test_forward_tolerance_nulls_far_future(self, spark):
+        from pyspark.sql import functions as F
+
+        from accident_prediction_montreal_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 0)], "k long, ts long").select(
+            "k", F.timestamp_seconds("ts").alias("ts")
+        )
+        right = spark.createDataFrame([(1, 500, "x")], "k long, ts long, v string").select(
+            "k", F.timestamp_seconds("ts").alias("ts"), "v"
+        )
+        near = asof_join(left, right, by=["k"], direction="forward",
+                         tolerance_seconds=600).collect()[0]
+        far = asof_join(left, right, by=["k"], direction="forward",
+                        tolerance_seconds=100).collect()[0]
+        assert near["v_right"] == "x"
+        assert far["v_right"] is None
+
+    def test_rejects_unknown_direction(self, spark):
+        import pytest as _pytest
+
+        from accident_prediction_montreal_spark.operators.asof import asof_join
+
+        df = spark.range(1).selectExpr("id AS k", "timestamp_seconds(id) AS ts")
+        with _pytest.raises(ValueError, match="direction"):
+            asof_join(df, df, by=["k"], direction="sideways")
