@@ -37,17 +37,23 @@ def recall_at_flag_rate(
 
     The reference's headline operating point (reference README.md:9:
     "top 13% flagged => 85% of collisions") — a deployment contract the
-    area metrics don't pin. One pass: rank by P(positive) DESC with a
+    area metrics don't pin. Flagged set: rank by P(positive) DESC with a
     deterministic id tie-break (tree models emit tied probabilities;
     without a total order the flagged set — and the metric — would vary
     by partitioning), flag the first ceil(rate * n), recall over the
-    positive count. Both counts and the cutoff are integers, so the
-    result is exact for a fixed prediction set.
+    positive count. Counts and the cutoff are integers — exact for a
+    fixed prediction set.
+
+    Distributed-exact: a global row_number over billions of predictions
+    would sort everything into ONE partition, so the rank is instead
+    resolved on the per-distinct-probability histogram (tree/ensemble
+    models emit at most |leaves| distinct scores — tiny), and only the
+    single boundary tie-group is order-ranked by id for the remaining
+    quota. Identical flagged set, no full-data global sort.
     """
     import math
 
     from pyspark.ml.functions import vector_to_array
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     scored = predictions.select(
@@ -55,16 +61,39 @@ def recall_at_flag_rate(
         vector_to_array(F.col(probability_col)).getItem(1).alias("__p"),
         F.col(tiebreak_col).alias("__id"),
     )
-    n, n_pos = scored.agg(
-        F.count(F.lit(1)), F.sum((F.col("__y") == 1.0).cast("long"))
-    ).first()
+    hist = (
+        scored.groupBy("__p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("__y") == 1.0).cast("long")).alias("n_pos"),
+        )
+        .orderBy(F.col("__p").desc())
+        .collect()  # |distinct scores| rows — model-bounded, not data-bounded
+    )
+    n = sum(r["n"] for r in hist)
+    n_pos = sum(r["n_pos"] for r in hist)
     if not n_pos:
         return float("nan")
     n_flag = math.ceil(flag_rate * n)
-    w = Window.orderBy(F.col("__p").desc(), F.col("__id"))
-    caught = (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter((F.col("__rk") <= n_flag) & (F.col("__y") == 1.0))
-        .count()
-    )
+    caught = 0
+    remaining = n_flag
+    boundary_p = None
+    for r in hist:
+        if r["n"] <= remaining:
+            caught += r["n_pos"]
+            remaining -= r["n"]
+            if remaining == 0:
+                break
+        else:
+            boundary_p = r["__p"]
+            break
+    if boundary_p is not None and remaining > 0:
+        # Partial tie-group: the id tie-break only ever ranks THIS group.
+        caught += (
+            scored.filter(F.col("__p") == boundary_p)
+            .orderBy("__id")
+            .limit(remaining)
+            .filter(F.col("__y") == 1.0)
+            .count()
+        )
     return caught / n_pos

@@ -109,10 +109,12 @@ def train_reference(
         test_metrics["recallAtFlag13pct"] = recall_at_flag_rate(
             test_pred, flag_rate=0.13
         )
-        return {
+        out = {
             "test": test_metrics,
             "train": evaluate_binary_classifier(model.transform(train)),
         }
+        test_pred.unpersist()
+        return out
     n_neg = train.filter(F.col("label") == 0.0).count()
     result_dir = create_result_dir(out_base, algo)
     write_params(model, {"count_negative_samples": n_neg}, result_dir)

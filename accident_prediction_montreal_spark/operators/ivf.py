@@ -49,12 +49,31 @@ def build_ivf_index(
         else vecs.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
     )
     model = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="cell_id").fit(fit_on)
-    assigned = model.transform(vecs).select(id_col, vec_col, "cell_id")
     centroids = model.clusterCenters()
     spark = corpus.sparkSession
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell_id INT, centroid ARRAY<DOUBLE>",
+    )
+    # Assign cells by COSINE against the centroids — the SAME metric and
+    # tie-break the query-time probe ranking uses — not KMeans's
+    # euclidean transform. Centroids of unit-ish vectors have unequal
+    # norms, so euclidean-nearest and cosine-nearest cells can diverge;
+    # metric-matched assignment guarantees a corpus vector's own cell is
+    # its queries' top-1 probe (self-hit at any n_probe >= 1) and aligns
+    # the coarse quantizer with the search metric. Cost: one broadcast
+    # n_cells-way expand + per-id top-1 — the standard IVF assignment
+    # shape (centroid count is model-bounded, 16-256, never data-sized).
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cell_sim").desc(), F.col("cell_id").asc()
+    )
+    assigned = (
+        vecs.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("cell_sim", cosine_similarity(vec_col, "centroid"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cell_id")
     )
     return assigned, cent_df
 

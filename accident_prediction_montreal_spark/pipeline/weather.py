@@ -68,9 +68,27 @@ def weather_for_samples(
     joined = joined.withColumn("idw_w", F.lit(1.0) / F.pow(d, F.lit(2.0)))
 
     aggs = []
-    # Interpolate the WEATHER_COLS actually present: fixture-backed
-    # callers may supply a subset of the full station schema.
-    for c in [c for c in WEATHER_COLS if c in weather.columns]:
+    # Interpolate the WEATHER_COLS present — but LOUDLY require that the
+    # subset is a prefix of intent, not a typo: every remaining weather
+    # column must be a known WEATHER_COLS name (a misspelled station
+    # column would otherwise be silently dropped and only surface — or
+    # not — far downstream at feature assembly).
+    meta = {sample_id, "date", "hour", "loc_lat", "loc_long",
+            "station_id", "station_lat", "station_long"}
+    unknown = [c for c in weather.columns
+               if c not in WEATHER_COLS and c not in meta]
+    if unknown:
+        raise ValueError(
+            f"weather_for_samples: unrecognized weather columns {unknown}; "
+            f"expected a subset of {WEATHER_COLS}"
+        )
+    present = [c for c in WEATHER_COLS if c in weather.columns]
+    if not present:
+        raise ValueError(
+            "weather_for_samples: no WEATHER_COLS present in the weather "
+            f"frame (columns: {weather.columns})"
+        )
+    for c in present:
         x = F.col(c)
         valid = (~F.isnan(x)) & x.isNotNull()
         num = F.sum(F.when(valid, F.col("idw_w") * x).otherwise(F.lit(0.0)))

@@ -70,7 +70,6 @@ _WORD_TYPES = ["street", "avenue", "boulevard", "chemin", "impasse", None]
 
 _TWO_PI_365 = 2.0 * math.pi / 365.0
 _TWO_PI_24 = 2.0 * math.pi / 24.0
-_TWO_PI_366 = 2.0 * math.pi / 366.0
 
 
 # --- Spark-side fixtures ------------------------------------------------------

@@ -34,7 +34,7 @@ from accident_prediction_montreal_spark.operators.text import (
     language_id,
     text_quality,
 )
-from accident_prediction_montreal_spark.plans.registry import register
+from accident_prediction_montreal_spark.plans.registry import register, chk_row as _chk
 from accident_prediction_montreal_spark.sources.registry import load_table
 
 # DuckDB token expression mirroring operators/text.py::tokenize.
@@ -657,11 +657,6 @@ def sim_ann_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return checks("lsh", lsh).unionByName(checks("ivf", ivf))
 
-
-
-# (chk, ok) row builder for the literal-1 invariant-oracle queries.
-def _chk(chk, ok_col):
-    return F.lit(chk).alias("chk"), ok_col.cast("long").alias("ok")
 
 
 _MINHASH_PLANT_OFFSET = 10_000_000

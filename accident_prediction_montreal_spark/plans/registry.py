@@ -41,3 +41,12 @@ def register(name: str, oracle: str | None = None, description: str = ""):
         return fn
 
     return deco
+
+
+def chk_row(chk: str, ok_col):
+    """(chk, ok) column pair for the literal-1 invariant-oracle queries:
+    a named contract check reduced to a 0/1 long the driver can
+    hash-compare against a literal-1 oracle row."""
+    from pyspark.sql import functions as F
+
+    return F.lit(chk).alias("chk"), ok_col.cast("long").alias("ok")

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from accident_prediction_montreal_spark.functions.money import dsum
 from accident_prediction_montreal_spark.ml.class_weighter import ClassWeighter, balanced_weights
 from accident_prediction_montreal_spark.ml.random_undersampler import RandomUnderSampler
-from accident_prediction_montreal_spark.plans.registry import register
+from accident_prediction_montreal_spark.plans.registry import register, chk_row as _chk
 from accident_prediction_montreal_spark.sources.registry import load_table
 
 
@@ -857,10 +857,6 @@ def m_rf_pipeline_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partition/subset/positive-preservation): these pin realized RATES,
 # duplicate-freedom, and seed sensitivity. -------------------------------------
 
-def _chk(chk: str, ok_col):
-    return F.lit(chk).alias("chk"), ok_col.cast("long").alias("ok")
-
-
 @register(
     "m2_random_undersampler",
     oracle="""
@@ -871,7 +867,7 @@ def _chk(chk: str, ok_col):
     """,
     description="RandomUnderSampler fit+transform contracts (M2; the seeded "
     "Bernoulli draw has no ANSI oracle, so its CONTRACTS are pinned to "
-    "literal 1): realized negative:positive ratio within 25%% of the "
+    "literal 1): realized negative:positive ratio within 25% of the "
     "target 1.0, output a duplicate-free subset of the input index set, "
     "and transform reproducible for a fixed seed + layout. Complements "
     "r_sampling_invariants' positive-preservation checks.",
@@ -1078,7 +1074,7 @@ def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="approx_count_distinct contracts (A8; Spark's HLL++ sketch "
     "differs bit-for-bit from DuckDB's, so the ACCURACY contract is "
     "pinned instead): per-group and global estimates of distinct "
-    "l_partkey within 15%% relative error of the exact count (default "
+    "l_partkey within 15% relative error of the exact count (default "
     "rsd 0.05, so 15%% is 3 sigma), every estimate positive. The sketch "
     "is deterministic given the data, so the checks are stable. Oracle "
     "pins each contract to literal 1.",
