@@ -149,6 +149,7 @@ _TAIL_HEAD = [
     "mm_ppm_resize",
     "mm_frame_sample",
     "j9_asof_forward",
+    "f_map_funcs",
     "a6_idw_radius",
     "a1_pricing_summary",
     "j8_knn_join_grid",

@@ -2244,3 +2244,43 @@ def j9_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_right").alias("next_click_event_id"),
         F.round("value_right", 6).alias("next_click_value"),
     )
+
+
+@register(
+    "f_map_funcs",
+    oracle="""
+    WITH kv AS (
+      SELECT event_type, unnest(json_keys(props)) AS k, props
+      FROM events
+    )
+    SELECT event_type, k,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS INTEGER)) AS BIGINT)
+        AS v_sum,
+      CAST(MAX(CAST(json_extract_string(props, '$.' || k) AS INTEGER)) AS BIGINT)
+        AS v_max
+    FROM kv GROUP BY event_type, k
+    """,
+    description="MapType column surface (schema family the fixed-column "
+    "queries never touch): props parsed with from_json into "
+    "map<string,long>, entries exploded with explode(map) — Spark's "
+    "native key/value generator — and aggregated per (event_type, key) "
+    "with integer-exact sums. All JVM-side (from_json + explode), no "
+    "Python; the UDTF twin (f_udtf_json_kv) covers the imperative path, "
+    "this one the declarative MapType path.",
+)
+def f_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("event_type", "props")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "map<string,long>").alias("m"),
+    )
+    return (
+        parsed.select("event_type", F.explode("m").alias("k", "v"))
+        .groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("v_sum"),
+            F.max("v").alias("v_max"),
+        )
+    )

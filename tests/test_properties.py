@@ -386,3 +386,47 @@ def test_range_join_matches_naive(spark, points, intervals):
         point_in_interval_join_naive(pts, ivs).select("pid", "wid").collect()
     )
     assert got == want
+
+
+# --- repeated-span dedup stats ------------------------------------------------
+
+span_corpora = st.lists(
+    # tiny alphabet so 2-token spans repeat naturally across docs
+    st.lists(st.sampled_from("abcd"), min_size=0, max_size=10),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(corpus=span_corpora)
+def test_repeated_span_stats_matches_bruteforce(spark, corpus):
+    """repeated_span_stats == a pure-Python reimplementation for any
+    small corpus: same span counting (global, including within-doc
+    repeats), same position-cover union, same zero-token handling."""
+    from accident_prediction_montreal_spark.operators.dedup import (
+        repeated_span_stats,
+    )
+
+    K = 2
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_masked"])
+        for r in repeated_span_stats(df, k=K, min_count=2).collect()
+    }
+
+    from collections import Counter
+
+    spans = Counter()
+    for _, toks in enumerate(corpus):
+        for i in range(max(len(toks) - K + 1, 0)):
+            spans[tuple(toks[i : i + K])] += 1
+    want = {}
+    for d, toks in enumerate(corpus):
+        covered = set()
+        for i in range(max(len(toks) - K + 1, 0)):
+            if spans[tuple(toks[i : i + K])] >= 2:
+                covered.update(range(i, i + K))
+        want[d] = (len(toks), len(covered))
+    assert got == want
