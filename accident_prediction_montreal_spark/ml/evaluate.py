@@ -44,12 +44,16 @@ def recall_at_flag_rate(
     positive count. Counts and the cutoff are integers — exact for a
     fixed prediction set.
 
-    Distributed-exact: a global row_number over billions of predictions
-    would sort everything into ONE partition, so the rank is instead
-    resolved on the per-distinct-probability histogram (tree/ensemble
-    models emit at most |leaves| distinct scores — tiny), and only the
-    single boundary tie-group is order-ranked by id for the remaining
-    quota. Identical flagged set, no full-data global sort.
+    Distributed-exact at ANY score cardinality: a global row_number over
+    billions of predictions would sort everything into ONE partition,
+    and a per-distinct-score histogram is data-sized for GBT-style
+    near-unique scores. Instead, scores quantize into at most ~1e6
+    buckets (floor(p * 1e6) — monotone, so bucket order IS score order);
+    the bucketed histogram resolves the rank for every full bucket, and
+    only the single boundary bucket (~n / 1e6 rows, worst case all-tied
+    = the unavoidable degenerate) is order-ranked by (score, id) for the
+    remaining quota. Identical flagged set to the naive global
+    (P DESC, id ASC) ranking; driver traffic is bucket-bounded.
     """
     import math
 
@@ -61,14 +65,18 @@ def recall_at_flag_rate(
         vector_to_array(F.col(probability_col)).getItem(1).alias("__p"),
         F.col(tiebreak_col).alias("__id"),
     )
+    _Q = 1_000_000
+    bucketed = scored.withColumn(
+        "__qb", F.floor(F.col("__p") * _Q).cast("long")
+    )
     hist = (
-        scored.groupBy("__p")
+        bucketed.groupBy("__qb")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum((F.col("__y") == 1.0).cast("long")).alias("n_pos"),
         )
-        .orderBy(F.col("__p").desc())
-        .collect()  # |distinct scores| rows — model-bounded, not data-bounded
+        .orderBy(F.col("__qb").desc())
+        .collect()  # <= _Q + 1 rows, bounded by quantization, not by data
     )
     n = sum(r["n"] for r in hist)
     n_pos = sum(r["n_pos"] for r in hist)
@@ -77,7 +85,7 @@ def recall_at_flag_rate(
     n_flag = math.ceil(flag_rate * n)
     caught = 0
     remaining = n_flag
-    boundary_p = None
+    boundary_qb = None
     for r in hist:
         if r["n"] <= remaining:
             caught += r["n_pos"]
@@ -85,13 +93,15 @@ def recall_at_flag_rate(
             if remaining == 0:
                 break
         else:
-            boundary_p = r["__p"]
+            boundary_qb = r["__qb"]
             break
-    if boundary_p is not None and remaining > 0:
-        # Partial tie-group: the id tie-break only ever ranks THIS group.
+    if boundary_qb is not None and remaining > 0:
+        # Partial boundary bucket: scores within it still differ, so the
+        # rank there follows the SAME (__p DESC, __id ASC) order as the
+        # global ranking — applied to only this bucket's rows.
         caught += (
-            scored.filter(F.col("__p") == boundary_p)
-            .orderBy("__id")
+            bucketed.filter(F.col("__qb") == boundary_qb)
+            .orderBy(F.col("__p").desc(), F.col("__id"))
             .limit(remaining)
             .filter(F.col("__y") == 1.0)
             .count()

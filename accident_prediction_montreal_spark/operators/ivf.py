@@ -61,19 +61,27 @@ def build_ivf_index(
     # norms, so euclidean-nearest and cosine-nearest cells can diverge;
     # metric-matched assignment guarantees a corpus vector's own cell is
     # its queries' top-1 probe (self-hit at any n_probe >= 1) and aligns
-    # the coarse quantizer with the search metric. Cost: one broadcast
-    # n_cells-way expand + per-id top-1 — the standard IVF assignment
-    # shape (centroid count is model-bounded, 16-256, never data-sized).
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cell_sim").desc(), F.col("cell_id").asc()
+    # the coarse quantizer with the search metric. The centroid list is
+    # already LOCAL (model.clusterCenters()), so the per-row argmax is a
+    # single zero-shuffle projection over literal centroid arrays —
+    # array_max over (sim, -cell_id) structs reproduces the probe
+    # ranking's (sim DESC, cell_id ASC) tie-break exactly.
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    cosine_similarity(
+                        vec_col,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                    ).alias("s"),
+                    F.lit(-i).alias("nc"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
     )
-    assigned = (
-        vecs.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cent_df))
-        .withColumn("cell_sim", cosine_similarity(vec_col, "centroid"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, "cell_id")
+    assigned = vecs.select(
+        id_col, vec_col, (-best["nc"]).cast("int").alias("cell_id")
     )
     return assigned, cent_df
 

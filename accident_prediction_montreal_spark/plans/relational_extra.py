@@ -1075,7 +1075,7 @@ def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "differs bit-for-bit from DuckDB's, so the ACCURACY contract is "
     "pinned instead): per-group and global estimates of distinct "
     "l_partkey within 15% relative error of the exact count (default "
-    "rsd 0.05, so 15%% is 3 sigma), every estimate positive. The sketch "
+    "rsd 0.05, so 15% is 3 sigma), every estimate positive. The sketch "
     "is deterministic given the data, so the checks are stable. Oracle "
     "pins each contract to literal 1.",
 )
