@@ -150,6 +150,7 @@ _TAIL_HEAD = [
     "mm_frame_sample",
     "j9_asof_forward",
     "f_map_funcs",
+    "x8_partitioned_sink_roundtrip",
     "a6_idw_radius",
     "a1_pricing_summary",
     "j8_knn_join_grid",
