@@ -65,6 +65,10 @@ EXTENDED = [
     "text_vocab_coverage",
     "llm_pretrain_pipeline",
     "apm_dataset_pipeline",
+    # appended late r6:
+    "dedup_repeated_spans",
+    "w7_range_frame",
+    "j9_asof_forward",
 ]
 
 
