@@ -151,6 +151,8 @@ _TAIL_HEAD = [
     "j9_asof_forward",
     "f_map_funcs",
     "x8_partitioned_sink_roundtrip",
+    "x9_schema_evolution",
+    "x10_permissive_csv",
     "a6_idw_radius",
     "a1_pricing_summary",
     "j8_knn_join_grid",

@@ -2319,3 +2319,99 @@ def x8_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
     )
+
+
+@register(
+    "x9_schema_evolution",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CASE WHEN event_id % 2 = 1 THEN event_id ELSE 0 END) AS BIGINT)
+        AS odd_id_sum
+    FROM events GROUP BY event_type
+    """,
+    description="Schema EVOLUTION read (mergeSchema — the 100-TB reality "
+    "that yesterday's shards lack today's columns): the odd-id half of "
+    "events is written WITHOUT the extra column, the even-id half WITH "
+    "it, and one mergeSchema read unions both shards — rows from the old "
+    "shard surface the new column as NULL. The aggregate separates the "
+    "halves through the evolved column (odd_id_sum counts exactly the "
+    "rows where it is null, via the id it carries), so a read that drops "
+    "either shard, mistypes the evolved column, or backfills non-null "
+    "defaults hash-mismatches against the single-table oracle.",
+)
+def x9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = "/tmp/spark_graft_evo_" + sf_dir.strip("/").replace("/", "_")
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type")
+    old = ev.filter(F.col("event_id") % 2 == 1)
+    new = ev.filter(F.col("event_id") % 2 == 0).withColumn(
+        "extra_score", (F.col("event_id") % 7).cast("long")
+    )
+    old.write.mode("overwrite").parquet(base + "/shard_old")
+    new.write.mode("overwrite").parquet(base + "/shard_new")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/shard_old", base + "/shard_new"
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("extra_score").isNull(), F.col("event_id")).otherwise(F.lit(0))
+        ).alias("odd_id_sum"),
+    )
+
+
+@register(
+    "x10_permissive_csv",
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_good,
+      CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_corrupt,
+      CAST(SUM(CASE WHEN event_id % 3 <> 0 THEN event_id % 100 ELSE 0 END)
+           AS BIGINT) AS qty_sum
+    FROM events
+    """,
+    description="PERMISSIVE CSV ingestion with corrupt-record capture "
+    "(S1's malformed-input contract — at ingest scale SOME rows are "
+    "always broken, and dying on row one is not an option): every third "
+    "event is serialized as a malformed CSV line (non-numeric qty), the "
+    "read runs PERMISSIVE with a _corrupt_record column, and the "
+    "aggregate proves the exact good/corrupt split AND that good-row "
+    "values survive parsing (qty_sum) — a reader that drops corrupt "
+    "rows silently (DROPMALFORMED semantics), nulls a good column, or "
+    "shifts fields hash-mismatches.",
+)
+def x10_permissive_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    base = "/tmp/spark_graft_csv_" + sf_dir.strip("/").replace("/", "_")
+    ev = load_table(spark, "events", sf_dir).select("event_id")
+    lines = ev.select(
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit(","),
+            F.when(F.col("event_id") % 3 == 0, F.lit("not_a_number")).otherwise(
+                (F.col("event_id") % 100).cast("string")
+            ),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(base)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    parsed = spark.read.schema(schema).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(base)
+    # caching before splitting on _corrupt_record is the documented Spark
+    # requirement: the corrupt-record column is only reliably populated
+    # when the parsed frame is materialized once, not re-parsed per branch.
+    parsed = parsed.cache()
+    return parsed.agg(
+        F.sum(F.col("_corrupt_record").isNull().cast("long")).alias("n_good"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("n_corrupt"),
+        F.sum(F.coalesce("qty", F.lit(0))).alias("qty_sum"),
+    )
