@@ -153,6 +153,7 @@ _TAIL_HEAD = [
     "x8_partitioned_sink_roundtrip",
     "x9_schema_evolution",
     "x10_permissive_csv",
+    "x11_bucketed_join",
     "a6_idw_radius",
     "a1_pricing_summary",
     "j8_knn_join_grid",

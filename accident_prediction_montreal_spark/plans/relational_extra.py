@@ -2415,3 +2415,51 @@ def x10_permissive_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("n_corrupt"),
         F.sum(F.coalesce("qty", F.lit(0))).alias("qty_sum"),
     )
+
+
+@register(
+    "x11_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    description="Bucketed CO-LOCATED join (X-surface, first driver-checkable "
+    "evidence — bucketing was previously plan-test-only): orders and "
+    "lineitem are written bucketBy(8, orderkey) + sortBy via saveAsTable "
+    "(external path under scratch), then sort-merge-joined (merge hint; "
+    "a broadcast would hide the property) — matching bucket specs mean "
+    "NO shuffle exchange on either side, the at-rest layout the "
+    "reference's repartition(200, keys)-before-write pattern "
+    "approximates. Values re-aggregated decimal-exact against the "
+    "un-bucketed source join: any bucket-routing or sort-order fault "
+    "that drops/duplicates rows hash-mismatches.",
+)
+def x11_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec4 = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = "/tmp/spark_graft_bq_" + key
+    t_o, t_l = f"bq_orders_{key}", f"bq_lineitem_{key}"
+    spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_l}")
+    load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", base + "/orders"
+    ).mode("overwrite").format("parquet").saveAsTable(t_o)
+    load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", base + "/lineitem"
+    ).mode("overwrite").format("parquet").saveAsTable(t_l)
+    o, li = spark.table(t_o), spark.table(t_l)
+    joined = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(dec4(F.col("l_extendedprice")) * dec4(F.lit(1) - F.col("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -203,3 +203,14 @@ def test_range_join_is_hash_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan  # broadcast or shuffled, either is fine
+
+
+def test_bucketed_join_no_shuffle_exchange(spark):
+    # Matching bucketBy(8, key) specs + merge hint: the sort-merge join
+    # must run with ZERO shuffle exchanges (bucket layout IS the
+    # partitioning) — the co-located-join property the query exists for.
+    plan = plan_of(spark, "x11_bucketed_join")
+    assert "SortMergeJoin" in plan
+    # the final groupBy aggregates shuffle once; the JOIN inputs may not
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in join_part
