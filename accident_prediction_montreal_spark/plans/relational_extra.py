@@ -17,6 +17,19 @@ from accident_prediction_montreal_spark.plans.registry import register, chk_row 
 from accident_prediction_montreal_spark.sources.registry import load_table
 
 
+def _scratch(prefix: str, sf_dir: str) -> tuple[str, str]:
+    """(scratch dir, charset-safe key) for queries that write shards:
+    TMPDIR-honoring like the llm_ops scratch convention, md5-keyed so any
+    dataset path (hyphens, unicode, ...) yields a filesystem- AND
+    SQL-identifier-safe suffix."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}", key), key
+
+
 @register(
     "tpch_q3_shipping_priority",
     oracle="""
@@ -2307,7 +2320,7 @@ def f_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keeps the query idempotent across driver reruns.",
 )
 def x8_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = "/tmp/spark_graft_sink_" + sf_dir.strip("/").replace("/", "_")
+    path, _ = _scratch("sink", sf_dir)
     ev = load_table(spark, "events", sf_dir).select(
         F.col("ts").cast("date").alias("d"), "value"
     )
@@ -2340,7 +2353,7 @@ def x8_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     "defaults hash-mismatches against the single-table oracle.",
 )
 def x9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = "/tmp/spark_graft_evo_" + sf_dir.strip("/").replace("/", "_")
+    base, _ = _scratch("evo", sf_dir)
     ev = load_table(spark, "events", sf_dir).select("event_id", "event_type")
     old = ev.filter(F.col("event_id") % 2 == 1)
     new = ev.filter(F.col("event_id") % 2 == 0).withColumn(
@@ -2384,7 +2397,7 @@ def x9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x10_permissive_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
-    base = "/tmp/spark_graft_csv_" + sf_dir.strip("/").replace("/", "_")
+    base, _ = _scratch("csv", sf_dir)
     ev = load_table(spark, "events", sf_dir).select("event_id")
     lines = ev.select(
         F.concat(
@@ -2406,10 +2419,10 @@ def x10_permissive_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = spark.read.schema(schema).option("mode", "PERMISSIVE").option(
         "columnNameOfCorruptRecord", "_corrupt_record"
     ).csv(base)
-    # caching before splitting on _corrupt_record is the documented Spark
-    # requirement: the corrupt-record column is only reliably populated
-    # when the parsed frame is materialized once, not re-parsed per branch.
-    parsed = parsed.cache()
+    # No cache: the single aggregate references qty AND _corrupt_record in
+    # one parse pass (the documented corrupt-record caching requirement
+    # applies to re-parsing per filtered branch, and an uncollected cache
+    # would pin an events-sized frame for the rest of the session).
     return parsed.agg(
         F.sum(F.col("_corrupt_record").isNull().cast("long")).alias("n_good"),
         F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("n_corrupt"),
@@ -2440,8 +2453,7 @@ def x10_permissive_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x11_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec4 = lambda c: c.cast("decimal(18,4)")  # noqa: E731
-    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = "/tmp/spark_graft_bq_" + key
+    base, key = _scratch("bq", sf_dir)
     t_o, t_l = f"bq_orders_{key}", f"bq_lineitem_{key}"
     spark.sql(f"DROP TABLE IF EXISTS {t_o}")
     spark.sql(f"DROP TABLE IF EXISTS {t_l}")
