@@ -154,6 +154,7 @@ _TAIL_HEAD = [
     "x9_schema_evolution",
     "x10_permissive_csv",
     "x11_bucketed_join",
+    "j9_asof_tolerance",
     "a6_idw_radius",
     "a1_pricing_summary",
     "j8_knn_join_grid",

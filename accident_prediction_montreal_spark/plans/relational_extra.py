@@ -2475,3 +2475,58 @@ def x11_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "j9_asof_tolerance",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    errors AS (
+      SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'
+    )
+    SELECT e.user_id, e.event_id,
+      CASE WHEN e.ts - c.ts <= INTERVAL 30 MINUTE THEN c.event_id END
+        AS click_event_id,
+      CASE WHEN e.ts - c.ts <= INTERVAL 30 MINUTE THEN ROUND(c.value, 6) END
+        AS click_value
+    FROM errors e
+    ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    description="As-of join with a staleness TOLERANCE (previously "
+    "pytest-only): the latest click at or before each error counts only "
+    "if it is within 30 minutes — older matches null out, the 'state too "
+    "stale to trust' semantics every sensor/market data join needs. "
+    "DuckDB has no native tolerance, so the oracle post-nulls its ASOF "
+    "result with the identical interval comparison; microsecond-exact "
+    "timestamp arithmetic on both engines.",
+)
+def j9_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from accident_prediction_montreal_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id"
+    )
+    out = asof_join(
+        errors, clicks, by=["user_id"], value_cols=["event_id", "value"],
+        tolerance_seconds=30 * 60,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("event_id_right").alias("click_event_id"),
+        F.round("value_right", 6).alias("click_value"),
+    )
