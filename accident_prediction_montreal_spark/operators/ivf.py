@@ -31,11 +31,19 @@ def build_ivf_index(
     id_col: str = "vec_id",
     sample_fraction: float = 1.0,
     seed: int = 42,
+    literal_cells_max: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit centroids and assign every corpus vector to its cell.
 
     Returns (assigned_corpus with cell_id, centroids(cell_id, centroid)).
     KMeans fits on a seeded sample when the corpus is large.
+
+    ``literal_cells_max`` bounds the zero-shuffle literal-expansion
+    assignment: the inlined argmax expression grows O(n_cells · dim), so
+    past the threshold assignment switches to a broadcast join against
+    the centroid DataFrame + one per-id max aggregate (one shuffle of
+    (id, vec) rows — the right trade at realistic IVF cell counts, where
+    a thousand inlined centroid arrays would bloat analysis/codegen).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -66,23 +74,52 @@ def build_ivf_index(
     # single zero-shuffle projection over literal centroid arrays —
     # array_max over (sim, -cell_id) structs reproduces the probe
     # ranking's (sim DESC, cell_id ASC) tie-break exactly.
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    cosine_similarity(
-                        vec_col,
-                        F.array(*[F.lit(float(x)) for x in c]),
-                    ).alias("s"),
-                    F.lit(-i).alias("nc"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+    #
+    # Zero-norm guard (both paths): a ‖v‖ = 0 vector has NaN cosine
+    # against EVERY centroid; nanvl maps that to −2.0 — below the valid
+    # [−1, 1] cosine range — so the (sim DESC, cell_id ASC) tie-break
+    # assigns cell 0 by RULE, not by Spark's NaN-sorts-greatest accident.
+    if n_cells <= literal_cells_max:
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.nanvl(
+                            cosine_similarity(
+                                vec_col,
+                                F.array(*[F.lit(float(x)) for x in c]),
+                            ),
+                            F.lit(-2.0),
+                        ).alias("s"),
+                        F.lit(-i).alias("nc"),
+                    )
+                    for i, c in enumerate(centroids)
+                ]
+            )
         )
-    )
-    assigned = vecs.select(
-        id_col, vec_col, (-best["nc"]).cast("int").alias("cell_id")
-    )
+        assigned = vecs.select(
+            id_col, vec_col, (-best["nc"]).cast("int").alias("cell_id")
+        )
+    else:
+        # Broadcast-join path: expression size stays O(dim); the argmax
+        # is max(struct(sim, -cell_id)) per id — identical tie-break.
+        scored = (
+            vecs.select(id_col, vec_col)
+            .crossJoin(F.broadcast(cent_df))
+            .withColumn(
+                "__s", F.nanvl(cosine_similarity(vec_col, "centroid"), F.lit(-2.0))
+            )
+        )
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(
+                F.first(vec_col).alias(vec_col),
+                F.max(F.struct(F.col("__s").alias("s"), (-F.col("cell_id")).alias("nc"))).alias(
+                    "__b"
+                ),
+            )
+            .select(id_col, vec_col, (-F.col("__b.nc")).cast("int").alias("cell_id"))
+        )
     return assigned, cent_df
 
 

@@ -51,20 +51,26 @@ def backfill_month_shards(
     compute_shard: Callable[[SparkSession, str], DataFrame],
     session_factory: Callable[[], SparkSession] | None = None,
     overwrite: bool = False,
+    partition_col: str = "month_key",
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Run ``compute_shard(session, month_key)`` for every month whose
     shard directory is not already complete; return the unioned result as
     one partitioned scan.
 
-    ``compute_shard`` must return the same schema for every month and
-    must NOT include the ``month_key`` column (it becomes the partition
-    directory). With ``session_factory`` each pending shard gets a fresh
-    session from the factory (the reference's per-month restart); the
-    factory owns stop/reuse semantics — this loop never stops a session
-    it was handed.
+    ``compute_shard`` must NOT include the ``partition_col`` column (it
+    becomes the partition directory). Schemas may EVOLVE across shards —
+    a long-running backfill adds columns mid-run — when ``merge_schema``
+    is set the combined scan surfaces old shards' missing columns as
+    NULL (S2/x9 semantics); without it all shards must agree. With
+    ``session_factory`` each pending shard gets a fresh session from the
+    factory (the reference's per-month restart); the factory owns
+    stop/reuse semantics — this loop never stops a session it was
+    handed. ``partition_col`` generalizes the shard grain (day keys for
+    intra-month backfills, month keys for the reference shape).
     """
     for mk in months:
-        shard_dir = os.path.join(out_dir, f"month_key={mk}")
+        shard_dir = os.path.join(out_dir, f"{partition_col}={mk}")
         done = os.path.exists(os.path.join(shard_dir, "_SUCCESS"))
         if done and not overwrite:
             continue
@@ -72,13 +78,12 @@ def backfill_month_shards(
         compute_shard(shard_session, mk).write.mode("overwrite").parquet(shard_dir)
     # One partitioned read, restricted to the REQUESTED months: out_dir may
     # hold shards from earlier runs with a different month list, and the
-    # isin filter prunes those whole directories at the scan (month_key is
-    # the partition column).
-    return (
-        spark.read.option("basePath", out_dir)
-        .parquet(out_dir)
-        .filter(F.col("month_key").isin(months))
-    )
+    # isin filter prunes those whole directories at the scan (partition_col
+    # is the partition column).
+    reader = spark.read.option("basePath", out_dir)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(out_dir).filter(F.col(partition_col).isin(months))
 
 
 def monthly_event_rollup(

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from accident_prediction_montreal_spark import cachereg
 from accident_prediction_montreal_spark.functions.geo import haversine_meters
 from accident_prediction_montreal_spark.operators.spatial import knn_join, knn_join_grid
 
@@ -120,5 +121,8 @@ def match_accidents_with_roads(
     # every downstream branch (accept + refine + disambiguation, and the
     # caller's fan-out into counts/encoders/splits) silently re-ran the
     # kNN matching — measured 2x on apm_dataset_pipeline at sf0.1.
-    # Cache lifecycle belongs to the session/caller (X3 pattern).
+    # Lifecycle goes through cachereg: the NEXT invocation (e.g. the
+    # month-shard backfill loop) releases this generation, and callers
+    # that materialize eagerly can release the site themselves.
+    cachereg.register("pipeline.matching", top_k, first_match)
     return out

@@ -45,6 +45,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from accident_prediction_montreal_spark import cachereg
 from accident_prediction_montreal_spark.operators.mixing import (
     lcg_uniform,
     lcg_uniform_sql,
@@ -546,6 +547,7 @@ def apm_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wx = weather_for_samples(neg_base, smooth_risky_weather(weather), stations)
     neg = _add_date_features(neg_base.join(wx, "sample_id")).persist()
+    cachereg.register("plans.apm_dataset_pipeline", pos, neg)
 
     train, test = build_dataset(spark, pos, neg, split_date=_SPLIT_DATE)
     both = train.withColumn("split", F.lit("train")).unionByName(

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from accident_prediction_montreal_spark import cachereg
 from accident_prediction_montreal_spark.functions.money import dsum
 from accident_prediction_montreal_spark.functions.vectors import l2_norm
 from accident_prediction_montreal_spark.operators.components import connected_components
@@ -704,6 +705,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_est_jaccard=0.5,
         max_bucket_size=1_000_000,
     ).persist()
+    cachereg.register("plans.dedup_minhash_pairs", pairs)
 
     expected = plantable.select(
         F.col("doc_id").alias("id_a"),
@@ -2935,4 +2937,255 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "frame_idx",
         (F.round("mean_gray", 6) + 0.0).alias("mean_gray"),
+    )
+
+
+def _two_batch_fixture(sf_dir: str) -> str:
+    """Split the events table into TWO parquet files at the 60%-of-time
+    point, mtime-pinned ascending, so maxFilesPerTrigger=1 yields two
+    micro-batches whose boundary cuts through live sessions — the
+    capstone's cross-batch session-merge is then load-bearing, not
+    vacuous. Keyed by the source file's identity like _late_data_fixture."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    st = os.stat(src)
+    tag = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    fix_dir = os.path.join(tempfile.gettempdir(), "spark_graft_2batch", tag)
+    paths = [
+        os.path.join(fix_dir, "a_early.parquet"),
+        os.path.join(fix_dir, "b_late.parquet"),
+    ]
+    if all(os.path.exists(p) for p in paths):
+        return fix_dir
+    os.makedirs(fix_dir, exist_ok=True)
+
+    tbl = pq.read_table(src)
+    ts_us = pa.timestamp("us")
+    idx = tbl.schema.get_field_index("ts")
+    tbl = tbl.set_column(idx, "ts", pc.cast(tbl.column("ts"), ts_us))
+    as_i64 = pc.cast(tbl.column("ts"), pa.int64())
+    lo, hi = pc.min(as_i64).as_py(), pc.max(as_i64).as_py()
+    cut = lo + (hi - lo) * 6 // 10
+    mask = pc.less(as_i64, pa.scalar(cut))
+    pq.write_table(tbl.filter(mask), paths[0])
+    pq.write_table(tbl.filter(pc.invert(mask)), paths[1])
+    for i, p in enumerate(paths):
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+    return fix_dir
+
+
+@register(
+    "st_pipeline_capstone",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_id,
+        MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        COUNT(*) AS n_ev,
+        SUM(CAST(value AS DECIMAL(38,6))) AS vsum
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT CAST(user_id % 5 AS BIGINT) AS tier,
+      CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      CAST(SUM(n_ev) AS BIGINT) AS n_events,
+      CAST(CAST(SUM(vsum) AS VARCHAR) AS DOUBLE) AS value_sum,
+      CAST(MAX(epoch_us(session_end) - epoch_us(session_start)) AS BIGINT)
+        AS max_session_us
+    FROM sessions
+    WHERE user_id % 5 IN (0, 2, 4)
+    GROUP BY 1
+    """,
+    description="STREAMING CAPSTONE (§2.12 composition — the streaming "
+    "sibling of apm_dataset_pipeline / llm_pretrain_pipeline): a "
+    "two-micro-batch events stream (time-split fixture, "
+    "maxFilesPerTrigger=1, so sessions STRADDLE the batch boundary and "
+    "the state store must merge them) -> watermarked 30-minute session "
+    "windows with decimal-exact value sums -> foreachBatch COMPLETE-mode "
+    "sink that enriches each emitted session against a broadcast static "
+    "user-tier dimension and OVERWRITES a tier-partitioned parquet "
+    "(the dashboard-sink pattern: last batch's complete state wins) -> "
+    "partition-PRUNED read-back of 3 of 5 tiers -> per-tier rollup. The "
+    "oracle recomputes sessions batch-side (same >=gap island rule, end "
+    "= last ts + gap), so a broken cross-batch merge, a dropped "
+    "micro-batch, a mis-partitioned write, or an unpruned tier all "
+    "hash-mismatch.",
+)
+def st_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark.sources.registry import ntz_to_timestamp
+    from accident_prediction_montreal_spark.streaming.windows import session_aggregates
+
+    fix_dir = _two_batch_fixture(sf_dir)
+    disk_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(disk_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fix_dir)
+    )
+    events = raw.withColumn("ts", ntz_to_timestamp(F.col("ts"))).withColumn(
+        "value", F.col("value").cast("decimal(38,6)")
+    )
+    sessions = session_aggregates(events, gap="30 minutes")
+
+    # Static tier dimension, built once and broadcast into every batch.
+    dim = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 5).cast("int"))
+    )
+
+    base = tempfile.mkdtemp(prefix="spark_graft_stcap_")
+    out_dir, ckpt_dir = f"{base}/out", f"{base}/ckpt"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # COMPLETE mode: batch_df is the full updated session table, so
+        # overwrite — the sink always holds the latest state.
+        enriched = batch_df.join(F.broadcast(dim), "user_id", "left")
+        enriched.write.mode("overwrite").partitionBy("tier").parquet(out_dir)
+
+    (
+        sessions.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    back = spark.read.parquet(out_dir).filter(F.col("tier").isin(0, 2, 4))
+    return back.groupBy(F.col("tier").cast("long").alias("tier")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("value_sum").cast("double").alias("value_sum"),
+        F.max(
+            F.unix_micros("session_end") - F.unix_micros("session_start")
+        ).alias("max_session_us"),
+    )
+
+
+@register(
+    "x12_backfill_evolution",
+    oracle="""
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        AS value_sum,
+      CAST(SUM(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_evolved,
+      CAST(SUM(CASE WHEN day(ts) >= 16 THEN event_id % 7 ELSE 0 END) AS BIGINT)
+        AS evolved_sum
+    FROM events WHERE ts IS NOT NULL GROUP BY event_type
+    """,
+    description="Backfill + MID-RUN SCHEMA EVOLUTION + resume, composed "
+    "under one oracle (x5 x x9 — the production ingestion story): phase "
+    "1 backfills the first 15 day-shards with the v1 rollup schema; "
+    "phase 2 'resumes' over ALL days with a v2 schema that adds "
+    "evolved_sum, and its compute fn RAISES if asked for a phase-1 day — "
+    "so the _SUCCESS-marker skip is load-bearing, not decorative. One "
+    "mergeSchema partitioned read unions v1 and v2 shards (v1 rows "
+    "surface evolved_sum as NULL) and the final rollup separates the "
+    "halves through the evolved column: broken resume (error), dropped "
+    "or double-written shards (n/value_sum), or evolution faults "
+    "(n_evolved/evolved_sum) all fail against the single-table oracle.",
+)
+def x12_backfill_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from accident_prediction_montreal_spark.pipeline.backfill import (
+        backfill_month_shards,
+    )
+
+    src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    st = os.stat(src)
+    tag = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), "spark_graft_bfevo", tag)
+    # The two-phase _SUCCESS choreography below is the test subject;
+    # stale shards from an interrupted earlier run would make phase-1
+    # completeness ambiguous, so start clean.
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    ev = load_table(spark, "events", sf_dir)
+    days = sorted(
+        r["dk"]
+        for r in ev.select(F.date_format("ts", "yyyy-MM-dd").alias("dk"))
+        .distinct()
+        .collect()
+        if r["dk"] is not None
+    )
+    phase1 = [d for d in days if int(d[8:10]) <= 15]
+
+    def day_range(s: SparkSession, dk: str):
+        lo = F.lit(f"{dk} 00:00:00").cast("timestamp_ntz")
+        hi = F.date_add(F.lit(dk).cast("date"), 1).cast("timestamp_ntz")
+        return load_table(s, "events", sf_dir).filter(
+            (F.col("ts") >= lo) & (F.col("ts") < hi)
+        )
+
+    def shard_v1(s: SparkSession, dk: str) -> DataFrame:
+        return day_range(s, dk).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("vsum"),
+        )
+
+    def shard_v2(s: SparkSession, dk: str) -> DataFrame:
+        if dk in set(phase1):
+            raise AssertionError(
+                f"resume violation: phase-2 recomputed finished shard {dk}"
+            )
+        return day_range(s, dk).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("vsum"),
+            F.sum(F.col("event_id") % 7).alias("evolved_sum"),
+        )
+
+    backfill_month_shards(
+        spark, out_dir, phase1, shard_v1, partition_col="day_key"
+    )
+    combined = backfill_month_shards(
+        spark, out_dir, days, shard_v2, partition_col="day_key", merge_schema=True
+    )
+    return combined.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("vsum").cast("double").alias("value_sum"),
+        F.sum(
+            F.when(F.col("evolved_sum").isNotNull(), F.col("n")).otherwise(F.lit(0))
+        ).cast("long").alias("n_evolved"),
+        F.sum(F.coalesce("evolved_sum", F.lit(0))).cast("long").alias("evolved_sum"),
     )

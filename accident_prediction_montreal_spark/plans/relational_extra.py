@@ -19,14 +19,20 @@ from accident_prediction_montreal_spark.sources.registry import load_table
 
 def _scratch(prefix: str, sf_dir: str) -> tuple[str, str]:
     """(scratch dir, charset-safe key) for queries that write shards:
-    TMPDIR-honoring like the llm_ops scratch convention, md5-keyed so any
-    dataset path (hyphens, unicode, ...) yields a filesystem- AND
-    SQL-identifier-safe suffix."""
+    TMPDIR-honoring like the llm_ops scratch convention, md5-keyed over
+    the dataset path AND the Spark applicationId so (a) any dataset path
+    (hyphens, unicode, ...) yields a filesystem- and SQL-identifier-safe
+    suffix, and (b) two concurrent sessions on the same dataset never
+    race on one sink/evo/csv/bq dir (each session writes its own key;
+    re-runs within a session stay idempotent via mode('overwrite'))."""
     import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    active = SparkSession.getActiveSession()
+    app = active.sparkContext.applicationId if active else f"pid{os.getpid()}"
+    token = f"{os.path.realpath(sf_dir)}\x00{app}"
+    key = hashlib.md5(token.encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}", key), key
 
 
@@ -2467,14 +2473,24 @@ def x11_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
         "path", base + "/lineitem"
     ).mode("overwrite").format("parquet").saveAsTable(t_l)
-    o, li = spark.table(t_o), spark.table(t_l)
-    joined = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
-    return joined.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(dec4(F.col("l_extendedprice")) * dec4(F.lit(1) - F.col("l_discount")))
-        .cast("double")
-        .alias("revenue"),
-    )
+    try:
+        o, li = spark.table(t_o), spark.table(t_l)
+        joined = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+        return joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(dec4(F.col("l_extendedprice")) * dec4(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    finally:
+        # Drop the catalog entries NOW: spark.table() already analyzed
+        # the plan, which captured the external files + bucket spec, so
+        # the lazy SMJ still executes bucketed after the metadata drop
+        # (data files under `base` are untouched) — no catalog leakage
+        # between runs, no cross-driver collision (key embeds the
+        # applicationId).
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_l}")
 
 
 @register(

@@ -83,3 +83,32 @@ def test_ivf_recall_against_bruteforce(spark):
     assert selfhits == 5
     recall = len({(r["query_id"], r["vec_id"]) for r in part.collect()} & exact) / len(exact)
     assert recall >= 0.5
+
+
+def test_ivf_join_assignment_path_matches_literal(spark):
+    # Past literal_cells_max the assignment switches to the broadcast-join
+    # argmax; both paths must agree cell-for-cell (same metric, same
+    # (sim DESC, cell_id ASC) tie-break).
+    rng = random.Random(7)
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(200)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    ).persist()
+    lit_assigned, _ = build_ivf_index(corpus, n_cells=8, literal_cells_max=64)
+    join_assigned, _ = build_ivf_index(corpus, n_cells=8, literal_cells_max=0)
+    lit = {r["vec_id"]: r["cell_id"] for r in lit_assigned.collect()}
+    jn = {r["vec_id"]: r["cell_id"] for r in join_assigned.collect()}
+    assert lit == jn
+
+
+def test_ivf_zero_norm_vector_lands_in_cell_zero(spark):
+    # A zero-norm vector has NaN cosine vs every centroid; the nanvl
+    # guard must route it to cell 0 deterministically on BOTH paths.
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(100)]
+    rows.append((999, [0.0, 0.0, 0.0, 0.0]))
+    corpus = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    for lcm in (64, 0):
+        assigned, _ = build_ivf_index(corpus, n_cells=4, literal_cells_max=lcm)
+        cell = assigned.filter(F.col("vec_id") == 999).collect()[0]["cell_id"]
+        assert cell == 0
