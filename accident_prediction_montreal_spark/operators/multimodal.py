@@ -686,3 +686,216 @@ def frame_sample_features(
         yield pd.DataFrame({id_col: ids, "frame_idx": fidx, "mean_gray": means})
 
     return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+# --- PNG (stdlib zlib — a REAL compressed raster codec) -----------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_rgb8(pixels, width: int, height: int) -> bytes:
+    """Minimal 8-bit-RGB PNG writer, stdlib only (zlib ships with
+    CPython, so unlike JPEG the FULL container is expressible without
+    media libraries).
+
+    Deliberately adversarial toward lazy decoders: the per-row filter
+    type CYCLES through all five PNG filters (None/Sub/Up/Average/
+    Paeth), so a reader that ignores filter bytes or mis-implements any
+    reconstruction rule produces measurably wrong pixels — the same
+    make-the-transform-load-bearing principle as the BMP writer's
+    bottom-up BGR storage. IDAT is split into two chunks to force
+    multi-chunk reassembly.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8).reshape(height, width, 3)
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(width * bpp, dtype=np.int32)
+    for r in range(height):
+        row = arr[r].reshape(-1).astype(np.int32)
+        ftype = r % 5
+        if ftype == 0:
+            filt = row.copy()
+        elif ftype == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            filt = (row - left) % 256
+        elif ftype == 2:  # Up
+            filt = (row - prev) % 256
+        elif ftype == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            filt = (row - (left + prev) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            filt = (row - pred) % 256
+        raw.append(ftype)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    z = zlib.compress(bytes(raw), 6)
+    mid = len(z) // 2
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", z[:mid])
+        + _png_chunk(b"IDAT", z[mid:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL PNG decode, stdlib only: signature + chunk walk (length/
+    CRC-verified), multi-IDAT zlib inflate, and full reconstruction of
+    all five row filters (None/Sub/Up/Average/Paeth) per the PNG spec's
+    defilter recurrences. Supports 8-bit truecolor (type 2) and 8-bit
+    grayscale (type 0), non-interlaced — the raster family this engine
+    synthesizes; palette/16-bit/interlaced raise ValueError (a PIL-class
+    decoder's territory).
+
+    Returns {width, height, mean_r, mean_g, mean_b, top_row_mean}
+    (grayscale reports its mean on all three channels) — the same
+    feature contract as decode_bmp so the two codecs share oracles.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, ended = 8, None, [], False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not ended:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in (0, 2) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG encoding: depth={depth} color={color} interlace={interlace}"
+        )
+    if width == 0 or height == 0:
+        raise ValueError(f"degenerate PNG dimensions {width}x{height}")
+    bpp = 3 if color == 2 else 1
+    stride = width * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, stride, r * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            rec = row
+        elif ftype == 2:  # Up — no left dependency, vectorized
+            rec = (row + prev) % 256
+        elif ftype in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    rec[i] = (row[i] + left) % 256
+                elif ftype == 3:
+                    rec[i] = (row[i] + (left + prev[i]) // 2) % 256
+                else:
+                    up = prev[i]
+                    upleft = prev[i - bpp] if i >= bpp else 0
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = upleft
+                    rec[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    logical = out.reshape(height, width, bpp).astype("float64")
+    if bpp == 1:
+        logical = np.repeat(logical, 3, axis=2)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "mean_r": float(logical[:, :, 0].mean()),
+        "mean_g": float(logical[:, :, 1].mean()),
+        "mean_b": float(logical[:, :, 2].mean()),
+        "top_row_mean": float(logical[0].mean()),
+    }
+
+
+def png_features(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, width, height, mean_r/g/b, top_row_mean) via the REAL PNG
+    decoder inside the Arrow batch loop — the COMPRESSED raster codec
+    next to BMP/PPM/PGM: chunk CRCs, multi-IDAT inflate, and the five
+    filter reconstructions are all exercised per row."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("top_row_mean", T.DoubleType()),
+        ]
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_png(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "mean_r": [f["mean_r"] for f in feats],
+                    "mean_g": [f["mean_g"] for f in feats],
+                    "mean_b": [f["mean_b"] for f in feats],
+                    "top_row_mean": [f["top_row_mean"] for f in feats],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        decode_batches, schema=out_schema
+    )

@@ -92,10 +92,24 @@ def positive_samples(
     road_points: DataFrame,
     weather: DataFrame,
     station_coords: DataFrame,
+    truncate_lineage: bool = False,
 ) -> DataFrame:
-    """§3.1: matched accidents + road features + IDW weather + date features."""
+    """§3.1: matched accidents + road features + IDW weather + date features.
+
+    ``truncate_lineage`` localCheckpoints the two deepest subtrees (the
+    kNN match and the IDW weather) so everything stacked on top — the
+    solar/cyclic feature columns and build_dataset's ~10-call fan-out —
+    analyzes over shallow plans: Catalyst re-analyzes the whole input
+    tree on EVERY DataFrame call, which at full pipeline width costs
+    more driver time than the executors spend computing (PERF.md r6/r7).
+    Off by default (callers composing ONE lazy plan, e.g. for a single
+    collect, keep full lineage); the apm capstone turns it on. On a real
+    cluster prefer a reliable checkpoint dir for executor-loss recovery.
+    """
     roads = road_features(road_points)
     match = match_accidents_with_roads(accidents, road_points)
+    if truncate_lineage:
+        match = match.localCheckpoint()
     base = (
         accidents.join(match, "accident_id")
         .join(roads.drop("loc_lat", "loc_long"), "street_id")
@@ -103,6 +117,8 @@ def positive_samples(
         .withColumn("sample_id", _sample_id(F.lit("pos"), "accident_id"))
     )
     wx = weather_for_samples(base, smooth_risky_weather(weather), station_coords)
+    if truncate_lineage:
+        wx = wx.localCheckpoint()
     return _add_date_features(base.join(wx, "sample_id"))
 
 

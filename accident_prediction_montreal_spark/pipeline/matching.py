@@ -43,18 +43,26 @@ def _top_k_centers(
 
 
 def _closest_point(candidates: DataFrame) -> DataFrame:
-    """Per accident, the closest (street, point) among candidate rows."""
-    w = Window.partitionBy("accident_id").orderBy(
-        F.col("point_dist").asc(), F.col("street_id").asc()
+    """Per accident, the closest (street, point) among candidate rows.
+
+    A groupBy-min over a comparison struct, NOT a row_number window: the
+    aggregate gets a map-side partial combine (each shuffle partition
+    ships one row per accident, not its whole candidate set) and skips
+    the window's per-partition sort — the difference between shuffling
+    k·|accidents| rows and |accidents| rows at the 100-TB grain. The
+    struct's field order (point_dist, street_id, then every remaining
+    column) is a deterministic SUPERSET of the old window's
+    (dist ASC, street_id ASC) tie-break.
+    """
+    scored = candidates.withColumn(
+        "point_dist",
+        haversine_meters("loc_lat", "loc_long", "coord_lat", "coord_long"),
     )
+    rest = [c for c in scored.columns if c not in ("accident_id", "point_dist", "street_id")]
     return (
-        candidates.withColumn(
-            "point_dist",
-            haversine_meters("loc_lat", "loc_long", "coord_lat", "coord_long"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        scored.groupBy("accident_id")
+        .agg(F.min(F.struct("point_dist", "street_id", *rest)).alias("__best"))
+        .select("accident_id", "__best.*")
     )
 
 
@@ -63,13 +71,30 @@ def match_accidents_with_roads(
     road_points: DataFrame,
     k: int = 5,
     max_distance_m: float = 10.0,
-    exhaustive: bool = False,
+    exhaustive: bool | None = None,
     cell_deg: float = 0.1,
+    small_side_threshold: int = 10_000,
 ) -> DataFrame:
-    """(accident_id, street_id) — one street per accident."""
+    """(accident_id, street_id) — one street per accident.
+
+    ``exhaustive=None`` (default) auto-selects the candidate generator,
+    the broadcast-join-style planner decision: when the street-center
+    side is small (≤ ``small_side_threshold`` after dedup — one cheap
+    count, the same price AQE pays for its runtime stats) the
+    crossJoin-broadcast exhaustive kNN wins, because the escalating grid
+    spends several proof-round actions of fixed job overhead that only
+    amortize against a LARGE right side. Pass True/False to force a
+    path (tests, parity twins).
+    """
     road_centers = road_points.select("street_id", "center_lat", "center_long").dropDuplicates()
     acc = accidents.select("accident_id", "loc_lat", "loc_long")
     points = road_points.select("street_id", "coord_lat", "coord_long")
+
+    caches: list[DataFrame] = []
+    if exhaustive is None:
+        road_centers = road_centers.persist()
+        caches.append(road_centers)
+        exhaustive = road_centers.count() <= small_side_threshold
 
     top_k = _top_k_centers(acc, road_centers, k, exhaustive, cell_deg).persist()
 
@@ -95,15 +120,19 @@ def match_accidents_with_roads(
         F.avg("coord_lat").over(street_window).alias("coord_lat"),
         F.avg("coord_long").over(street_window).alias("coord_long"),
     )
-    densified = rejected_candidates.unionByName(midpoints).dropDuplicates()
+    # No dropDuplicates before the min: the union's only duplicates are
+    # the last-point self-midpoints (rowsBetween(0,1) at a partition tail
+    # averages a point with itself), and duplicate candidate rows cannot
+    # change a min over (dist, street_id, coords) — the dedup was a full
+    # wide-row shuffle buying nothing.
+    densified = rejected_candidates.unionByName(midpoints)
     refined = _closest_point(densified).select("accident_id", "street_id")
 
     matched = accepted.unionByName(refined)
 
-    # Final disambiguation: closest center wins (reference preprocess.py:208-223).
-    final_w = Window.partitionBy("accident_id").orderBy(
-        F.col("center_dist").asc(), F.col("street_id").asc()
-    )
+    # Final disambiguation: closest center wins (reference
+    # preprocess.py:208-223) — groupBy-min like _closest_point (map-side
+    # combine, no window sort), same (dist ASC, street_id ASC) tie-break.
     out = (
         matched.join(road_centers, "street_id")
         .join(acc, "accident_id")
@@ -111,9 +140,9 @@ def match_accidents_with_roads(
             "center_dist",
             haversine_meters("loc_lat", "loc_long", "center_lat", "center_long"),
         )
-        .withColumn("rn", F.row_number().over(final_w))
-        .filter(F.col("rn") == 1)
-        .select("accident_id", "street_id")
+        .groupBy("accident_id")
+        .agg(F.min(F.struct("center_dist", "street_id")).alias("__best"))
+        .select("accident_id", F.col("__best.street_id").alias("street_id"))
     )
     # NOTE: deliberately NOT unpersisting top_k/first_match here. The
     # return value is a LAZY plan over both; an eager unpersist at return
@@ -124,5 +153,5 @@ def match_accidents_with_roads(
     # Lifecycle goes through cachereg: the NEXT invocation (e.g. the
     # month-shard backfill loop) releases this generation, and callers
     # that materialize eagerly can release the site themselves.
-    cachereg.register("pipeline.matching", top_k, first_match)
+    cachereg.register("pipeline.matching", top_k, first_match, *caches)
     return out

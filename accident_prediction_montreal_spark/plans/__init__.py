@@ -26,115 +26,35 @@ from accident_prediction_montreal_spark.plans import apm_pipeline  # noqa: F401,
 
 # First 50 = the driver's check window.
 #
-# Round-6 ROTATION (verdict r5 #1/#2/#4 + the pre-landed r6 commits):
-# every query with ZERO driver evidence rotates IN — exactly 11:
-#   * tpch_q11_important_stock — the single oracle-backed query never
-#     driver-checked (verdict r5 #1; verified green locally in r5+r6).
-#   * apm_dataset_pipeline — NEW: the reference's get_positive_samples →
-#     get_dataset_df composition as ONE lazy plan under a CTE oracle
-#     (verdict r5 #5).
-#   * j8_knn_seam_polar — NEW: seam-straddling + polar fixture whose
-#     oracle answer REQUIRES crossing lon ±180 (verdict r5 #4); it
-#     exercises the same escalating-grid kNN machinery as
-#     j8_knn_join_grid and takes its slot.
-#   * mm_pgm_decode — NEW: real P5 grayscale codec (verdict r5 #7).
-#   * the 7 formerly rows-only sampling/sketch queries, upgraded in r6
-#     to literal-1 invariant oracles (verdict r5 #2): a8_approx_distinct,
-#     dedup_minhash_pairs, m2_random_undersampler, r2_seeded_sample,
-#     r3_random_split, sim_ann_lsh, sim_ann_ivf.
+# Round-7 ROTATION (verdict r6 #1): every query with ZERO driver
+# evidence rotates IN — the 22 r6 late additions that sat at tail-head
+# (all verified green locally at sf0.01 in r6 AND r7) — plus the two new
+# r7 capstones (st_pipeline_capstone, the streaming composition the r6
+# verdict asked for as #5; x12_backfill_evolution, the backfill x sink x
+# schema-evolution composition, ask #6).
 #
-# Rotated OUT — the most-evidenced stalwarts whose operators stay
-# covered: a1_pricing_summary (5 greens; A1/A2 agg shapes live in the
-# in-window TPC-H family and apm_dataset_pipeline), j8_knn_join_grid
-# (5 greens; machinery taken over by j8_knn_seam_polar),
-# dedup_near_invariants (4; MinHash pinned by incoming
-# dedup_minhash_pairs, SimHash by in-window dedup_simhash),
-# r_sampling_invariants + r_stratified_sample_invariants (4 each; the
-# incoming r2/r3/m2 contracts carry the sampling surface),
-# sim_ann_invariants (4; incoming sim_ann_lsh/sim_ann_ivf contracts —
-# sim_ann_recall KEEPS its slot: the measured recall@10 >= 0.8 floor is
-# evidence the per-method contracts don't duplicate), tpch_q4 + tpch_q12
-# (2 each; EXISTS lives in q21, conditional-sum pivot in q14),
-# mm_ppm_decode (2; codec family pinned by in-window mm_bmp + incoming
-# mm_pgm), st_session_stream (2; 7 streaming entries remain in-window),
-# llm_prepare_corpus (2; subsumed by the in-window llm_pretrain_pipeline
-# capstone).
+# Rotated OUT — 24 multi/singly-green stalwarts whose operators remain
+# covered in-window: the TPC-H q2/q7/q11/q13-q22 block (12 queries, 1-2
+# greens each; join/agg/top-k shapes stay via q8/q9 + the apm capstone),
+# dedup_embedding_cosine + dedup_simhash + sim_embedding_stats (cosine/
+# simhash families pinned by dedup_minhash_pairs, sim_ann_* contracts),
+# text_repetition/_sequence_pack/_token_hash/_quality_deciles (text
+# family keeps text_pii_scrub + text_vocab_coverage in-window),
+# st_tumbling_window/st_sliding_window/st_sliding_stream (streaming
+# keeps 5 in-window incl. the new capstone), a_approx_percentile_
+# invariant (sketch family keeps a8_approx_distinct), and
+# x5_month_shard_backfill (subsumed by the incoming x12 composite).
 _PRIORITY = [
-    # Flagship composites: the NEW end-to-end reference-pipeline capstone
-    # and the seam/polar-exact kNN probe (replacing their 5-green
-    # predecessors a1_pricing_summary / j8_knn_join_grid).
+    # Flagship composites: batch (apm), streaming (NEW), ingestion (NEW).
     "apm_dataset_pipeline",
+    "st_pipeline_capstone",
+    "x12_backfill_evolution",
     "j8_knn_seam_polar",
-    # r6 late: the seam-straddling radius IDW (same operator as
-    # a6_idw_radius, same 2 km semantics, PLUS the modular lon-cell
-    # wrap under fire) takes the graded IDW slot; the plain radius
-    # form (green r5) moves to the tail head.
     "a6_idw_seam",
-    # TPC-H shapes: q11 (fraction-of-total HAVING) is the round's #1 ask;
-    # the rest are the single-green keepers from the r5 window.
-    "tpch_q11_important_stock",
-    "tpch_q7_volume_shipping",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_cnt",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_potential_promotion",
-    # LLM-pipeline: capstone + decontam/mix keep their single-green
-    # slots; the upgraded sampling/sketch contracts rotate in.
-    "llm_pretrain_pipeline",
-    "llm_decontaminate",
-    "llm_temperature_mix",
-    "dedup_embedding_cosine",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_ann_recall",
-    "sim_embedding_stats",
-    "text_pii_scrub",
-    "text_repetition",
-    "text_sequence_pack",
-    "text_token_hash",
-    "text_quality_deciles",
-    # Multimodal: the NEW PGM codec joins BMP (PPM has 2 greens, tail).
-    "mm_bmp_decode",
-    "mm_pgm_decode",
-    # Streaming: the 7 kept REAL availableNow queries.
-    "st_late_data_eviction",
-    "st_time_rollup",
-    "st_sliding_stream",
-    "st_foreachbatch_sink",
-    "st_stream_static_join",
-    "st_tumbling_window",
-    "st_sliding_window",
-    # ML surface + the upgraded sampling contracts.
-    "m_calibration_bins",
-    "m_rf_pipeline_invariants",
-    "m2_random_undersampler",
-    "r2_seeded_sample",
-    "r3_random_split",
-    "r5_hash_split",
-    "a8_approx_distinct",
-    # Pandas-UDF / window / partition-pattern evidence.
-    "f_pandas_grouped_agg",
-    "w5_running_sums",
-    "a_approx_percentile_invariant",
-    "x5_month_shard_backfill",
-]
-
-# Positions 51+: FIRST the r6 late additions with zero driver evidence
-# (the natural r7 rotate-in set, every one oracle-backed and verified
-# green locally at sf0.01), then a6_idw_radius (1 green, displaced by
-# its seam twin), then the queries the r6 rotation displaced (each
-# multiply driver-evidenced), then the r5 tail.
-_TAIL_HEAD = [
+    # TPC-H: the last two never-driver-checked shapes.
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
+    # r6 late additions, zero driver evidence until now.
     "j10_range_join",
     "st_stream_range_join",
     "dedup_repeated_spans",
@@ -149,12 +69,70 @@ _TAIL_HEAD = [
     "mm_ppm_resize",
     "mm_frame_sample",
     "j9_asof_forward",
+    "j9_asof_tolerance",
     "f_map_funcs",
     "x8_partitioned_sink_roundtrip",
     "x9_schema_evolution",
     "x10_permissive_csv",
     "x11_bucketed_join",
-    "j9_asof_tolerance",
+    # LLM-pipeline keepers + the r6-upgraded contracts (2nd green each).
+    "llm_pretrain_pipeline",
+    "llm_decontaminate",
+    "llm_temperature_mix",
+    "dedup_minhash_pairs",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_recall",
+    "text_pii_scrub",
+    # Multimodal codecs.
+    "mm_bmp_decode",
+    "mm_pgm_decode",
+    # Streaming keepers (capstone is slot 2).
+    "st_late_data_eviction",
+    "st_time_rollup",
+    "st_foreachbatch_sink",
+    "st_stream_static_join",
+    # ML surface + sampling contracts.
+    "m_calibration_bins",
+    "m_rf_pipeline_invariants",
+    "m2_random_undersampler",
+    "r2_seeded_sample",
+    "r3_random_split",
+    "r5_hash_split",
+    "a8_approx_distinct",
+    "f_pandas_grouped_agg",
+    # NEW r7: the compressed-raster codec (zlib PNG) takes the last slot.
+    "mm_png_decode",
+]
+
+# Positions 51+: the r7 rotated-out block first (most-recently-green,
+# natural future rotation candidates), then the r6-era tail.
+_TAIL_HEAD = [
+    "w5_running_sums",
+    "tpch_q11_important_stock",
+    "tpch_q7_volume_shipping",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_cnt",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "sim_embedding_stats",
+    "text_repetition",
+    "text_sequence_pack",
+    "text_token_hash",
+    "text_quality_deciles",
+    "st_tumbling_window",
+    "st_sliding_window",
+    "st_sliding_stream",
+    "a_approx_percentile_invariant",
+    "x5_month_shard_backfill",
     "a6_idw_radius",
     "a1_pricing_summary",
     "j8_knn_join_grid",

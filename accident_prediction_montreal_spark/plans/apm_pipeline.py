@@ -525,12 +525,23 @@ def apm_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     weather = _weather(spark, sf_dir)
     stations = _stations(spark, sf_dir)
 
-    # persist: build_dataset fans the sample sides into the accident-count
-    # aggregate, two target encoders and the train/test union — without a
-    # persist the matching + IDW subtree recomputes per branch (the
-    # reference's mains persist exactly these two frames,
-    # main_train_brf.py:24-60).
-    pos = positive_samples(spark, accidents, road_points, weather, stations).persist()
+    # localCheckpoint (not a bare persist): build_dataset fans the sample
+    # sides into the accident-count aggregate, two target encoders and
+    # the train/test union — without a cache the matching + IDW subtree
+    # recomputes per branch (the reference's mains persist exactly these
+    # two frames, main_train_brf.py:24-60). The checkpoint ALSO truncates
+    # lineage: each of build_dataset's ~10 downstream API calls
+    # re-analyzes its whole input tree, and with the full matching + EWMA
+    # + solar expression tree underneath that is ~7 s of driver-side
+    # Catalyst analysis at any SF (measured r7, sf0.01: build_dataset
+    # construction 4.6 s -> 0.5 s, final-agg analysis 3.2 s -> ~0 s). A
+    # fixed per-query cost in local mode, but it grows with pipeline
+    # WIDTH, so the truncation is the 100x-feature-count lever; on a real
+    # cluster swap localCheckpoint for a reliable checkpoint dir
+    # (localCheckpoint trades executor-loss recovery for speed).
+    pos = positive_samples(
+        spark, accidents, road_points, weather, stations, truncate_lineage=True
+    ).localCheckpoint()
 
     # Negative date x road grid with the DETERMINISTIC keep decision
     # (operators/mixing.py lcg, salt 3) replacing the reference's
@@ -546,7 +557,7 @@ def apm_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sample_id", _sample_id(F.lit("neg"), "date", "hour", "street_id"))
     )
     wx = weather_for_samples(neg_base, smooth_risky_weather(weather), stations)
-    neg = _add_date_features(neg_base.join(wx, "sample_id")).persist()
+    neg = _add_date_features(neg_base.join(wx, "sample_id")).localCheckpoint()
     cachereg.register("plans.apm_dataset_pipeline", pos, neg)
 
     train, test = build_dataset(spark, pos, neg, split_date=_SPLIT_DATE)

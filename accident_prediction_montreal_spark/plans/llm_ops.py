@@ -3189,3 +3189,77 @@ def x12_backfill_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_evolved"),
         F.sum(F.coalesce("evolved_sum", F.lit(0))).cast("long").alias("evolved_sum"),
     )
+
+
+@register(
+    "mm_png_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 6 AS w, 5 + doc_id % 4 AS h FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS p FROM dims
+    ), v AS (
+      SELECT doc_id, w, h, p % 3 AS chan, p < w * 3 AS top_row,
+        CAST((doc_id * 13 + p * 17) % 256 AS DOUBLE) AS val
+      FROM px
+    )
+    SELECT doc_id AS media_id,
+      CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+      ROUND(AVG(val) FILTER (chan = 0), 6) + 0.0 AS mean_r,
+      ROUND(AVG(val) FILTER (chan = 1), 6) + 0.0 AS mean_g,
+      ROUND(AVG(val) FILTER (chan = 2), 6) + 0.0 AS mean_b,
+      ROUND(AVG(val) FILTER (top_row), 6) + 0.0 AS top_row_mean
+    FROM v GROUP BY doc_id
+    """,
+    description="REAL COMPRESSED raster codec (r6 verdict #8, closing the "
+    "raster family): per document, synthesize an 8-bit-RGB PNG whose "
+    "raster is a closed-form function of doc_id — the writer cycles all "
+    "five PNG row filters (None/Sub/Up/Average/Paeth) and splits IDAT in "
+    "two — then DECODE for real: operators/multimodal.py::decode_png "
+    "walks CRC-verified chunks, inflates multi-chunk IDAT with stdlib "
+    "zlib, and reconstructs every filter per the spec recurrences. "
+    "Heights 5..8 guarantee each image exercises all five filters; the "
+    "oracle recomputes channel means and the first-row mean from the "
+    "closed form, so any filter/CRC/reassembly fault shifts a mean and "
+    "hash-mismatches. JPEG (DCT) stays stubbed — zlib is stdlib, libjpeg "
+    "is not.",
+)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        encode_png_rgb8,
+        png_features,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                w, h = 4 + d % 6, 5 + d % 4
+                p = np.arange(w * h * 3, dtype=np.int64)
+                payloads.append(encode_png_rgb8((d * 13 + p * 17) % 256, w, h))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, schema=enc_schema)
+    out = png_features(media)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        (F.round("mean_r", 6) + 0.0).alias("mean_r"),
+        (F.round("mean_g", 6) + 0.0).alias("mean_g"),
+        (F.round("mean_b", 6) + 0.0).alias("mean_b"),
+        (F.round("top_row_mean", 6) + 0.0).alias("top_row_mean"),
+    )

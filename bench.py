@@ -17,6 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from accident_prediction_montreal_spark import cachereg
 from accident_prediction_montreal_spark.plans import REGISTRY
 from accident_prediction_montreal_spark.session import get_session
 
@@ -69,6 +70,10 @@ EXTENDED = [
     "dedup_repeated_spans",
     "w7_range_frame",
     "j9_asof_forward",
+    # appended r7:
+    "st_pipeline_capstone",
+    "x12_backfill_evolution",
+    "mm_png_decode",
 ]
 
 
@@ -89,8 +94,10 @@ def run_headline(spark, sf_dir: str, runs: int) -> dict:
             # pipeline capstones) would otherwise serve repetitions 2+
             # from cache and the min would measure a cache hit, not the
             # computation; clearing also stops cross-query cache leak
-            # from skewing later queries' memory headroom.
+            # from skewing later queries' memory headroom. cachereg
+            # drops the registered per-site generations the same way.
             spark.catalog.clearCache()
+            cachereg.release_all()
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

@@ -116,3 +116,56 @@ def test_backfill_subset_months_excludes_stale_shards(spark, tmp_path):
     backfill_month_shards(spark, out, all_months, compute_shard)
     only_jan = backfill_month_shards(spark, out, ["2024-01"], compute_shard)
     assert {r["month_key"] for r in only_jan.collect()} == {"2024-01"}
+
+
+def test_backfill_custom_partition_col_and_schema_evolution(spark, tmp_path):
+    # Phase 1 writes v1-schema shards for January; phase 2 "resumes" over
+    # all months with a v2 schema that adds a column — the _SUCCESS skip
+    # must keep phase-1 shards untouched, and the mergeSchema read must
+    # surface their missing column as NULL.
+    ev = _events(spark)
+    out = str(tmp_path / "evo")
+
+    def v1(s, mk):
+        y, m = int(mk[:4]), int(mk[5:7])
+        return ev.filter((F.year("ts") == y) & (F.month("ts") == m)).groupBy(
+            "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    def v2(s, mk):
+        assert mk != "2024-01", "resume violation: recomputed a finished shard"
+        y, m = int(mk[:4]), int(mk[5:7])
+        return (
+            ev.filter((F.year("ts") == y) & (F.month("ts") == m))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("vsum"))
+        )
+
+    backfill_month_shards(spark, out, ["2024-01"], v1, partition_col="mk")
+    combined = backfill_month_shards(
+        spark, out, ["2024-01", "2024-02", "2024-03"], v2,
+        partition_col="mk", merge_schema=True,
+    )
+    rows = {(r["mk"], r["event_type"]): r for r in combined.collect()}
+    assert rows[("2024-01", "click")]["vsum"] is None  # v1 shard, evolved col NULL
+    assert rows[("2024-03", "click")]["vsum"] == 16.0
+    assert rows[("2024-03", "view")]["vsum"] == 8.0
+    assert sum(r["n"] for r in rows.values()) == 5
+
+
+def test_cachereg_generation_swap(spark):
+    from accident_prediction_montreal_spark import cachereg
+
+    a = spark.range(10).persist()
+    a.count()
+    cachereg.register("t.site", a)
+    assert a.storageLevel.useMemory
+    b = spark.range(20).persist()
+    b.count()
+    cachereg.register("t.site", b)  # swaps generations
+    assert not a.storageLevel.useMemory  # previous generation released
+    assert b.storageLevel.useMemory
+    assert "t.site" in cachereg.sites()
+    cachereg.release_all()
+    assert not b.storageLevel.useMemory
+    assert cachereg.sites() == []

@@ -360,3 +360,101 @@ class TestResizeAndFrameSample:
             frame_sample_features(media).collect()
         with _pytest.raises(ValueError):
             frame_sample_features(media, stride=0)
+
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        decode_png,
+        encode_png_rgb8,
+    )
+
+    rng = np.random.RandomState(5)
+    for w, h in [(1, 1), (4, 5), (7, 8), (3, 6), (16, 9)]:
+        px = rng.randint(0, 256, size=w * h * 3)
+        feats = decode_png(encode_png_rgb8(px, w, h))
+        arr = px.reshape(h, w, 3).astype(float)
+        assert feats["width"] == w and feats["height"] == h
+        for i, ch in enumerate("rgb"):
+            assert abs(feats[f"mean_{ch}"] - arr[:, :, i].mean()) < 1e-9
+        assert abs(feats["top_row_mean"] - arr[0].mean()) < 1e-9
+
+
+def test_png_rejects_malformed():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        decode_png,
+        encode_png_rgb8,
+    )
+
+    good = encode_png_rgb8(np.arange(60) % 256, 5, 4)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a" + good[6:])
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(None)
+    # flip one raster byte inside the first IDAT chunk -> CRC mismatch
+    idat = good.index(b"IDAT")
+    corrupted = bytearray(good)
+    corrupted[idat + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(corrupted))
+    # unsupported color type (palette) is refused, not mis-decoded
+    sig = good[:8]
+    ihdr_body = struct.pack(">IIBBBBB", 5, 4, 8, 3, 0, 0, 0)
+    ihdr = (
+        struct.pack(">I", len(ihdr_body))
+        + b"IHDR"
+        + ihdr_body
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_body) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(sig + ihdr + good[8 + 25 :])
+
+
+def test_png_grayscale_and_features_mapinpandas(spark):
+    import struct
+    import zlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+        encode_png_rgb8,
+        png_features,
+    )
+
+    # hand-built grayscale (color type 0), filter None rows
+    w, h = 4, 3
+    gray = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    raw = b"".join(b"\x00" + gray[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    feats = decode_png(payload)
+    assert feats["mean_r"] == feats["mean_g"] == feats["mean_b"]
+    assert abs(feats["mean_r"] - gray.mean()) < 1e-9
+
+    rows = [
+        (int(i), bytearray(encode_png_rgb8(np.arange(5 * 4 * 3) * (i + 1) % 256, 5, 4)))
+        for i in range(6)
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    out = png_features(media)
+    got = {r["media_id"]: r for r in out.collect()}
+    assert len(got) == 6
+    for i in range(6):
+        arr = (np.arange(5 * 4 * 3) * (i + 1) % 256).reshape(4, 5, 3)
+        assert abs(got[i]["mean_g"] - arr[:, :, 1].mean()) < 1e-9
