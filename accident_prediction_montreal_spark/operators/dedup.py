@@ -440,3 +440,64 @@ def repeated_span_stats(
         .na.fill(0, ["n_masked"])
         .select(id_col, "n_tokens", F.col("n_masked").cast("long").alias("n_masked"))
     )
+
+
+def editdist1_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "title",
+    max_bucket_size: int = 100_000,
+) -> DataFrame:
+    """Edit-distance-≤1 similarity join via the SymSpell/FastSS
+    deletion-neighborhood: every string emits itself plus each
+    single-character-deletion variant; two strings within ONE edit
+    (substitution, insertion, or deletion) provably share at least one
+    variant, so candidates come from a bucketed EQUI-join on the variant
+    hash — never an all-pairs comparison — and a final
+    ``levenshtein ≤ 1`` check removes the false positives the
+    neighborhood admits (e.g. transpositions at distance 2, and any
+    64-bit hash collisions, which only ever ADD candidates).
+
+    Exactness: lossless for k=1 by the deletion-neighborhood theorem
+    (substitution at i: delete position i from both sides → equal;
+    insertion/deletion: the shorter string IS a variant of the longer).
+    Scale: fan-out is |s|+1 hashed variants per row (8-byte keys, the
+    text rides only into the candidate join's two sides); buckets
+    larger than ``max_bucket_size`` (mass-duplicated strings) are
+    dropped like the minhash/jaccard caps — exactness then degrades
+    only for those degenerate keys, and the cap is what stops a
+    boilerplate title from forming O(n²) pairs at 100 TB.
+
+    Returns (id_a, id_b, dist) with id_a < id_b, dist ∈ {0, 1}.
+    """
+    s = F.col(text_col)
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(s.substr(F.lit(1), i - 1), s.substr(i + 1, F.length(s))),
+    )
+    variants = F.concat(F.array(s), deletions)
+    exploded = df.select(
+        F.col(id_col), s.alias("__t"), F.explode(variants).alias("__v")
+    ).select(id_col, "__t", F.xxhash64("__v").alias("__vh"))
+
+    counts = exploded.groupBy("__vh").agg(F.count(F.lit(1)).alias("__n"))
+    kept = exploded.join(
+        F.broadcast(counts.filter(F.col("__n") > max_bucket_size)), "__vh", "left_anti"
+    ) if max_bucket_size else exploded
+    a = kept.select(
+        F.col(id_col).alias("id_a"), F.col("__t").alias("__ta"), "__vh"
+    )
+    b = kept.select(
+        F.col(id_col).alias("id_b"), F.col("__t").alias("__tb"), "__vh"
+    )
+    pairs = (
+        a.join(b, "__vh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ta", "__tb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )

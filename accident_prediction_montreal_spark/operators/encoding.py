@@ -43,3 +43,51 @@ def target_encode(
     )
     w = Window.orderBy(F.col("risk").desc(), F.col(category_col).asc())
     return risk.withColumn("risk_index", F.row_number().over(w))
+
+
+def oof_target_encode(
+    df: DataFrame,
+    category_col: str,
+    label_col: str,
+    fold_key: str,
+    folds: int = 5,
+    salt: int = 11,
+    smoothing: float = 0.0,
+) -> DataFrame:
+    """LEAKAGE-FREE (out-of-fold) target-mean encoding — the A7 risk
+    encoder's production-grade sibling: a row's encoding averages the
+    label over every fold EXCEPT its own, so the feature never contains
+    the row's own target (plain target encoding leaks and inflates
+    validation scores; k-fold exclusion is the standard fix).
+
+    Deterministic and SQL-checkable: the fold is
+    ``floor(lcg_uniform(fold_key, salt) * folds)`` (operators/mixing.py
+    — bit-identical in DuckDB via lcg_uniform_sql), NOT a random split.
+    One map-side-combined groupBy(category, fold) over the data; the
+    leave-one-fold-out means come from window sums over that tiny
+    aggregate (|categories| × folds rows) — no second pass, no
+    per-fold jobs. ``smoothing`` adds m rows of the global out-of-fold
+    mean (empirical-Bayes shrinkage) for rare categories.
+
+    Returns (category, fold, encoding) — join back on both to attach.
+    """
+    from accident_prediction_montreal_spark.operators.mixing import lcg_uniform
+
+    fold = F.floor(lcg_uniform(fold_key, salt=salt) * folds).cast("int")
+    per = (
+        df.select(
+            F.col(category_col), fold.alias("fold"), F.col(label_col).cast("double").alias("__y")
+        )
+        .groupBy(category_col, "fold")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__y").alias("y"))
+    )
+    by_cat = Window.partitionBy(category_col)
+    everything = Window.partitionBy()
+    oof_n = F.sum("n").over(by_cat) - F.col("n")
+    oof_y = F.sum("y").over(by_cat) - F.col("y")
+    # global OOF mean for the shrinkage prior (same leave-own-fold-out rule)
+    g_n = F.sum("n").over(everything) - F.sum("n").over(Window.partitionBy("fold"))
+    g_y = F.sum("y").over(everything) - F.sum("y").over(Window.partitionBy("fold"))
+    prior = F.try_divide(g_y, g_n)
+    enc = F.try_divide(oof_y + F.lit(float(smoothing)) * prior, oof_n + F.lit(float(smoothing)))
+    return per.select(category_col, "fold", enc.alias("encoding"))

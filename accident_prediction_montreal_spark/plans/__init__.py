@@ -108,6 +108,12 @@ _PRIORITY = [
 # Positions 51+: the r7 rotated-out block first (most-recently-green,
 # natural future rotation candidates), then the r6-era tail.
 _TAIL_HEAD = [
+    # r7 late additions (zero driver evidence yet — the r8 rotate-in set,
+    # all verified green locally at sf0.01):
+    "j13_scd2_join",
+    "m12_oof_target_encode",
+    "dedup_editdist",
+    "x13_small_files_compaction",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

@@ -3263,3 +3263,56 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("mean_b", 6) + 0.0).alias("mean_b"),
         (F.round("top_row_mean", 6) + 0.0).alias("top_row_mean"),
     )
+
+
+@register(
+    "dedup_editdist",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+        ['data','date','gate','note'][CAST(doc_id % 4 AS INT) + 1]
+          || '-' || CAST(doc_id // 4 AS VARCHAR) AS title
+      FROM documents
+    )
+    SELECT a.dist, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      CAST(SUM(a.id_a + a.id_b) AS BIGINT) AS id_sum
+    FROM (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        CAST(levenshtein(x.title, y.title) AS INT) AS dist
+      FROM t x JOIN t y
+        ON x.doc_id < y.doc_id
+       AND abs(strlen(x.title) - strlen(y.title)) <= 1
+      WHERE levenshtein(x.title, y.title) <= 1
+    ) a GROUP BY a.dist
+    """,
+    description="Edit-distance-<=1 similarity join via the SymSpell "
+    "deletion-neighborhood (operators/dedup.py::editdist1_pairs — the "
+    "typo-grade near-dup join MinHash shingles are too coarse for): "
+    "every title emits itself plus each single-deletion variant as an "
+    "8-byte hash; candidates come from a bucketed EQUI-join on the "
+    "variant hash (provably lossless for k=1: a substitution's shared "
+    "deletion, or the shorter string itself), then levenshtein <= 1 "
+    "removes the neighborhood's false positives (transpositions, hash "
+    "collisions). Titles are a closed-form word+counter function of "
+    "doc_id, so real pairs exist (data-/date-/gate- prefixes, "
+    "one-digit-apart counters) and the oracle can afford the O(n^2) "
+    "brute-force join at gate scale that the operator itself must "
+    "never do.",
+)
+def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.dedup import editdist1_pairs
+
+    words = F.array(F.lit("data"), F.lit("date"), F.lit("gate"), F.lit("note"))
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.element_at(words, (F.col("doc_id") % 4).cast("int") + 1),
+            F.lit("-"),
+            (F.col("doc_id") / 4).cast("long").cast("string"),
+        ).alias("title"),
+    )
+    pairs = editdist1_pairs(docs, "doc_id", "title")
+    return pairs.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_sum"),
+    )

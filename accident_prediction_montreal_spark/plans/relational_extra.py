@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from accident_prediction_montreal_spark.functions.money import dsum
 from accident_prediction_montreal_spark.ml.class_weighter import ClassWeighter, balanced_weights
 from accident_prediction_montreal_spark.ml.random_undersampler import RandomUnderSampler
+from accident_prediction_montreal_spark.operators.mixing import lcg_uniform_sql
 from accident_prediction_montreal_spark.plans.registry import register, chk_row as _chk
 from accident_prediction_montreal_spark.sources.registry import load_table
 
@@ -2545,4 +2546,174 @@ def j9_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col("event_id_right").alias("click_event_id"),
         F.round("value_right", 6).alias("click_value"),
+    )
+
+
+@register(
+    "j13_scd2_join",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(COUNT(CASE WHEN user_id % 25 < 20 THEN 1 END) AS BIGINT)
+        AS n_matched,
+      CAST(SUM(CASE WHEN user_id % 25 < 20
+                    THEN (user_id % 25) * 10 + LEAST(2, (day(ts) - 1) // 10)
+                    ELSE 0 END) AS BIGINT) AS rate_sum
+    FROM events WHERE ts IS NOT NULL GROUP BY event_type
+    """,
+    description="SCD2 temporal dimension join (J-family extension — the "
+    "versioned-dimension join every warehouse feature pipeline needs): "
+    "a 20-key x 3-version dimension (10-day [valid_from, valid_to) "
+    "windows, open-ended current version) derived from nation, joined "
+    "to events at EVENT TIME via the AS-OF strategy "
+    "(operators/scd2.py::scd2_join — latest version with valid_from <= "
+    "ts through the one-shuffle sort-union as-of join, then a null-out "
+    "where the matched window already closed; no interval explosion). "
+    "Keys 20-24 are absent from the dim, so unmatched facts must "
+    "surface NULL (n vs n_matched). The oracle computes the covering "
+    "version closed-form from the event day; a broadcast-BETWEEN "
+    "strategy twin is asserted equal in pytest.",
+)
+def j13_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.scd2 import scd2_join
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    facts = ev.select(
+        "event_type", "ts", (F.col("user_id") % 25).cast("long").alias("nk")
+    )
+    nation = load_table(spark, "nation", sf_dir).filter(F.col("n_nationkey") < 20)
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    dim = (
+        nation.select(F.col("n_nationkey").cast("long").alias("nk"))
+        .crossJoin(spark.range(3).select(F.col("id").alias("v")))
+        .select(
+            "nk",
+            (base + F.make_interval(days=F.col("v").cast("int") * 10)).alias(
+                "valid_from"
+            ),
+            F.when(
+                F.col("v") < 2,
+                base + F.make_interval(days=(F.col("v") + 1).cast("int") * 10),
+            ).alias("valid_to"),
+            (F.col("nk") * 10 + F.col("v")).alias("rate"),
+        )
+    )
+    joined = scd2_join(facts, dim, key="nk", ts_col="ts", strategy="asof")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("rate_dim").alias("n_matched"),
+        F.sum(F.coalesce("rate_dim", F.lit(0))).cast("long").alias("rate_sum"),
+    )
+
+
+@register(
+    "m12_oof_target_encode",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS cat,
+        CAST(FLOOR(({lcg_uniform_sql("o_orderkey", 11)}) * 5) AS INT) AS fold,
+        CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END AS y
+      FROM orders
+    ),
+    per AS (SELECT cat, fold, COUNT(*) AS n, SUM(y) AS y FROM base GROUP BY 1, 2),
+    w AS (
+      SELECT cat, fold, n, y,
+        SUM(n) OVER (PARTITION BY cat) - n AS oof_n,
+        SUM(y) OVER (PARTITION BY cat) - y AS oof_y,
+        SUM(n) OVER () - SUM(n) OVER (PARTITION BY fold) AS g_n,
+        SUM(y) OVER () - SUM(y) OVER (PARTITION BY fold) AS g_y
+      FROM per
+    )
+    SELECT cat AS o_orderpriority, fold,
+      ROUND((oof_y + 10.0 * (g_y / g_n)) / (oof_n + 10.0), 6) + 0.0 AS encoding
+    FROM w ORDER BY 1, 2
+    """,
+    description="Out-of-fold target-mean encoding (A7's leakage-free "
+    "production sibling, operators/encoding.py::oof_target_encode): a "
+    "row's encoding averages the label over every fold EXCEPT its own "
+    "(plain target encoding leaks the row's own target), with "
+    "empirical-Bayes smoothing toward the global out-of-fold mean. ONE "
+    "map-side-combined groupBy(category, fold) over the data; the "
+    "leave-one-fold-out means are window sums over the 25-row "
+    "aggregate. The fold is the deterministic LCG hash (bit-identical "
+    "lcg_uniform_sql in the oracle), so the 5x5 encoding table is "
+    "exactly reproducible cross-engine.",
+)
+def m12_oof_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.encoding import (
+        oof_target_encode,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, 1.0).otherwise(0.0).alias("label"),
+    )
+    enc = oof_target_encode(
+        orders,
+        "o_orderpriority",
+        "label",
+        fold_key="o_orderkey",
+        folds=5,
+        salt=11,
+        smoothing=10.0,
+    )
+    return enc.select(
+        "o_orderpriority",
+        "fold",
+        (F.round("encoding", 6) + 0.0).alias("encoding"),
+    ).orderBy("o_orderpriority", "fold")
+
+
+@register(
+    "x13_small_files_compaction",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        AS value_sum,
+      CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS n_files
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+    """,
+    description="Small-files COMPACTION (X-surface housekeeping — at "
+    "100 TB, listing cost and per-file overhead from streaming sinks' "
+    "tiny files dominate reads): events are first written deliberately "
+    "FRAGMENTED (repartition(8) x partitionBy(date) -> 8 files per "
+    "partition dir), read back, and compacted by "
+    "sources/files.py::compact_partitions — one shuffle on the "
+    "partition column co-locates each date in a single writer, and "
+    "maxRecordsPerFile=100 rolls files deterministically, so the "
+    "output layout is EXACTLY ceil(rows/100) files per date. The "
+    "oracle value-checks the data (counts + decimal sums) AND the "
+    "physical layout (n_files via input_file_name distinct-count "
+    "vs the closed form); the query also hard-asserts the compaction "
+    "reduced total file count.",
+)
+def x13_small_files_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, _ = _scratch("compact", sf_dir)
+    frag_dir, out_dir = base + "/frag", base + "/compacted"
+
+    from accident_prediction_montreal_spark.sources.files import compact_partitions
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .select(F.col("ts").cast("date").alias("d"), "value")
+    )
+    ev.repartition(8).write.mode("overwrite").partitionBy("d").parquet(frag_dir)
+
+    frag = spark.read.parquet(frag_dir)
+    n_before = frag.select(F.input_file_name()).distinct().count()
+    compact_partitions(frag, out_dir, "d", max_records_per_file=100)
+
+    # input_file_name is non-deterministic to the analyzer: project it
+    # BEFORE the aggregate (a column reference is a legal agg argument).
+    compacted = spark.read.parquet(out_dir).withColumn("__f", F.input_file_name())
+    n_after = compacted.select("__f").distinct().count()
+    if n_after >= n_before:
+        raise AssertionError(
+            f"compaction did not reduce files: {n_before} -> {n_after}"
+        )
+    return compacted.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("value_sum"),
+        F.countDistinct("__f").cast("long").alias("n_files"),
     )

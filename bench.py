@@ -74,6 +74,10 @@ EXTENDED = [
     "st_pipeline_capstone",
     "x12_backfill_evolution",
     "mm_png_decode",
+    "j13_scd2_join",
+    "m12_oof_target_encode",
+    "dedup_editdist",
+    "x13_small_files_compaction",
 ]
 
 
