@@ -114,6 +114,8 @@ _TAIL_HEAD = [
     "m12_oof_target_encode",
     "dedup_editdist",
     "x13_small_files_compaction",
+    "x14_incremental_rollup",
+    "x15_hll_shard_merge",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

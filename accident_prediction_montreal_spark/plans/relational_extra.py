@@ -2670,7 +2670,7 @@ def m12_oof_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n,
       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
         AS value_sum,
-      CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS n_files
+      CAST(CEIL(COUNT(*) / 25000.0) AS BIGINT) AS n_files
     FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
     description="Small-files COMPACTION (X-surface housekeeping — at "
@@ -2680,8 +2680,8 @@ def m12_oof_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition dir), read back, and compacted by "
     "sources/files.py::compact_partitions — one shuffle on the "
     "partition column co-locates each date in a single writer, and "
-    "maxRecordsPerFile=100 rolls files deterministically, so the "
-    "output layout is EXACTLY ceil(rows/100) files per date. The "
+    "maxRecordsPerFile=25k rolls files deterministically, so the "
+    "output layout is EXACTLY ceil(rows/25k) files per date at EVERY scale factor (a fixed 100-row target looked fine at sf0.01 and EXPLODED to 10k files at sf1 — caught by this query's own reduction assert in the r7 stress bench). The "
     "oracle value-checks the data (counts + decimal sums) AND the "
     "physical layout (n_files via input_file_name distinct-count "
     "vs the closed form); the query also hard-asserts the compaction "
@@ -2702,7 +2702,7 @@ def x13_small_files_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frag = spark.read.parquet(frag_dir)
     n_before = frag.select(F.input_file_name()).distinct().count()
-    compact_partitions(frag, out_dir, "d", max_records_per_file=100)
+    compact_partitions(frag, out_dir, "d", max_records_per_file=25_000)
 
     # input_file_name is non-deterministic to the analyzer: project it
     # BEFORE the aggregate (a column reference is a legal agg argument).
@@ -2717,3 +2717,95 @@ def x13_small_files_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("value_sum"),
         F.countDistinct("__f").cast("long").alias("n_files"),
     )
+
+
+@register(
+    "x14_incremental_rollup",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        AS value_sum,
+      CAST(MIN(event_id) AS BIGINT) AS min_id,
+      CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events WHERE ts IS NOT NULL GROUP BY event_type
+    """,
+    description="Incremental ROLLUP MAINTENANCE (X-surface — at 100 TB you "
+    "never recompute a materialized rollup from scratch when a day of "
+    "data lands; you MERGE partial aggregates): the events table is "
+    "split at day 20 into a 'materialized' base rollup and a 'new "
+    "arrivals' delta rollup, each a map-side-combined groupBy, then "
+    "merged by re-aggregating the two partial-agg tables (SUM of "
+    "counts/sums, MIN of mins, MAX of maxes — every aggregate here is "
+    "decomposable, which is WHY it can be maintained incrementally). "
+    "Decimal-exact sums make the merge bitwise order-independent; the "
+    "oracle is the direct single-pass GROUP BY, so any merge fault "
+    "(double-counted shard, lost partial, non-decomposable aggregate "
+    "smuggled in) hash-mismatches.",
+)
+def x14_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("vsum"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+
+    cutoff = F.dayofmonth("ts") <= 20
+    base = rollup(ev.filter(cutoff))
+    delta = rollup(ev.filter(~cutoff))
+    merged = base.unionByName(delta).groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("vsum").cast("double").alias("value_sum"),
+        F.min("min_id").cast("long").alias("min_id"),
+        F.max("max_id").cast("long").alias("max_id"),
+    )
+    return merged
+
+
+@register(
+    "x15_hll_shard_merge",
+    oracle="""
+    SELECT 'hll_merge_equals_direct' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'hll_rel_err_le_5pct', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'hll_estimate_positive', CAST(1 AS BIGINT)
+    """,
+    description="Mergeable HLL SKETCHES across shards (Spark 4 Datasketches "
+    "surface; the 100-TB cardinality pattern — per-shard sketches are "
+    "tiny, merge is register-wise max, so distinct-count maintenance "
+    "never rescans history): user_id is sketched per event_id%4 shard "
+    "with hll_sketch_agg, the four sketches are merged with "
+    "hll_union_agg, and the merged estimate must EQUAL the single-pass "
+    "direct sketch estimate exactly (register merge is order- and "
+    "partition-independent — that equality is the whole point), plus a "
+    "5% relative-error band against the exact distinct count. Literal "
+    "invariant oracle, a8_approx_distinct's pattern.",
+)
+def x15_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    per_shard = ev.groupBy((F.col("event_id") % 4).alias("shard")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_shard.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    both = merged.crossJoin(direct)
+    eq = both.select(
+        *_chk("hll_merge_equals_direct", F.col("merged_est") == F.col("direct_est"))
+    )
+    err = both.select(
+        *_chk(
+            "hll_rel_err_le_5pct",
+            F.abs(F.col("merged_est") - F.col("exact"))
+            / F.col("exact").cast("double")
+            <= 0.05,
+        )
+    )
+    pos = both.select(*_chk("hll_estimate_positive", F.col("merged_est") > 0))
+    return eq.unionByName(err).unionByName(pos)

@@ -78,6 +78,8 @@ EXTENDED = [
     "m12_oof_target_encode",
     "dedup_editdist",
     "x13_small_files_compaction",
+    "x14_incremental_rollup",
+    "x15_hll_shard_merge",
 ]
 
 
