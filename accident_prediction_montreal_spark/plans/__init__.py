@@ -116,6 +116,9 @@ _TAIL_HEAD = [
     "x13_small_files_compaction",
     "x14_incremental_rollup",
     "x15_hll_shard_merge",
+    "w8_gap_fill_lvcf",
+    "a15_interval_coverage",
+    "a16_running_distinct",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

@@ -2809,3 +2809,157 @@ def x15_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pos = both.select(*_chk("hll_estimate_positive", F.col("merged_est") > 0))
     return eq.unionByName(err).unionByName(pos)
+
+
+@register(
+    "w8_gap_fill_lvcf",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, date_trunc('hour', ts) AS grid_ts, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts DESC, value DESC) AS rn
+      FROM events WHERE ts IS NOT NULL
+    ),
+    per_bucket AS (
+      SELECT user_id, grid_ts, value AS obs FROM ranked WHERE rn = 1
+    ),
+    span AS (
+      SELECT user_id, MIN(grid_ts) AS lo, MAX(grid_ts) AS hi
+      FROM per_bucket GROUP BY user_id
+    ),
+    grid AS (
+      SELECT s.user_id,
+        UNNEST(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS grid_ts
+      FROM span s
+    ),
+    filled AS (
+      SELECT g.user_id, g.grid_ts, p.obs,
+        last_value(p.obs IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.grid_ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      FROM grid g LEFT JOIN per_bucket p USING (user_id, grid_ts)
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      CAST(SUM(CASE WHEN obs IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_carried,
+      CAST(CAST(SUM(CAST(ROUND(filled_value, 6) AS DECIMAL(38,6)))
+                AS VARCHAR) AS DOUBLE) AS filled_sum
+    FROM filled GROUP BY user_id
+    """,
+    description="Gap-fill RESAMPLING with last-value-carried-forward "
+    "(operators/timeseries.py::gap_fill_lvcf — the regularization every "
+    "(key, hour) feature join needs when sensors miss hours; the "
+    "reference's weather joins assume a complete hourly grid): one "
+    "groupBy to the hour grain (deterministic latest-observation "
+    "tie-break via struct max), sequence-explode densification between "
+    "each user's first and last hour, one IGNORE-NULLS window to carry "
+    "— a single shuffle+sort per key, a 1000-hour gap costs 1000 grid "
+    "rows and never a self-join. Decimal-exact checksum of the filled "
+    "series; carried-bucket count separates interpolation from "
+    "observation, so a wrong carry or a hole in the grid "
+    "hash-mismatches.",
+)
+def w8_gap_fill_lvcf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.timeseries import gap_fill_lvcf
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    filled = gap_fill_lvcf(ev, "user_id", "ts", "value", grain="hour")
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.col("is_carried").cast("long")).alias("n_carried"),
+        F.sum(F.round("filled_value", 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("filled_sum"),
+    )
+
+
+@register(
+    "a15_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts + INTERVAL 30 MINUTE) AS e
+      FROM events WHERE ts IS NOT NULL
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+        CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        THEN 1 ELSE 0 END AS new_isl
+      FROM iv
+    ),
+    numbered AS (
+      SELECT *, SUM(new_isl) OVER (PARTITION BY user_id ORDER BY s, e
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM flagged
+    ),
+    islands AS (
+      SELECT user_id, isl, MIN(s) AS lo, MAX(e) AS hi
+      FROM numbered GROUP BY user_id, isl
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+      CAST(SUM(hi - lo) AS BIGINT) AS covered_us
+    FROM islands GROUP BY user_id
+    """,
+    description="Interval-coverage MERGE (operators/timeseries.py::"
+    "interval_coverage — total activity time from overlapping per-event "
+    "[ts, ts+30min) windows, the sweep-line islands algorithm as "
+    "windows): a running max of interval ends flags island starts "
+    "(touching intervals merge — strict > test), a cumulative sum "
+    "numbers islands, one aggregate measures them. One shuffle+sort "
+    "per key, NEVER an interval self-join (the naive form is O(n²) per "
+    "key and melts on power users). Microsecond-integer arithmetic is "
+    "exact on both engines.",
+)
+def a15_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.timeseries import (
+        interval_coverage,
+    )
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.make_interval(mins=F.lit(30))).alias("end_ts"),
+    )
+    return interval_coverage(iv, "user_id", "start_ts", "end_ts")
+
+
+@register(
+    "a16_running_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users FROM firsts GROUP BY d
+    )
+    SELECT d, new_users,
+      CAST(SUM(new_users) OVER (ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_users
+    FROM per_day
+    """,
+    description="RUNNING DISTINCT count (cumulative users-seen-by-day): the "
+    "streaming-dashboard metric that naive COUNT(DISTINCT) OVER cannot "
+    "express scalably — re-expressed as min-first-date per key (one "
+    "map-side-combined groupBy over the data), then a per-day count and "
+    "a cumulative sum over the 30-row day table. The heavy distinct "
+    "work happens ONCE at the key grain; the window runs on the tiny "
+    "aggregate, so the op is one shuffle at 100 TB where the textbook "
+    "form re-scans per day.",
+)
+def a16_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    firsts = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d"))
+    per_day = firsts.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )

@@ -80,6 +80,9 @@ EXTENDED = [
     "x13_small_files_compaction",
     "x14_incremental_rollup",
     "x15_hll_shard_merge",
+    "w8_gap_fill_lvcf",
+    "a15_interval_coverage",
+    "a16_running_distinct",
 ]
 
 

@@ -160,3 +160,49 @@ def test_compaction_layout_is_deterministic(spark, tmp_path):
     for p, (n, files) in per.items():
         assert files == math.ceil(n / 100), per
     assert back.agg(F.sum("v")).collect()[0][0] == sum(range(950))
+
+
+def test_gap_fill_lvcf_hand_case(spark):
+    from accident_prediction_montreal_spark.operators.timeseries import gap_fill_lvcf
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 15), 10.0),
+        (1, datetime(2024, 1, 1, 0, 45), 11.0),   # same hour, later -> obs=11
+        (1, datetime(2024, 1, 1, 3, 5), 30.0),    # hours 1,2 carried
+        (2, datetime(2024, 1, 1, 5, 0), 50.0),    # single point, 1 bucket
+    ]
+    ev = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, value DOUBLE")
+    out = {
+        (r["user_id"], r["grid_ts"].hour): (r["obs_value"], r["filled_value"], r["is_carried"])
+        for r in gap_fill_lvcf(ev).collect()
+    }
+    assert out[(1, 0)] == (11.0, 11.0, False)
+    assert out[(1, 1)] == (None, 11.0, True)
+    assert out[(1, 2)] == (None, 11.0, True)
+    assert out[(1, 3)] == (30.0, 30.0, False)
+    assert out[(2, 5)] == (50.0, 50.0, False)
+    assert len(out) == 5
+
+
+def test_interval_coverage_hand_case(spark):
+    from accident_prediction_montreal_spark.operators.timeseries import (
+        interval_coverage,
+    )
+
+    rows = [
+        # overlapping pair -> one island [0, 90min)
+        (1, datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 1, 0)),
+        (1, datetime(2024, 1, 1, 0, 30), datetime(2024, 1, 1, 1, 30)),
+        # touching -> merges (strict > test)
+        (1, datetime(2024, 1, 1, 1, 30), datetime(2024, 1, 1, 2, 0)),
+        # disjoint second island
+        (1, datetime(2024, 1, 1, 5, 0), datetime(2024, 1, 1, 5, 30)),
+        # contained interval must not extend its island
+        (2, datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 4, 0)),
+        (2, datetime(2024, 1, 1, 1, 0), datetime(2024, 1, 1, 2, 0)),
+    ]
+    iv = spark.createDataFrame(rows, "user_id LONG, start_ts TIMESTAMP, end_ts TIMESTAMP")
+    got = {r["user_id"]: (r["n_islands"], r["covered_us"]) for r in
+           interval_coverage(iv).collect()}
+    assert got[1] == (2, (120 + 30) * 60 * 1_000_000)
+    assert got[2] == (1, 4 * 3600 * 1_000_000)
