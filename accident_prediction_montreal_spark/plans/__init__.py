@@ -119,6 +119,7 @@ _TAIL_HEAD = [
     "w8_gap_fill_lvcf",
     "a15_interval_coverage",
     "a16_running_distinct",
+    "s12_python_datasource",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

@@ -2963,3 +2963,54 @@ def a16_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+@register(
+    "s12_python_datasource",
+    oracle="""
+    WITH g AS (
+      SELECT s.s AS station_id, d.d AS doy, h.h AS hour
+      FROM (SELECT UNNEST(range(0, 6)) AS s) s
+      CROSS JOIN (SELECT UNNEST(range(1, 60)) AS d) d
+      CROSS JOIN (SELECT UNNEST(range(0, 24)) AS h) h
+      WHERE s.s IN (1, 3, 5)
+    )
+    SELECT CAST(station_id AS INT) AS station_id,
+      CAST(COUNT(*) AS BIGINT) AS n_obs,
+      CAST(CAST(SUM(CAST(((station_id*31 + doy*7 + hour*3) % 50) - 10
+                         AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS temp_sum,
+      CAST(SUM(CASE WHEN (station_id*3 + doy + hour) % 10 = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_risky
+    FROM g GROUP BY 1
+    """,
+    description="Spark 4 PYTHON DATA SOURCE (S5-S7 re-expressed as a "
+    "first-class format, not a scrape-UDF: sources/pydatasource.py): "
+    "the 'weatherfix' DataSource plans one InputPartition per station "
+    "(the reference's repartition-before-UDF parallelism, planner-"
+    "visible) and implements pushFilters, so the station_id IN (1,3,5) "
+    "predicate PRUNES partitions 0/2/4 before any row is produced — "
+    "the capability a UDF source fundamentally lacks (it always "
+    "fetches, then filters). Observations are the apm fixture's "
+    "integer-modular closed form (transport stubbed, source machinery "
+    "real); the oracle regenerates them from the formula, so schema "
+    "drift, a wrong partition plan, or over-pruning hash-mismatches.",
+)
+def s12_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.sources.pydatasource import register
+
+    # Runtime-settable SQL conf: required for pushFilters, and safe to
+    # set here so the query also works on the driver's vanilla session.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+    obs = (
+        spark.read.format("weatherfix")
+        .option("stations", "6")
+        .option("days", "59")
+        .load()
+        .filter(F.col("station_id").isin(1, 3, 5))
+    )
+    return obs.groupBy("station_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("temp").cast("decimal(38,6)")).cast("double").alias("temp_sum"),
+        F.sum((F.col("risky_weather") == 1.0).cast("long")).alias("n_risky"),
+    )

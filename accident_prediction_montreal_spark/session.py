@@ -42,6 +42,7 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # ANSI off: x/0 → NULL (matches DuckDB and the SQL oracle), not an error.
         .config("spark.sql.ansi.enabled", "false")

@@ -1,0 +1,111 @@
+"""Spark 4 Python DataSource re-expression of the reference's scraped
+weather sources (SURVEY.md §2 S5-S7).
+
+The reference fetches Environment Canada observations through scalar
+UDFs that perform HTTP inside the executor (reference weather.py:59-82,
+114-149, 251-295). sources/adapters.py ports that UDF-source PATTERN
+over local fixtures; THIS module is the idiomatic Spark-4 form — a
+first-class ``DataSource`` the engine registers and reads like any
+built-in format:
+
+  * one ``InputPartition`` per station → the same per-station
+    parallelism the reference gets from ``repartition(200, ...)``
+    before its UDF (weather.py:206), but planner-visible;
+  * ``pushFilters`` handles ``station_id`` equality/IN natively, so a
+    query for one station PRUNES the other partitions before any
+    "fetch" happens — the capability the UDF form fundamentally cannot
+    express (a UDF source always fetches, then filters);
+  * no network in this sandbox, so the per-station payload is the
+    deterministic integer-modular observation grid the apm fixtures
+    use (plans/apm_pipeline.py::_weather) — the TRANSPORT is stubbed,
+    the source machinery (registration, schema, partition planning,
+    pushdown, Arrow-batched rows) is real and driver-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    In,
+    InputPartition,
+)
+
+
+class StationPartition(InputPartition):
+    def __init__(self, station_id: int, start_day: int, n_days: int):
+        self.station_id = station_id
+        self.start_day = start_day
+        self.n_days = n_days
+
+
+class WeatherFixtureReader(DataSourceReader):
+    """Deterministic per-station hourly observations for 1995.
+
+    Values mirror plans/apm_pipeline.py::_weather's closed form so any
+    oracle can regenerate them: for station s, day-of-year d, hour h —
+    temp = ((s*31 + d*7 + h*3) % 50) - 10, risky = (s*3 + d + h) % 10 == 0.
+    """
+
+    def __init__(self, options):
+        self.n_stations = int(options.get("stations", "4"))
+        self.n_days = int(options.get("days", "365"))
+        self.station_filter: set[int] | None = None
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("station_id",):
+                wanted = {int(f.value)}
+                self.station_filter = (
+                    wanted
+                    if self.station_filter is None
+                    else self.station_filter & wanted
+                )
+            elif isinstance(f, In) and f.attribute == ("station_id",):
+                wanted = {int(v) for v in f.value}
+                self.station_filter = (
+                    wanted
+                    if self.station_filter is None
+                    else self.station_filter & wanted
+                )
+            else:
+                yield f  # not ours — Spark evaluates it post-scan
+
+    def partitions(self):
+        stations = range(self.n_stations)
+        if self.station_filter is not None:
+            stations = [s for s in stations if s in self.station_filter]
+        return [StationPartition(s, 1, self.n_days) for s in stations]
+
+    def read(self, partition: StationPartition):
+        s = partition.station_id
+        for d in range(partition.start_day, partition.start_day + partition.n_days):
+            for h in range(24):
+                yield (
+                    s,
+                    d,
+                    h,
+                    float(((s * 31 + d * 7 + h * 3) % 50) - 10),
+                    1.0 if (s * 3 + d + h) % 10 == 0 else 0.0,
+                )
+
+
+class WeatherFixtureDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "weatherfix"
+
+    def schema(self):
+        return (
+            "station_id INT, day_of_year INT, hour INT, "
+            "temp DOUBLE, risky_weather DOUBLE"
+        )
+
+    def reader(self, schema):
+        return WeatherFixtureReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the ``weatherfix`` format."""
+    spark.dataSource.register(WeatherFixtureDataSource)

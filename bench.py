@@ -83,6 +83,7 @@ EXTENDED = [
     "w8_gap_fill_lvcf",
     "a15_interval_coverage",
     "a16_running_distinct",
+    "s12_python_datasource",
 ]
 
 

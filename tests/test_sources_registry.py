@@ -85,3 +85,44 @@ def test_entry_module_contract(spark):
     assert set(osql) <= set(qs)
     df = mod.entry(spark)
     assert df.count() > 0
+
+
+def test_python_datasource_values_and_pushdown(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from accident_prediction_montreal_spark.sources.pydatasource import (
+        WeatherFixtureReader,
+        register,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+    df = (
+        spark.read.format("weatherfix")
+        .option("stations", "3")
+        .option("days", "2")
+        .load()
+    )
+    rows = {(r["station_id"], r["day_of_year"], r["hour"]): r for r in df.collect()}
+    assert len(rows) == 3 * 2 * 24
+    # spot-check the closed form the oracle regenerates
+    r = rows[(2, 1, 5)]
+    assert r["temp"] == float(((2 * 31 + 1 * 7 + 5 * 3) % 50) - 10)
+    assert r["risky_weather"] == (1.0 if (2 * 3 + 1 + 5) % 10 == 0 else 0.0)
+
+    # end-to-end: equality filter returns exactly one station's rows
+    assert df.filter(F.col("station_id") == 1).count() == 2 * 24
+
+    # reader-level: EqualTo and In prune partitions; others are residual
+    rd = WeatherFixtureReader({"stations": "4", "days": "2"})
+    residual = list(rd.pushFilters([EqualTo(("station_id",), 2)]))
+    assert residual == [] and len(rd.partitions()) == 1
+    rd2 = WeatherFixtureReader({"stations": "4", "days": "2"})
+    gt = GreaterThan(("hour",), 5)
+    residual2 = list(rd2.pushFilters([In(("station_id",), (1, 3)), gt]))
+    assert residual2 == [gt] and len(rd2.partitions()) == 2
+    # contradictory pushdown -> zero partitions, zero rows
+    rd3 = WeatherFixtureReader({"stations": "4", "days": "2"})
+    list(rd3.pushFilters([EqualTo(("station_id",), 1), EqualTo(("station_id",), 2)]))
+    assert rd3.partitions() == []
