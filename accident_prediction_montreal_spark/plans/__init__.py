@@ -120,6 +120,7 @@ _TAIL_HEAD = [
     "a15_interval_coverage",
     "a16_running_distinct",
     "s12_python_datasource",
+    "st_python_stream_source",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

@@ -3316,3 +3316,50 @@ def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_sum"),
     )
+
+
+@register(
+    "st_python_stream_source",
+    oracle="""
+    WITH g AS (
+      SELECT s.s AS station_id, d.d AS doy, h.h AS hour
+      FROM (SELECT UNNEST(range(0, 5)) AS s) s
+      CROSS JOIN (SELECT UNNEST(range(1, 46)) AS d) d
+      CROSS JOIN (SELECT UNNEST(range(0, 24)) AS h) h
+    )
+    SELECT CAST(station_id AS INT) AS station_id,
+      CAST(COUNT(*) AS BIGINT) AS n_obs,
+      CAST(CAST(SUM(CAST(((station_id*31 + doy*7 + hour*3) % 50) - 10
+                         AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS temp_sum,
+      CAST(SUM(CASE WHEN (station_id*3 + doy + hour) % 10 = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_risky
+    FROM g GROUP BY 1
+    """,
+    description="Spark 4 Python DataSource as a STREAM source "
+    "(sources/pydatasource.py::WeatherFixtureStreamReader — the "
+    "micro-batch form of s12's batch source): the offset is the next "
+    "unread day-of-year, each batch plans one InputPartition per "
+    "station over [start_day, end_day), commit() is the exactly-once "
+    "ack hook, and Trigger.AvailableNow drains 45 days in 5 "
+    "9-day micro-batches into a memory sink. The batch-aggregated "
+    "result must equal the closed-form oracle exactly — a dropped, "
+    "repeated, or mis-ranged micro-batch (the offset arithmetic) "
+    "hash-mismatches.",
+)
+def st_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.sources.pydatasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("weatherfix")
+        .option("stations", "5")
+        .option("days", "45")
+        .option("days_per_batch", "9")
+        .load()
+    )
+    out = _run_to_memory_sink(spark, stream, "append")
+    return out.groupBy("station_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("temp").cast("decimal(38,6)")).cast("double").alias("temp_sum"),
+        F.sum((F.col("risky_weather") == 1.0).cast("long")).alias("n_risky"),
+    )

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     In,
     InputPartition,
@@ -91,6 +92,55 @@ class WeatherFixtureReader(DataSourceReader):
                 )
 
 
+class DayRangePartition(InputPartition):
+    def __init__(self, station_id: int, start_day: int, end_day: int):
+        self.station_id = station_id
+        self.start_day = start_day
+        self.end_day = end_day
+
+
+class WeatherFixtureStreamReader(DataSourceStreamReader):
+    """Micro-batch STREAM of the same observation grid: the offset is
+    the next unread day-of-year, so each micro-batch covers
+    [start_day, end_day) x stations — one InputPartition per station
+    per batch (same parallelism as the batch reader). ``days_per_batch``
+    bounds batch size; ``commit`` is the exactly-once hook (a real
+    feed would ack upstream here — nothing to ack for a fixture).
+    With Trigger.AvailableNow the runner drains to latestOffset and
+    stops: bounded, deterministic, checkpoint-replayable.
+    """
+
+    def __init__(self, options):
+        self.n_stations = int(options.get("stations", "4"))
+        self.n_days = int(options.get("days", "30"))
+        self.days_per_batch = int(options.get("days_per_batch", "7"))
+
+    def initialOffset(self) -> dict:
+        return {"next_day": 1}
+
+    def latestOffset(self) -> dict:
+        return {"next_day": self.n_days + 1}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["next_day"]), int(end["next_day"])
+        return [DayRangePartition(s, lo, hi) for s in range(self.n_stations)]
+
+    def read(self, partition: DayRangePartition):
+        s = partition.station_id
+        for d in range(partition.start_day, partition.end_day):
+            for h in range(24):
+                yield (
+                    s,
+                    d,
+                    h,
+                    float(((s * 31 + d * 7 + h * 3) % 50) - 10),
+                    1.0 if (s * 3 + d + h) % 10 == 0 else 0.0,
+                )
+
+    def commit(self, end: dict) -> None:
+        pass  # fixture source: nothing upstream to acknowledge
+
+
 class WeatherFixtureDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -104,6 +154,9 @@ class WeatherFixtureDataSource(DataSource):
 
     def reader(self, schema):
         return WeatherFixtureReader(self.options)
+
+    def streamReader(self, schema):
+        return WeatherFixtureStreamReader(self.options)
 
 
 def register(spark) -> None:

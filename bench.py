@@ -84,6 +84,7 @@ EXTENDED = [
     "a15_interval_coverage",
     "a16_running_distinct",
     "s12_python_datasource",
+    "st_python_stream_source",
 ]
 
 

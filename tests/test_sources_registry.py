@@ -126,3 +126,19 @@ def test_python_datasource_values_and_pushdown(spark):
     rd3 = WeatherFixtureReader({"stations": "4", "days": "2"})
     list(rd3.pushFilters([EqualTo(("station_id",), 1), EqualTo(("station_id",), 2)]))
     assert rd3.partitions() == []
+
+
+def test_python_stream_source_offsets(spark):
+    # offset arithmetic at the reader level: 10 days in 4-day batches
+    from accident_prediction_montreal_spark.sources.pydatasource import (
+        WeatherFixtureStreamReader,
+    )
+
+    rd = WeatherFixtureStreamReader({"stations": "2", "days": "10", "days_per_batch": "4"})
+    assert rd.initialOffset() == {"next_day": 1}
+    assert rd.latestOffset() == {"next_day": 11}
+    parts = rd.partitions({"next_day": 1}, {"next_day": 5})
+    assert len(parts) == 2 and parts[0].start_day == 1 and parts[0].end_day == 5
+    rows = list(rd.read(parts[0]))
+    assert len(rows) == 4 * 24
+    assert {r[1] for r in rows} == {1, 2, 3, 4}  # exactly days [1, 5)
