@@ -2583,8 +2583,10 @@ def j13_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, "nation", sf_dir).filter(F.col("n_nationkey") < 20)
     base = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
     dim = (
-        nation.select(F.col("n_nationkey").cast("long").alias("nk"))
-        .crossJoin(spark.range(3).select(F.col("id").alias("v")))
+        nation.select(
+            F.col("n_nationkey").cast("long").alias("nk"),
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("v"),
+        )
         .select(
             "nk",
             (base + F.make_interval(days=F.col("v").cast("int") * 10)).alias(

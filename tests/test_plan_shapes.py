@@ -214,3 +214,39 @@ def test_bucketed_join_no_shuffle_exchange(spark):
     # the final groupBy aggregates shuffle once; the JOIN inputs may not
     join_part = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange hashpartitioning" not in join_part
+
+
+def test_editdist_candidates_are_hash_equi_join(spark):
+    # SymSpell neighborhood: candidates from an equi-join on the variant
+    # hash — never an all-pairs comparison.
+    plan = plan_of(spark, "dedup_editdist")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_scd2_asof_has_no_nested_loop(spark):
+    # The as-of strategy is a union+window, not a range join: no
+    # nested-loop over the version intervals anywhere in the plan.
+    plan = plan_of(spark, "j13_scd2_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # the as-of carry
+
+
+def test_gap_fill_is_one_sort_per_key(spark):
+    plan = plan_of(spark, "w8_gap_fill_lvcf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan  # the IGNORE-NULLS carry
+
+
+def test_python_datasource_prunes_partitions(spark):
+    # The isin(1,3,5) predicate pushes into the Python source: the only
+    # residual per-row Filter work on station_id is the null check.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    plan = plan_of(spark, "s12_python_datasource")
+    assert "BatchScan weatherfix" in plan
+    m = re.search(r"Filter ([^\n]*)", plan)
+    residual = m.group(1) if m else ""
+    assert "IN (1,3,5)" not in residual.replace(" ", ""), residual
