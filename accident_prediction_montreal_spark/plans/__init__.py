@@ -121,6 +121,7 @@ _TAIL_HEAD = [
     "a16_running_distinct",
     "s12_python_datasource",
     "st_python_stream_source",
+    "x16_python_sink_roundtrip",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

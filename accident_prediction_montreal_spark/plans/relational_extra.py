@@ -3016,3 +3016,45 @@ def s12_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("temp").cast("decimal(38,6)")).cast("double").alias("temp_sum"),
         F.sum((F.col("risky_weather") == 1.0).cast("long")).alias("n_risky"),
     )
+
+
+@register(
+    "x16_python_sink_roundtrip",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        AS value_sum
+    FROM events GROUP BY event_type
+    """,
+    description="Custom Python SINK with two-phase commit (S11 done "
+    "right: sources/pydatasource.py::AtomicTextWriter): each task "
+    "writes CSV lines to a staging file, the commit message carries the "
+    "staged path, and only after ALL tasks succeed does the driver "
+    "rename files into the target and drop _SUCCESS — abort removes "
+    "staging, so a mid-write failure never leaves a partial file "
+    "visible (the reference's driver-side open().write has no such "
+    "contract, export_results.py:17-46). The events rollup goes "
+    "through the sink and back through a schema-enforced CSV read; "
+    "decimal sums survive textual serialization exactly, so any "
+    "dropped task file, double-rename, or formatting drift "
+    "hash-mismatches.",
+)
+def x16_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.sources.pydatasource import register_sink
+
+    base, _ = _scratch("pysink", sf_dir)
+    register_sink(spark)
+    rollup = load_table(spark, "events", sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("value_sum"),
+    )
+    import os
+
+    os.makedirs(base, exist_ok=True)
+    rollup.write.format("atomictext").option("path", base).mode("overwrite").save()
+    back = spark.read.schema(
+        "event_type STRING, n LONG, value_sum DECIMAL(38,6)"
+    ).csv(base)
+    return back.select(
+        "event_type", "n", F.col("value_sum").cast("double").alias("value_sum")
+    )

@@ -28,9 +28,11 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -162,3 +164,82 @@ class WeatherFixtureDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the ``weatherfix`` format."""
     spark.dataSource.register(WeatherFixtureDataSource)
+
+
+# --- Custom Python SINK: two-phase-commit text writer -------------------------
+
+
+class StagedFile(WriterCommitMessage):
+    def __init__(self, staged_path: str, n_rows: int):
+        self.staged_path = staged_path
+        self.n_rows = n_rows
+
+
+class AtomicTextWriter(DataSourceWriter):
+    """Executor-side CSV-line writer with a real two-phase commit: each
+    task writes to ``<path>/_staging/part-<uuid>`` and reports the file
+    in its commit message; ``commit`` (driver-side, after ALL tasks
+    succeed) renames staged files into the target and drops a _SUCCESS
+    marker; ``abort`` deletes the staging leftovers. A task that fails
+    mid-write therefore never leaves a partial file visible — the
+    exactly-once contract S11's driver-side ``open().write`` cannot
+    give (reference export_results.py:17-46)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("atomictext requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"part-{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(",".join("" if v is None else str(v) for v in row) + "\n")
+                n += 1
+        return StagedFile(staged, n)
+
+    def commit(self, messages):
+        import os
+        import shutil
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name != "_staging":
+                    os.remove(os.path.join(self.path, name))
+        total = 0
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(self.path, os.path.basename(m.staged_path))
+            os.replace(m.staged_path, final)
+            total += m.n_rows
+        staging = os.path.join(self.path, "_staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages):
+        import shutil
+        import os
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class AtomicTextDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "atomictext"
+
+    def writer(self, schema, overwrite: bool):
+        return AtomicTextWriter(self.options, overwrite)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(AtomicTextDataSource)

@@ -85,6 +85,7 @@ EXTENDED = [
     "a16_running_distinct",
     "s12_python_datasource",
     "st_python_stream_source",
+    "x16_python_sink_roundtrip",
 ]
 
 

@@ -142,3 +142,39 @@ def test_python_stream_source_offsets(spark):
     rows = list(rd.read(parts[0]))
     assert len(rows) == 4 * 24
     assert {r[1] for r in rows} == {1, 2, 3, 4}  # exactly days [1, 5)
+
+
+def test_atomic_text_sink_two_phase_commit(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from accident_prediction_montreal_spark.sources.pydatasource import (
+        AtomicTextWriter,
+        StagedFile,
+        register_sink,
+    )
+
+    register_sink(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    df = spark.range(20).select((F.col("id") % 4).alias("k"), F.col("id").alias("v"))
+    df.write.format("atomictext").option("path", out).mode("overwrite").save()
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names and "_staging" not in names
+    back = spark.read.schema("k LONG, v LONG").csv(out)
+    assert back.count() == 20
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(range(20))
+    # overwrite replaces prior visible files
+    df.filter(F.col("v") < 5).write.format("atomictext").option(
+        "path", out
+    ).mode("overwrite").save()
+    assert spark.read.schema("k LONG, v LONG").csv(out).count() == 5
+
+    # abort path: staged files removed, target untouched
+    w = AtomicTextWriter({"path": out}, overwrite=False)
+    msg = w.write(iter([(1, 2)]))
+    assert isinstance(msg, StagedFile) and os.path.exists(msg.staged_path)
+    w.abort([msg])
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    assert spark.read.schema("k LONG, v LONG").csv(out).count() == 5
