@@ -122,6 +122,8 @@ _TAIL_HEAD = [
     "s12_python_datasource",
     "st_python_stream_source",
     "x16_python_sink_roundtrip",
+    "f_variant_json",
+    "sql_recursive_cte",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

@@ -3058,3 +3058,79 @@ def x16_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "event_type", "n", F.col("value_sum").cast("double").alias("value_sum")
     )
+
+
+@register(
+    "f_variant_json",
+    oracle="""
+    SELECT event_type,
+      CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+      CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+      CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS missing_nulls
+    FROM events GROUP BY event_type
+    """,
+    description="Spark 4 VARIANT semi-structured analytics (the §2.9 JSON "
+    "surface's shredding-era successor: parse once into the binary "
+    "VARIANT encoding, extract typed paths with variant_get — at scale "
+    "the parse cost is paid once per row instead of once per "
+    "get_json_object call, and Parquet variant shredding makes the "
+    "paths column-prunable): events.props parses to VARIANT, $.k is "
+    "extracted as a typed bigint (try_variant_get, so malformed or "
+    "missing keys surface as NULL, not errors), and an absent path "
+    "must be NULL for every row. Oracle uses DuckDB's json_extract on "
+    "the same strings — the ENCODING differs, the semantics must not.",
+)
+def f_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "v", F.parse_json("props")
+    )
+    k = F.try_variant_get("v", "$.k", "bigint")
+    missing = F.try_variant_get("v", "$.missing", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("k_sum"),
+        F.max(k).cast("long").alias("k_max"),
+        F.sum(k.isNull().cast("long")).alias("k_nulls"),
+        F.sum(missing.isNull().cast("long")).alias("missing_nulls"),
+    )
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(suppkey, node, depth) AS (
+      SELECT s_suppkey, s_suppkey, 0 FROM supplier
+      UNION ALL
+      SELECT suppkey, node // 2, depth + 1 FROM walk WHERE node > 1
+    )
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(suppkey) AS BIGINT) AS key_sum
+    FROM walk GROUP BY depth
+    """,
+    description="RECURSIVE CTE (Spark 4 WITH RECURSIVE — the iterative "
+    "hierarchy walk SQL engines need for org charts / BOM explosions, "
+    "previously only expressible as a driver-side loop of joins): every "
+    "supplier walks the implicit binary-tree ancestry node -> node/2 "
+    "down to the root, emitting one row per (supplier, ancestor-level); "
+    "the per-depth rollup counts walkers and sums their keys. Identical "
+    "recursive SQL runs on DuckDB (integer division spelled // there, "
+    "DIV here), so a wrong fixpoint (missed iteration, premature "
+    "termination, duplicated seed) changes row counts at some depth and "
+    "hash-mismatches.",
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "supplier", sf_dir).createOrReplaceTempView("rcte_supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(suppkey, node, depth) AS (
+          SELECT s_suppkey, s_suppkey, 0 FROM rcte_supplier
+          UNION ALL
+          SELECT suppkey, node DIV 2, depth + 1 FROM walk WHERE node > 1
+        )
+        SELECT depth, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(suppkey) AS BIGINT) AS key_sum
+        FROM walk GROUP BY depth
+        """
+    )

@@ -86,6 +86,8 @@ EXTENDED = [
     "s12_python_datasource",
     "st_python_stream_source",
     "x16_python_sink_roundtrip",
+    "f_variant_json",
+    "sql_recursive_cte",
 ]
 
 
