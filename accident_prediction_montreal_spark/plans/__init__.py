@@ -124,6 +124,8 @@ _TAIL_HEAD = [
     "x16_python_sink_roundtrip",
     "f_variant_json",
     "sql_recursive_cte",
+    "x17_table_profile",
+    "m14_feature_corr",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

@@ -3134,3 +3134,121 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY depth
         """
     )
+
+
+@register(
+    "x17_table_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+      CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+      CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+      MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+      CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+    description="Table PROFILING in one pass (the ingestion-hygiene "
+    "utility every 100-TB lake needs — schema drift and null floods are "
+    "caught by stats, not by eyeballing): per selected column, (count, "
+    "null count, distinct count, min, max) computed in a SINGLE "
+    "aggregate over ONE scan — the naive per-column loop scans the "
+    "table N times — then stacked to long form JVM-side. The oracle's "
+    "per-column UNION recomputes each row independently, so a stat "
+    "computed over the wrong column or a stack misalignment "
+    "hash-mismatches.",
+)
+def x17_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cols = ["o_orderkey", "o_orderpriority", "o_custkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            # min/max on the NATIVE type, cast after: casting first would
+            # compare lexicographically ('999' > '1499') and mis-profile
+            # every numeric column
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = load_table(spark, "orders", sf_dir).agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"{c}__n"),
+            F.col(f"{c}__null"),
+            F.col(f"{c}__dist"),
+            F.col(f"{c}__min"),
+            F.col(f"{c}__max"),
+        ]
+    return wide.select(
+        F.stack(F.lit(len(cols)), *stack_args).alias(
+            "col", "n", "n_null", "n_distinct", "min_val", "max_val"
+        )
+    )
+
+
+@register(
+    "m14_feature_corr",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,6)) AS n,
+        SUM(CAST(o_custkey AS DECIMAL(38,6))) AS sx,
+        SUM(CAST(o_orderkey % 1000 AS DECIMAL(38,6))) AS sy,
+        SUM(CAST(o_custkey AS DECIMAL(38,6)) * CAST(o_custkey AS DECIMAL(38,6))) AS sxx,
+        SUM(CAST(o_orderkey % 1000 AS DECIMAL(38,6))
+            * CAST(o_orderkey % 1000 AS DECIMAL(38,6))) AS syy,
+        SUM(CAST(o_custkey AS DECIMAL(38,6))
+            * CAST(o_orderkey % 1000 AS DECIMAL(38,6))) AS sxy
+      FROM orders
+    )
+    SELECT ROUND(
+      CAST(n * sxy - sx * sy AS DOUBLE)
+      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0 AS pearson_r,
+      CAST(n AS BIGINT) AS n
+    FROM s
+    """,
+    description="DECIMAL-EXACT Pearson correlation (feature-stats utility; "
+    "F.corr's streaming double accumulation is partition-order-dependent "
+    "— its low bits change with layout, which is exactly what a "
+    "cross-engine value gate cannot tolerate): the five sufficient "
+    "statistics (Σx, Σy, Σx², Σy², Σxy) are summed as DECIMAL(38,6) — "
+    "exact, order-independent, one map-side-combined aggregate — and "
+    "the correlation is derived from them in ONE deterministic double "
+    "expression on both engines. Same single-pass shape at 100 TB as "
+    "F.corr, with bitwise-reproducible output.",
+)
+def m14_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    orders = load_table(spark, "orders", sf_dir)
+    x = dec(F.col("o_custkey"))
+    y = dec(F.col("o_orderkey") % 1000)
+    s = orders.agg(
+        F.count(F.lit(1)).cast("decimal(38,6)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        (F.round(num / dx / dy, 6) + 0.0).alias("pearson_r"),
+        F.col("n").cast("long").alias("n"),
+    )

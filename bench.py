@@ -88,6 +88,8 @@ EXTENDED = [
     "x16_python_sink_roundtrip",
     "f_variant_json",
     "sql_recursive_cte",
+    "x17_table_profile",
+    "m14_feature_corr",
 ]
 
 
