@@ -430,3 +430,103 @@ def test_repeated_span_stats_matches_bruteforce(spark, corpus):
                 covered.update(range(i, i + K))
         want[d] = (len(toks), len(covered))
     assert got == want
+
+
+# --- edit-distance-1 similarity join (r7) --------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[-1]
+
+
+titles = st.lists(st.text(alphabet="abc-", min_size=0, max_size=6), min_size=2, max_size=14)
+
+
+@settings(**SETTINGS)
+@given(ts=titles)
+def test_editdist1_pairs_matches_bruteforce(spark, ts):
+    from itertools import combinations
+
+    from accident_prediction_montreal_spark.operators.dedup import editdist1_pairs
+
+    rows = list(enumerate(ts))
+    df = spark.createDataFrame(rows, "doc_id LONG, title STRING")
+    got = sorted(tuple(r) for r in editdist1_pairs(df, "doc_id", "title").collect())
+    want = sorted(
+        (i, j, _lev(a, b))
+        for (i, a), (j, b) in combinations(rows, 2)
+        if _lev(a, b) <= 1
+    )
+    assert got == want
+
+
+# --- interval coverage (r7) ------------------------------------------------------
+
+intervals_strategy = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 50), st.integers(1, 20)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**SETTINGS)
+@given(iv=intervals_strategy)
+def test_interval_coverage_matches_sweep(spark, iv):
+    from accident_prediction_montreal_spark.operators.timeseries import (
+        interval_coverage,
+    )
+
+    rows = [
+        (k, BASE + timedelta(minutes=s), BASE + timedelta(minutes=s + d))
+        for k, s, d in iv
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, start_ts TIMESTAMP, end_ts TIMESTAMP")
+    got = {r["user_id"]: (r["n_islands"], r["covered_us"]) for r in
+           interval_coverage(df).collect()}
+    # naive sweep per key over minute marks
+    for k in {k for k, _, _ in iv}:
+        marks = set()
+        for kk, s, d in iv:
+            if kk == k:
+                marks.update(range(s, s + d))
+        covered = len(marks) * 60 * 1_000_000
+        # islands = maximal runs of consecutive covered minutes
+        runs = 0
+        prev = None
+        for m in sorted(marks):
+            if prev is None or m > prev + 1:
+                runs += 1
+            prev = m
+        assert got[k] == (runs, covered), (k, got[k], runs, covered)
+
+
+# --- PNG codec (r7) ---------------------------------------------------------------
+
+pixels_strategy = st.tuples(
+    st.integers(1, 9),
+    st.integers(1, 9),
+    st.randoms(use_true_random=False),
+)
+
+
+@settings(**SETTINGS)
+@given(p=pixels_strategy)
+def test_png_roundtrip_property(p):
+    import numpy as np
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        decode_png,
+        encode_png_rgb8,
+    )
+
+    w, h, rnd = p
+    px = np.array([rnd.randrange(256) for _ in range(w * h * 3)])
+    feats = decode_png(encode_png_rgb8(px, w, h))
+    arr = px.reshape(h, w, 3).astype(float)
+    assert feats["width"] == w and feats["height"] == h
+    assert feats["mean_g"] == pytest.approx(arr[:, :, 1].mean(), abs=1e-9)
+    assert feats["top_row_mean"] == pytest.approx(arr[0].mean(), abs=1e-9)
