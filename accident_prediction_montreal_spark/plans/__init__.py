@@ -23,6 +23,7 @@ from accident_prediction_montreal_spark.plans import relational_extra  # noqa: F
 from accident_prediction_montreal_spark.plans import composite  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import llm_ops  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import apm_pipeline  # noqa: F401,E402
+from accident_prediction_montreal_spark.plans import scale_ops  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #
@@ -126,6 +127,12 @@ _TAIL_HEAD = [
     "sql_recursive_cte",
     "x17_table_profile",
     "m14_feature_corr",
+    "x18_cdc_merge",
+    "x19_dq_expectations",
+    "j14_bloom_semi_join",
+    "a17_heavy_hitters",
+    "j15_point_in_polygon",
+    "x20_zorder_layout",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

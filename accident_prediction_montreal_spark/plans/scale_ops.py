@@ -1,0 +1,361 @@
+"""Scale-pattern queries (r7): the operations a 100-TB lakehouse runs
+that the reference's single-node workflow never needed — CDC merge,
+declarative data-quality gates, Bloom-prefiltered semi-joins, exact
+heavy hitters without a long-tail shuffle, polygon containment joins,
+and Z-order file layout. Each is a thin registration over a reusable
+operator module; every one is ANSI-expressible and oracle-backed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.operators import quality as Q
+from accident_prediction_montreal_spark.operators.bloomjoin import bloom_semi_join
+from accident_prediction_montreal_spark.operators.cdc import cdc_apply, latest_change_per_key
+from accident_prediction_montreal_spark.operators.heavyhitters import heavy_hitters_exact
+from accident_prediction_montreal_spark.operators.polygon import (
+    demo_polygons,
+    point_in_polygon_join,
+)
+from accident_prediction_montreal_spark.operators.zorder import write_zordered
+from accident_prediction_montreal_spark.plans.registry import register
+from accident_prediction_montreal_spark.plans.relational_extra import _scratch
+from accident_prediction_montreal_spark.sources.registry import load_table
+
+_CDC_CUTOFF = "2024-01-16"
+
+
+@register(
+    "x18_cdc_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, value, ts FROM (
+        SELECT user_id, value, ts,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_CDC_CUTOFF}') t WHERE rn = 1
+    ),
+    latest AS (
+      SELECT user_id, value, ts,
+        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM (
+        SELECT user_id, value, ts, event_type,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{_CDC_CUTOFF}') t WHERE rn = 1
+    )
+    SELECT user_id,
+      CASE WHEN l.op IS NOT NULL THEN l.value ELSE b.value END AS value,
+      CASE WHEN l.op IS NOT NULL THEN l.ts ELSE b.ts END AS ts,
+      CASE WHEN l.op IS NOT NULL THEN 'upsert' ELSE 'base' END AS src
+    FROM base b FULL OUTER JOIN latest l USING (user_id)
+    WHERE l.op IS NULL OR l.op <> 'D'
+    ORDER BY user_id
+    """,
+    description="CDC MERGE-INTO apply (X-surface; operators/cdc.py): the "
+    "events stream is split at day 16 into a keyed base snapshot and a "
+    "change stream whose op derives from event_type (error=delete, "
+    "else upsert). Last-writer-wins source dedup is ONE map-side-"
+    "combinable max_by aggregate (the shuffle carries one candidate "
+    "per partition+key, never the key's history — the reason this "
+    "beats a row_number window at 100 TB), then ONE full-outer join "
+    "applies deletes/upserts/passthroughs. Oracle replays the merge "
+    "with ANSI row_number CTEs.",
+)
+def x18_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
+    base = latest_change_per_key(
+        ev.filter(F.col("ts") < cutoff).withColumn("op", F.lit("U")),
+        ["user_id"], ["ts", "event_id"], ["value", "ts"],
+    ).drop("op")
+    changes = ev.filter(F.col("ts") >= cutoff).withColumn(
+        "op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+    )
+    merged = cdc_apply(
+        base, changes,
+        key_cols=["user_id"], order_cols=["ts", "event_id"],
+        payload_cols=["value", "ts"],
+    )
+    return merged.orderBy("user_id")
+
+
+@register(
+    "x19_dq_expectations",
+    oracle="""
+    SELECT chk, CAST(ok AS BIGINT) AS ok, ROUND(measure, 6) AS measure FROM (
+      SELECT 'bounded_value' AS chk,
+        CASE WHEN SUM(CASE WHEN value < 0 OR value > 500 THEN 1 ELSE 0 END) = 0
+             THEN 1 ELSE 0 END AS ok,
+        CAST(SUM(CASE WHEN value < 0 OR value > 500 THEN 1 ELSE 0 END) AS DOUBLE)
+          AS measure
+      FROM events
+      UNION ALL
+      SELECT 'completeness_ts',
+        CASE WHEN COUNT(ts) * 1.0 / COUNT(*) >= 0.999 THEN 1 ELSE 0 END,
+        CAST(COUNT(ts) AS DOUBLE) / COUNT(*)
+      FROM events
+      UNION ALL
+      SELECT 'in_set_event_type',
+        CASE WHEN SUM(CASE WHEN event_type NOT IN
+               ('click','view','purchase','signup','error') THEN 1 ELSE 0 END) = 0
+             THEN 1 ELSE 0 END,
+        CAST(SUM(CASE WHEN event_type NOT IN
+               ('click','view','purchase','signup','error') THEN 1 ELSE 0 END)
+             AS DOUBLE)
+      FROM events
+      UNION ALL
+      SELECT 'matches_props',
+        CASE WHEN SUM(CASE WHEN regexp_matches(props, '^\\{"k": \\d+\\}$')
+                            THEN 1 ELSE 0 END) * 1.0 / COUNT(*) >= 0.99
+             THEN 1 ELSE 0 END,
+        CAST(SUM(CASE WHEN regexp_matches(props, '^\\{"k": \\d+\\}$')
+                       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      FROM events
+      UNION ALL
+      SELECT 'purchase_rate',
+        CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1.0
+                  / COUNT(*) >= 0.15 THEN 1 ELSE 0 END,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*)
+      FROM events
+      UNION ALL
+      SELECT 'uniqueness_event_id',
+        CASE WHEN COUNT(DISTINCT event_id) * 1.0 / COUNT(*) = 1.0
+             THEN 1 ELSE 0 END,
+        CAST(COUNT(DISTINCT event_id) AS DOUBLE) / COUNT(*)
+      FROM events
+    ) t ORDER BY chk
+    """,
+    description="Declarative DATA-QUALITY GATE (X-surface; operators/"
+    "quality.py, the Deequ 'unit tests for data' model): six "
+    "expectations — value bounds, ts completeness, event_type set "
+    "membership, props regex conformance, a business-rate floor, "
+    "event_id uniqueness — compiled into ONE aggregate pass over one "
+    "scan (a stack/Expand unpivots the single-row aggregate into the "
+    "report). N checks never cost N jobs; the oracle recomputes every "
+    "measure and verdict as plain SQL aggregates.",
+)
+def x19_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    checks = [
+        Q.bounded("value", 0.0, 500.0),
+        Q.completeness("ts", 0.999),
+        Q.in_set("event_type", ["click", "view", "purchase", "signup", "error"]),
+        Q.matches("props", r'^\{"k": \d+\}$', 0.99),
+        Q.min_fraction("purchase_rate", F.col("event_type") == "purchase", 0.15),
+        Q.uniqueness("event_id"),
+    ]
+    return Q.run_checks(ev, checks)
+
+
+@register(
+    "j14_bloom_semi_join",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        AS price_sum
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    description="Bloom-PREFILTERED semi-join (J-surface; operators/"
+    "bloomjoin.py): lineitem vs urgent orders. The Bloom bitmap is "
+    "built distributed (explode k hash positions, groupBy bit_or into "
+    "64-bit words — a 128 KiB table for 2^20 bits REGARDLESS of build "
+    "cardinality), broadcast, and applied as k bit-tests that reject "
+    "probe rows map-side BEFORE the exact semi-join — at 10^9 build "
+    "keys the raw key set cannot broadcast but the bitmap still can, "
+    "and only Bloom survivors reach the shuffle. Exactness is "
+    "guaranteed by the no-false-negative property plus the final exact "
+    "join (pytest pins the superset contract); the oracle is the plain "
+    "EXISTS semi-join.",
+)
+def j14_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    hits = bloom_semi_join(
+        li, orders, "l_orderkey", "o_orderkey", num_bits=1 << 20, k=3
+    )
+    return (
+        hits.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "a17_heavy_hitters",
+    oracle="""
+    WITH keyed AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN event_id % 5
+                  ELSE event_id END AS hh_key
+      FROM events
+    )
+    SELECT hh_key, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM keyed GROUP BY hh_key
+    HAVING COUNT(*) > 0.05 * (SELECT COUNT(*) FROM keyed)
+    ORDER BY hh_key
+    """,
+    description="Exact HEAVY HITTERS without shuffling the long tail "
+    "(A-surface; operators/heavyhitters.py, Misra-Gries 1982): a "
+    "synthetic skewed key (half the events collapse onto 5 keys, half "
+    "stay unique — the web-scale shape) is summarized per partition by "
+    "a capacity-41 Misra-Gries sketch in mapInPandas (vectorized "
+    "value_counts, batches of one partition share one summary), whose "
+    "survivor union provably contains every key above the n/(c+1) "
+    "pigeonhole floor; a broadcast semi-join then exactly recounts "
+    "ONLY the candidates. The million-key tail never reaches a "
+    "shuffle — groupBy(key) at 100 TB shuffles every distinct key, "
+    "this ships <= capacity rows per partition. Oracle is the direct "
+    "GROUP BY HAVING.",
+)
+def a17_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    keyed = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.col("event_id") % 5)
+        .otherwise(F.col("event_id"))
+        .alias("hh_key")
+    )
+    return (
+        heavy_hitters_exact(keyed, "hh_key", threshold_frac=0.05)
+        .select("hh_key", F.col("cnt").cast("long"))
+        .orderBy("hh_key")
+    )
+
+
+_EDGES = demo_polygons()
+
+
+def _edges_values_sql() -> str:
+    rows = ", ".join(
+        f"({p}, {x1!r}, {y1!r}, {x2!r}, {y2!r})" for p, x1, y1, x2, y2 in _EDGES
+    )
+    return rows
+
+
+@register(
+    "j15_point_in_polygon",
+    oracle=f"""
+    WITH edges AS (
+      SELECT CAST(poly_id AS INTEGER) AS poly_id,
+        CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+        CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+      FROM (VALUES {_edges_values_sql()}) v(poly_id, x1, y1, x2, y2)
+    ),
+    pts AS (
+      SELECT c_custkey AS pid,
+        (c_custkey % 997) / CAST(99.7 AS DOUBLE) AS x,
+        ((c_custkey * 7919) % 997) / CAST(99.7 AS DOUBLE) AS y
+      FROM customer
+    ),
+    inside AS (
+      SELECT pid, poly_id
+      FROM pts CROSS JOIN edges
+      GROUP BY pid, x, y, poly_id
+      HAVING SUM(CASE WHEN ((y1 > y) <> (y2 > y))
+                       AND (x < x1 + (y - y1) * (x2 - x1) / (y2 - y1))
+                      THEN 1 ELSE 0 END) % 2 = 1
+    )
+    SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_inside,
+      CAST(SUM(pid) AS BIGINT) AS pid_sum
+    FROM inside GROUP BY poly_id ORDER BY poly_id
+    """,
+    description="POINT-IN-POLYGON containment join (J-surface, spatial "
+    "family; operators/polygon.py; the zone-assignment the reference's "
+    "KML polygons imply — sources/kml.py parses rings, this joins "
+    "against them): deterministic points derived from customer keys vs "
+    "8 literal polygons. Even-odd ray casting; the grid path buckets "
+    "each polygon's bbox onto coarse cells and equi-joins points by "
+    "cell, so a point only ever meets polygons whose bbox grid it "
+    "touches — cost is data x local polygon density, not data x all "
+    "polygons. The oracle ray-casts every point against every edge "
+    "with the IDENTICAL IEEE expression, so the grid prune is proven "
+    "lossless.",
+)
+def j15_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    points = cust.select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") % 997) / 99.7).alias("x"),
+        (((F.col("c_custkey") * 7919) % 997) / 99.7).alias("y"),
+    )
+    edges = cust.sparkSession.createDataFrame(
+        _EDGES, "poly_id INT, x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE"
+    )
+    inside = point_in_polygon_join(points, edges, cell_size=1.0)
+    return (
+        inside.groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_inside"),
+            F.sum("pid").cast("long").alias("pid_sum"),
+        )
+        .orderBy("poly_id")
+    )
+
+
+@register(
+    "x20_zorder_layout",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        AS price_sum,
+      CAST(MIN(l_partkey) AS BIGINT) AS min_pk,
+      CAST(MAX(l_partkey) AS BIGINT) AS max_pk
+    FROM lineitem WHERE l_partkey < 64 AND l_suppkey < 8
+    """,
+    description="Z-ORDER file layout + two-dimensional pruning (X-surface; "
+    "operators/zorder.py; the lakehouse OPTIMIZE ZORDER BY pattern): "
+    "lineitem is clustered into 16 parquet files along the Morton "
+    "interleave of (l_partkey, l_suppkey) — repartitionByRange on the "
+    "z-value, bit math only, no UDF — then a conjunctive rectangle "
+    "predicate reads it back. Because each file covers a small "
+    "rectangle of the key plane, footer min/max stats on BOTH original "
+    "columns are selective; the query asserts the filtered scan "
+    "touched strictly fewer files than the layout wrote (file-pruning "
+    "proof via input_file_name), then returns the aggregate, which the "
+    "oracle computes from the raw table — proving layout changed "
+    "nothing semantically.",
+)
+def x20_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    out_dir, _ = _scratch("zorder", sf_dir)
+    write_zordered(
+        li.select("l_partkey", "l_suppkey", "l_extendedprice"),
+        out_dir,
+        "l_partkey",
+        "l_suppkey",
+        num_files=16,
+    )
+    back = spark.read.parquet(out_dir)
+    total_files = back.select(F.input_file_name()).distinct().count()
+    filtered = back.filter((F.col("l_partkey") < 64) & (F.col("l_suppkey") < 8))
+    touched = (
+        filtered.withColumn("__f", F.input_file_name())
+        .select("__f")
+        .distinct()
+        .count()
+    )
+    if total_files > 2 and touched >= total_files:
+        raise AssertionError(
+            f"z-order layout did not prune: {touched}/{total_files} files touched"
+        )
+    return filtered.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("price_sum"),
+        F.min("l_partkey").cast("long").alias("min_pk"),
+        F.max("l_partkey").cast("long").alias("max_pk"),
+    )

@@ -90,6 +90,12 @@ EXTENDED = [
     "sql_recursive_cte",
     "x17_table_profile",
     "m14_feature_corr",
+    "x18_cdc_merge",
+    "x19_dq_expectations",
+    "j14_bloom_semi_join",
+    "a17_heavy_hitters",
+    "j15_point_in_polygon",
+    "x20_zorder_layout",
 ]
 
 

@@ -250,3 +250,45 @@ def test_python_datasource_prunes_partitions(spark):
     m = re.search(r"Filter ([^\n]*)", plan)
     residual = m.group(1) if m else ""
     assert "IN (1,3,5)" not in residual.replace(" ", ""), residual
+
+
+def test_cdc_merge_no_window(spark):
+    # Last-writer-wins is a max_by AGGREGATE (map-side combinable), not
+    # a row_number window: no Window, no sort of a key's history.
+    plan = plan_of(spark, "x18_cdc_merge")
+    assert "Window" not in plan
+    assert "max_by" in plan or "MaxBy" in plan
+
+
+def test_bloom_semi_join_broadcasts_bitmap(spark):
+    # The bitmap tests and the final exact semi-join are broadcast hash
+    # joins; the probe (lineitem) side never shuffles.
+    plan = plan_of(spark, "j14_bloom_semi_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 bit-tests + exact semi
+
+
+def test_point_in_polygon_no_all_pairs(spark):
+    # Points meet polygons only via the broadcast cell grid: hash joins
+    # everywhere, never a nested loop over all (point, polygon) pairs.
+    plan = plan_of(spark, "j15_point_in_polygon")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitters_tail_never_shuffles_unfiltered(spark):
+    # The only groupBy over data happens AFTER the broadcast candidate
+    # semi-join: every hash aggregate keyed on hh_key sits above the
+    # bloom... broadcast join, so the long tail is filtered before any
+    # exchange on hh_key.
+    plan = plan_of(spark, "a17_heavy_hitters")
+    assert "MapInPandas" in plan  # the per-partition Misra-Gries pass
+    # the data-sized aggregate consumes the broadcast candidate
+    # semi-join DIRECTLY — the unfiltered tail never reaches a shuffle
+    assert re.search(
+        r"HashAggregate\(keys=\[hh_key#\d+L?\], functions=\[partial_count"
+        r"[^\n]*\n\s*\+- BroadcastHashJoin",
+        plan,
+    ), plan

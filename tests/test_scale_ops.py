@@ -1,0 +1,202 @@
+"""Contract tests for the r7 scale-pattern operators: CDC merge,
+Bloom semi-join, Misra-Gries heavy hitters, point-in-polygon, Z-order
+layout, data-quality gate."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.operators.bloomjoin import (
+    bloom_bitmap,
+    bloom_prefilter,
+    bloom_semi_join,
+)
+from accident_prediction_montreal_spark.operators.cdc import cdc_apply
+from accident_prediction_montreal_spark.operators.heavyhitters import (
+    heavy_hitters_exact,
+    misra_gries_candidates,
+)
+from accident_prediction_montreal_spark.operators.polygon import (
+    demo_polygons,
+    point_in_polygon_join,
+)
+from accident_prediction_montreal_spark.operators.zorder import write_zordered, zvalue
+
+
+# --- CDC merge -----------------------------------------------------------------
+
+
+def test_cdc_apply_semantics(spark):
+    TS = datetime(2024, 1, 1)
+    base = spark.createDataFrame(
+        [(1, 10.0, TS), (2, 20.0, TS), (3, 30.0, TS)], "k LONG, v DOUBLE, ts TIMESTAMP"
+    )
+    # key 1: upsert then delete (delete wins: later order)
+    # key 2: two upserts, last-writer-wins on (ts, cid)
+    # key 4: brand-new upsert; key 5: delete of a nonexistent key
+    T2 = datetime(2024, 1, 2)
+    changes = spark.createDataFrame(
+        [
+            (1, 99.0, T2, 1, "U"),
+            (1, 0.0, T2, 2, "D"),
+            (2, 21.0, T2, 1, "U"),
+            (2, 22.0, T2, 2, "U"),
+            (4, 40.0, T2, 1, "U"),
+            (5, 0.0, T2, 1, "D"),
+        ],
+        "k LONG, v DOUBLE, ts TIMESTAMP, cid LONG, op STRING",
+    )
+    got = {
+        r["k"]: (r["v"], r["src"])
+        for r in cdc_apply(
+            base, changes, ["k"], ["ts", "cid"], ["v"], op_col="op"
+        ).collect()
+    }
+    assert got == {2: (22.0, "upsert"), 3: (30.0, "base"), 4: (40.0, "upsert")}
+
+
+# --- Bloom semi-join ------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_exact(spark):
+    build = spark.range(0, 500, 7).withColumnRenamed("id", "bk")  # keys 0,7,14,...
+    probe = spark.range(0, 1000).withColumnRenamed("id", "pk")
+    m, k = 1 << 12, 3
+    bm = bloom_bitmap(build, "bk", m, k)
+    pre = {r["pk"] for r in bloom_prefilter(probe, "pk", bm, m, k).collect()}
+    truth = {i for i in range(0, 1000) if i < 500 and i % 7 == 0}
+    assert truth <= pre  # superset: no false negatives
+    exact = {r["pk"] for r in bloom_semi_join(probe, build, "pk", "bk", m, k).collect()}
+    assert exact == truth  # downstream exact join removes the leaks
+
+
+def test_bloom_prefilter_is_selective(spark):
+    # 50 build keys in a 4096-bit filter: the prefilter must reject the
+    # overwhelming majority of the 10k non-member probes
+    build = spark.range(0, 50).withColumnRenamed("id", "bk")
+    probe = spark.range(100, 10100).withColumnRenamed("id", "pk")
+    bm = bloom_bitmap(build, "bk", 1 << 12, 3)
+    n_pass = bloom_prefilter(probe, "pk", bm, 1 << 12, 3).count()
+    assert n_pass < 1000  # expected fpp ~ (1 - e^(-150/4096))^3 << 1%
+
+
+# --- heavy hitters --------------------------------------------------------------
+
+
+def test_misra_gries_superset_and_exact_counts(spark):
+    # 4 partitions; keys 0..4 heavy (400 each), 2000 unique tail keys
+    rows = [(kk,) for kk in range(5) for _ in range(400)] + [
+        (1000 + i,) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "hh_key LONG").repartition(4)
+    n = len(rows)
+    heavy_truth = {k: 400 for k in range(5) if 400 > 0.05 * n}
+    cand = {r["hh_key"] for r in misra_gries_candidates(df, "hh_key", 41).collect()}
+    assert set(heavy_truth) <= cand  # pigeonhole superset guarantee
+    got = {
+        r["hh_key"]: r["cnt"]
+        for r in heavy_hitters_exact(df, "hh_key", 0.05).collect()
+    }
+    assert got == heavy_truth  # exact recount, exact threshold
+
+
+# --- point in polygon -----------------------------------------------------------
+
+
+def _brute_inside(px, py, edges_by_poly):
+    out = set()
+    for poly_id, edges in edges_by_poly.items():
+        crossings = 0
+        for x1, y1, x2, y2 in edges:
+            if (y1 > py) != (y2 > py) and px < x1 + (py - y1) * (x2 - x1) / (y2 - y1):
+                crossings += 1
+        if crossings % 2 == 1:
+            out.add(poly_id)
+    return out
+
+
+def test_point_in_polygon_matches_bruteforce(spark):
+    edges = demo_polygons()
+    edges_by_poly: dict = {}
+    for p, x1, y1, x2, y2 in edges:
+        edges_by_poly.setdefault(p, []).append((x1, y1, x2, y2))
+    # deterministic point cloud over the whole plane incl. polygon interiors
+    pts = [
+        (i, (i * 131) % 1009 / 100.9, (i * 523) % 1009 / 100.9) for i in range(800)
+    ]
+    pdf = spark.createDataFrame(pts, "pid LONG, x DOUBLE, y DOUBLE")
+    edf = spark.createDataFrame(
+        edges, "poly_id INT, x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE"
+    )
+    got = {(r["pid"], r["poly_id"]) for r in
+           point_in_polygon_join(pdf, edf, cell_size=1.0).collect()}
+    want = {
+        (pid, poly) for pid, px, py in pts for poly in _brute_inside(px, py, edges_by_poly)
+    }
+    assert got == want
+    assert want  # fixture actually has points inside polygons
+
+
+# --- z-order --------------------------------------------------------------------
+
+
+def test_zvalue_interleave(spark):
+    df = spark.createDataFrame([(0b101, 0b011)], "a LONG, b LONG")
+    (z,) = df.select(zvalue(F.col("a"), F.col("b"), bits=4).alias("z")).collect()[0]
+    # a bits at even positions: 1,0,1 -> 0b010001; b bits odd: 1,1,0 -> 0b001010
+    assert z == 0b010001 | 0b001010
+
+
+def test_zorder_layout_prunes_files(spark, tmp_path):
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 200).alias("a"),
+        ((F.col("id") * 7) % 100).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "z")
+    write_zordered(df, path, "a", "b", num_files=16)
+    back = spark.read.parquet(path)
+    total = back.select(F.input_file_name()).distinct().count()
+    assert total >= 8
+    touched = (
+        back.filter((F.col("a") < 20) & (F.col("b") < 10))
+        .withColumn("__f", F.input_file_name())
+        .select("__f")
+        .distinct()
+        .count()
+    )
+    assert touched < total / 2  # rectangle predicate hits a minority of files
+    # layout must not change the data
+    assert back.count() == 20000
+    got = back.filter((F.col("a") < 20) & (F.col("b") < 10)).count()
+    want = df.filter((F.col("a") < 20) & (F.col("b") < 10)).count()
+    assert got == want
+
+
+# --- data-quality gate: one aggregate pass --------------------------------------
+
+
+def test_dq_gate_single_pass_plan(spark):
+    from accident_prediction_montreal_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 7.0), (3, "a", None)], "id LONG, cat STRING, v DOUBLE"
+    )
+    rep = Q.run_checks(
+        df,
+        [
+            Q.completeness("v", 0.9),
+            Q.bounded("id", 0, 10),
+            Q.in_set("cat", ["a", "b"]),
+        ],
+    )
+    rows = {r["chk"]: (r["ok"], r["measure"]) for r in rep.collect()}
+    assert rows["completeness_v"] == (0, pytest.approx(2 / 3, abs=1e-6))
+    assert rows["bounded_id"] == (1, 0.0)
+    assert rows["in_set_cat"] == (1, 0.0)
+    # one scan, one aggregate: no join/union in the plan
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Union" not in plan
