@@ -133,6 +133,7 @@ _TAIL_HEAD = [
     "a17_heavy_hitters",
     "j15_point_in_polygon",
     "x20_zorder_layout",
+    "er_golden_records",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

@@ -359,3 +359,165 @@ def x20_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_partkey").cast("long").alias("min_pk"),
         F.max("l_partkey").cast("long").alias("max_pk"),
     )
+
+
+# --- entity resolution capstone --------------------------------------------------
+
+# ER title fixture: word variant (typo-distance <= 1 inside
+# {data,date,gate}; note is 2+ edits from all) + a doubled-letter block
+# code (any two distinct codes differ by >= 2 edits, so blocks NEVER
+# chain together — single-digit counters would: lev("data-1","data-2")
+# = 1 merges every block into one giant component).
+_ER_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _er_titles_spark(docs):
+    words = F.array(F.lit("data"), F.lit("date"), F.lit("gate"), F.lit("note"))
+    blk = (F.col("doc_id") / 100).cast("long")
+    code = F.concat(
+        F.repeat(F.substring(F.lit(_ER_ALPHA), (blk % 26).cast("int") + 1, 1), 2),
+        F.repeat(F.substring(F.lit(_ER_ALPHA), (blk / 26).cast("int") % 26 + 1, 1), 2),
+    )
+    return docs.withColumn(
+        "title",
+        F.concat(
+            F.element_at(words, (F.col("doc_id") % 4).cast("int") + 1),
+            F.lit("-"),
+            code,
+        ),
+    )
+
+
+_ER_TITLE_SQL = """
+      ['data','date','gate','note'][CAST(doc_id % 4 AS INT) + 1] || '-'
+        || repeat(substr('abcdefghijklmnopqrstuvwxyz',
+                         CAST((doc_id // 100) % 26 AS INT) + 1, 1), 2)
+        || repeat(substr('abcdefghijklmnopqrstuvwxyz',
+                         CAST((doc_id // 100 // 26) % 26 AS INT) + 1, 1), 2)
+"""
+
+
+@register(
+    "er_golden_records",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+        UNNEST(list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks WHERE len(w) >= 3
+    ),
+    rare AS (SELECT doc_id, s FROM sh QUALIFY COUNT(*) OVER (PARTITION BY s) <= 4),
+    sized AS (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY doc_id) AS n_sh FROM rare),
+    jpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
+       AND a.doc_id // 100 = b.doc_id // 100
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) / CAST(ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*)
+                             AS DOUBLE) >= 0.5
+    ),
+    titled AS (SELECT doc_id, {_ER_TITLE_SQL} AS title FROM documents),
+    epairs AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM titled x JOIN titled y ON x.doc_id < y.doc_id
+       AND abs(strlen(x.title) - strlen(y.title)) <= 1
+      WHERE levenshtein(x.title, y.title) <= 1
+    ),
+    allp AS (SELECT * FROM jpairs UNION SELECT * FROM epairs),
+    edges AS (SELECT id_a AS a, id_b AS b FROM allp
+              UNION SELECT id_b, id_a FROM allp),
+    reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+      WHERE reach.r < e.b
+    ),
+    comp AS (SELECT node, MIN(r) AS component_id FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars, d.source,
+        COALESCE(c.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    golden AS (
+      SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+        CAST(MAX(n_chars * 10000000 + doc_id) % 10000000 AS BIGINT) AS rep_id,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM labeled GROUP BY component_id
+    )
+    SELECT l.doc_id, l.component_id, g.n_members, g.chars_sum, g.rep_id,
+      g.n_sources
+    FROM labeled l JOIN golden g USING (component_id)
+    ORDER BY l.doc_id
+    """,
+    description="ENTITY-RESOLUTION capstone (composes the dedup family into "
+    "the record-linkage pipeline: blocking -> multi-matcher candidate "
+    "pairs -> transitive clustering -> golden-record survivorship): "
+    "records are partitioned into BLOCKS (doc_id//100 — the ER move "
+    "that bounds candidate generation: comparisons never cross a "
+    "block, so pair count scales with block size, not corpus size); "
+    "within a block, candidate edges come from TWO independent "
+    "matchers — content n-gram Jaccard >= 0.5 (inverted-index join, "
+    "rare shingles only) and typo-grade edit-distance<=1 on a derived "
+    "title (SymSpell deletion neighborhood) — unioned and clustered "
+    "with alternating large/small-star connected components (O(log n) "
+    "rounds, never a neighbor-list materialization); every cluster "
+    "then emits a GOLDEN record (member count, char checksum, richest "
+    "member as representative via a decomposable packed-max — no "
+    "per-cluster sort, distinct-source count) and the result is the "
+    "per-record assignment joined back to its cluster's golden row. "
+    "Unmatched docs stay singleton clusters via left join + coalesce. "
+    "The oracle replays blocking and matching exactly in SQL and "
+    "closes the graph with a recursive min-label CTE — full "
+    "end-to-end parity for an ITERATIVE algorithm.",
+)
+def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.components import (
+        connected_components,
+    )
+    from accident_prediction_montreal_spark.operators.dedup import (
+        editdist1_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _er_titles_spark(load_table(spark, "documents", sf_dir))
+    same_block = (F.col("id_a") / 100).cast("long") == (F.col("id_b") / 100).cast(
+        "long"
+    )
+    jp = (
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard=0.5, max_doc_freq=4)
+        .filter(same_block)
+        .select("id_a", "id_b")
+    )
+    # titles encode the block, so the editdist matcher is block-local by
+    # construction (distinct block codes are >= 2 edits apart)
+    ep = editdist1_pairs(docs.select("doc_id", "title"), "doc_id", "title").select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(jp.unionByName(ep), src="id_a", dst="id_b")
+    labeled = docs.join(
+        comp.withColumnRenamed("node", "doc_id"), on="doc_id", how="left"
+    ).withColumn("component_id", F.coalesce("component", "doc_id"))
+    # rep_id via the same packed max the oracle uses: decomposable, and
+    # the 1e7 radix keeps doc_id clear of n_chars at every SF
+    packed = F.max(F.col("n_chars") * 10_000_000 + F.col("doc_id"))
+    golden = labeled.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+        (packed % 10_000_000).cast("long").alias("rep_id"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    # golden rows are one-per-cluster (tiny): broadcast the join back
+    return (
+        labeled.select("doc_id", "component_id")
+        .join(F.broadcast(golden), on="component_id")
+        .select(
+            "doc_id", "component_id", "n_members", "chars_sum", "rep_id", "n_sources"
+        )
+        .orderBy("doc_id")
+    )

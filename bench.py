@@ -96,6 +96,7 @@ EXTENDED = [
     "a17_heavy_hitters",
     "j15_point_in_polygon",
     "x20_zorder_layout",
+    "er_golden_records",
 ]
 
 
