@@ -134,6 +134,7 @@ _TAIL_HEAD = [
     "j15_point_in_polygon",
     "x20_zorder_layout",
     "er_golden_records",
+    "g1_pagerank_trade",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

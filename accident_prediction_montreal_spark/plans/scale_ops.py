@@ -521,3 +521,81 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "g1_pagerank_trade",
+    oracle="""
+    WITH e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY src),
+    norm AS (
+      SELECT e.src, e.dst, e.w / CAST(ow.out_w AS DOUBLE) AS frac
+      FROM e JOIN ow ON ow.src = e.src
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+    r1 AS (
+      SELECT n2.node, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.s, 0.0) AS rank
+      FROM nodes n2 CROSS JOIN nn
+      LEFT JOIN (SELECT norm.dst AS node, SUM(r0.rank * norm.frac) AS s
+                 FROM norm JOIN r0 ON r0.node = norm.src GROUP BY norm.dst) c
+        ON c.node = n2.node
+    ),
+    r2 AS (
+      SELECT n2.node, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.s, 0.0) AS rank
+      FROM nodes n2 CROSS JOIN nn
+      LEFT JOIN (SELECT norm.dst AS node, SUM(r1.rank * norm.frac) AS s
+                 FROM norm JOIN r1 ON r1.node = norm.src GROUP BY norm.dst) c
+        ON c.node = n2.node
+    ),
+    r3 AS (
+      SELECT n2.node, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.s, 0.0) AS rank
+      FROM nodes n2 CROSS JOIN nn
+      LEFT JOIN (SELECT norm.dst AS node, SUM(r2.rank * norm.frac) AS s
+                 FROM norm JOIN r2 ON r2.node = norm.src GROUP BY norm.dst) c
+        ON c.node = n2.node
+    )
+    SELECT node, ROUND(rank, 6) AS rank FROM r3 ORDER BY node
+    """,
+    description="Weighted PAGERANK over the nation trade graph (A-surface, "
+    "graph family; operators/graph.py — the second canonical "
+    "distributed-graph primitive next to connected components): edges "
+    "are customer-nation -> supplier-nation weighted by lineitem "
+    "count (a 4-way join + one aggregate), normalized ONCE (frac = "
+    "w/out_w precomputed so iterations never touch raw weights), then "
+    "3 damped power-iteration rounds — each round is ONE "
+    "hash-partitioned groupBy(dst) plus a rank-vector join; the rank "
+    "vector is one row per node, broadcastable at any corpus scale, "
+    "and the node count rides as a 1-row broadcast, never a driver "
+    "collect. No dangling-mass redistribution (documented, mirrored "
+    "in the oracle). Oracle unrolls the exact same 3 iterations as "
+    "chained CTEs; ranks rounded to 1e-6, far coarser than "
+    "double-summation drift.",
+)
+def g1_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.graph import pagerank
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")

@@ -97,6 +97,7 @@ EXTENDED = [
     "j15_point_in_polygon",
     "x20_zorder_layout",
     "er_golden_records",
+    "g1_pagerank_trade",
 ]
 
 

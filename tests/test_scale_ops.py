@@ -200,3 +200,30 @@ def test_dq_gate_single_pass_plan(spark):
     # one scan, one aggregate: no join/union in the plan
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Union" not in plan
+
+
+# --- pagerank -------------------------------------------------------------------
+
+
+def test_pagerank_matches_bruteforce(spark):
+    from accident_prediction_montreal_spark.operators.graph import pagerank
+
+    edges = [(0, 1, 2), (0, 2, 1), (1, 2, 3), (2, 0, 1), (3, 0, 5)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG, w LONG")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
+
+    nodes = sorted({n for e in edges for n in e[:2]})
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    rank = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(4):
+        contrib = {n: 0.0 for n in nodes}
+        for s, d, w in edges:
+            contrib[d] += rank[s] * (w / out_w[s])
+        rank = {n: 0.15 / len(nodes) + 0.85 * contrib[n] for n in nodes}
+    assert got.keys() == rank.keys()
+    for n in nodes:
+        assert abs(got[n] - rank[n]) < 1e-12, (n, got[n], rank[n])
+    # dangling node 3 keeps only the base mass
+    assert abs(got[3] - 0.15 / 4) < 1e-12
