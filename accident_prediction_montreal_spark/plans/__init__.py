@@ -135,6 +135,7 @@ _TAIL_HEAD = [
     "x20_zorder_layout",
     "er_golden_records",
     "g1_pagerank_trade",
+    "st_cdc_upsert_stream",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

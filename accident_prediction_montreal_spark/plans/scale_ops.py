@@ -26,10 +26,9 @@ from accident_prediction_montreal_spark.sources.registry import load_table
 
 _CDC_CUTOFF = "2024-01-16"
 
-
-@register(
-    "x18_cdc_merge",
-    oracle=f"""
+# Shared by the batch MERGE (x18) and its streaming twin
+# (st_cdc_upsert_stream): both must converge to the same table.
+_CDC_ORACLE = f"""
     WITH base AS (
       SELECT user_id, value, ts FROM (
         SELECT user_id, value, ts,
@@ -53,7 +52,12 @@ _CDC_CUTOFF = "2024-01-16"
     FROM base b FULL OUTER JOIN latest l USING (user_id)
     WHERE l.op IS NULL OR l.op <> 'D'
     ORDER BY user_id
-    """,
+    """
+
+
+@register(
+    "x18_cdc_merge",
+    oracle=_CDC_ORACLE,
     description="CDC MERGE-INTO apply (X-surface; operators/cdc.py): the "
     "events stream is split at day 16 into a keyed base snapshot and a "
     "change stream whose op derives from event_type (error=delete, "
@@ -599,3 +603,94 @@ def g1_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iterations=3, damping=0.85)
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+@register(
+    "st_cdc_upsert_stream",
+    oracle=_CDC_ORACLE,
+    description="STREAMING CDC upsert — the merge-on-read twin of "
+    "x18_cdc_merge (§2.12 x operators/cdc.py): the events table "
+    "arrives as two micro-batches (time-split fixture, "
+    "maxFilesPerTrigger=1); each batch derives its op column (error "
+    "at-or-after the cutoff = tombstone) and foreachBatch APPENDS the "
+    "version log — the Hudi-MOR/LSM sink shape: ingest is an append, "
+    "never a rewrite, so stream throughput is independent of table "
+    "size. The read side compacts the log with ONE map-side-combinable "
+    "max_by per key (operators/cdc.py::latest_change_per_key), drops "
+    "tombstones, and — because versions are merged by (ts, event_id), "
+    "not arrival order — the result is provably identical whichever "
+    "order micro-batches landed in. Oracle: the SAME SQL as the batch "
+    "x18 query; streaming and batch MUST converge to one table.",
+)
+def st_cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark.plans.llm_ops import _two_batch_fixture
+    from accident_prediction_montreal_spark.sources.registry import ntz_to_timestamp
+
+    fix_dir = _two_batch_fixture(sf_dir)
+    disk_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(disk_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fix_dir)
+    )
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
+    versions = (
+        raw.withColumn("ts", ntz_to_timestamp(F.col("ts")))
+        .select(
+            "user_id",
+            "value",
+            "ts",
+            "event_id",
+            F.when(
+                (F.col("event_type") == "error") & (F.col("ts") >= cutoff), F.lit("D")
+            )
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+    )
+
+    base = tempfile.mkdtemp(prefix="spark_graft_stcdc_")
+    log_dir, ckpt_dir = f"{base}/log", f"{base}/ckpt"
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # merge-on-read: the sink is an append-only version log
+        batch_df.write.mode("append").parquet(log_dir)
+
+    (
+        versions.writeStream.foreachBatch(append_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    log = spark.read.parquet(log_dir)
+    latest = latest_change_per_key(
+        log, ["user_id"], ["ts", "event_id"], ["value", "ts"]
+    )
+    return (
+        latest.filter(F.col("op") != "D")
+        .select(
+            "user_id",
+            "value",
+            "ts",
+            F.when(F.col("ts") >= cutoff, F.lit("upsert"))
+            .otherwise(F.lit("base"))
+            .alias("src"),
+        )
+        .orderBy("user_id")
+    )

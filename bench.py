@@ -98,6 +98,7 @@ EXTENDED = [
     "x20_zorder_layout",
     "er_golden_records",
     "g1_pagerank_trade",
+    "st_cdc_upsert_stream",
 ]
 
 
