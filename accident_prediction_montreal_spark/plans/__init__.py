@@ -136,6 +136,7 @@ _TAIL_HEAD = [
     "er_golden_records",
     "g1_pagerank_trade",
     "st_cdc_upsert_stream",
+    "a18_skyline_pareto",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

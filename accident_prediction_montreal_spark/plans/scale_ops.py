@@ -694,3 +694,40 @@ def st_cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "a18_skyline_pareto",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice AS price,
+      CAST(p.p_size AS INT) AS size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY p.p_partkey
+    """,
+    description="SKYLINE / Pareto-frontier query (A-surface extension; "
+    "operators/skyline.py): parts no other part dominates (cheaper or "
+    "equal price AND larger or equal size, one strict). Canonical "
+    "two-phase distributed skyline: per-partition frontiers via an "
+    "incremental vectorized mapInPandas sweep (sound: a global skyline "
+    "member is non-dominated in its own partition, so local pruning "
+    "never loses one), then an exact aggregate sweep over the pruned "
+    "union — groupBy(price) max, running max over the small distinct-"
+    "price table, broadcast join back. The O(n^2) NOT EXISTS is the "
+    "oracle's job, never the engine's.",
+)
+def a18_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.skyline import skyline_2d
+
+    pts = load_table(spark, "part", sf_dir).select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    return skyline_2d(pts, "price", "size").select(
+        "p_partkey", "price", "size"
+    ).orderBy("p_partkey")

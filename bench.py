@@ -99,6 +99,7 @@ EXTENDED = [
     "er_golden_records",
     "g1_pagerank_trade",
     "st_cdc_upsert_stream",
+    "a18_skyline_pareto",
 ]
 
 

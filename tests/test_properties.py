@@ -530,3 +530,28 @@ def test_png_roundtrip_property(p):
     assert feats["width"] == w and feats["height"] == h
     assert feats["mean_g"] == pytest.approx(arr[:, :, 1].mean(), abs=1e-9)
     assert feats["top_row_mean"] == pytest.approx(arr[0].mean(), abs=1e-9)
+
+
+# --- 2-D skyline (r7) -----------------------------------------------------------
+
+points_strategy = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 20)), min_size=1, max_size=40
+)
+
+
+@settings(**SETTINGS)
+@given(pts=points_strategy)
+def test_skyline_matches_bruteforce(spark, pts):
+    from accident_prediction_montreal_spark.operators.skyline import skyline_2d
+
+    rows = [(i, float(p), s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "pid LONG, price DOUBLE, size INT").repartition(3)
+    got = sorted(r["pid"] for r in skyline_2d(df, "price", "size").collect())
+    want = sorted(
+        i
+        for i, p, s in rows
+        if not any(
+            (q <= p and t >= s and (q < p or t > s)) for _, q, t in rows
+        )
+    )
+    assert got == want
