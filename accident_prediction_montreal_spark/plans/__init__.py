@@ -137,6 +137,8 @@ _TAIL_HEAD = [
     "g1_pagerank_trade",
     "st_cdc_upsert_stream",
     "a18_skyline_pareto",
+    "a19_event_transitions",
+    "a20_attribution_last_touch",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

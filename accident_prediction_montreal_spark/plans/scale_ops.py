@@ -731,3 +731,102 @@ def a18_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(pts, "price", "size").select(
         "p_partkey", "price", "size"
     ).orderBy("p_partkey")
+
+
+@register(
+    "a19_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+        LEAD(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS dst
+      FROM events
+    )
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n,
+      ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY src), 6)
+        AS prob
+    FROM seq WHERE dst IS NOT NULL
+    GROUP BY src, dst ORDER BY src, dst
+    """,
+    description="MARKOV transition matrix over per-user event sequences "
+    "(A-surface, product-analytics family next to cohort/funnel): one "
+    "lead() window per user (ts, event_id total order), one "
+    "groupBy(src, dst) count, transition probabilities via a "
+    "25-row window over the aggregate — the sequence-mining primitive "
+    "for next-event prediction. One sort shuffle on user_id, one "
+    "aggregate shuffle; nothing touches raw rows twice.",
+)
+def a19_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    agg = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wsrc = Window.partitionBy("src")
+    return (
+        agg.withColumn(
+            "prob", F.round(F.col("n") / F.sum("n").over(wsrc), 6)
+        )
+        .select("src", "dst", F.col("n").cast("long"), "prob")
+        .orderBy("src", "dst")
+    )
+
+
+@register(
+    "a20_attribution_last_touch",
+    oracle="""
+    WITH touched AS (
+      SELECT event_type, value,
+        LAST_VALUE(CASE WHEN event_type IN ('click','view')
+                        THEN event_type END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+      FROM events
+    )
+    SELECT COALESCE(channel, 'none') AS channel,
+      CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        AS value_sum
+    FROM touched WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="LAST-TOUCH ATTRIBUTION (A-surface, product-analytics "
+    "family): every purchase is attributed to the user's most recent "
+    "PRIOR click/view — an IGNORE-NULLS last_value window over the "
+    "(ts, event_id) order with an unbounded-to-1-preceding frame (the "
+    "same carry primitive as w8's LVCF gap-fill, aimed at marketing "
+    "attribution), then one decimal-exact aggregate per channel; "
+    "purchases with no prior touch land in 'none'. One sort shuffle "
+    "per user partition, one aggregate — never a self-join of "
+    "purchases against touches (the naive theta-join form is "
+    "quadratic in session length).",
+)
+def a20_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("channel", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("channel")
+    )

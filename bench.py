@@ -100,6 +100,8 @@ EXTENDED = [
     "g1_pagerank_trade",
     "st_cdc_upsert_stream",
     "a18_skyline_pareto",
+    "a19_event_transitions",
+    "a20_attribution_last_touch",
 ]
 
 
