@@ -139,6 +139,8 @@ _TAIL_HEAD = [
     "a18_skyline_pareto",
     "a19_event_transitions",
     "a20_attribution_last_touch",
+    "a21_approx_topk_invariant",
+    "w9_distribution_ranks",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

@@ -830,3 +830,115 @@ def a20_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "a21_approx_topk_invariant",
+    oracle="""
+    SELECT 'topk_items_match_exact' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'topk_counts_exact_on_skew', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'topk_ordered_desc', CAST(1 AS BIGINT)
+    ORDER BY chk
+    """,
+    description="approx_top_k SKETCH contract (Spark 4 Datasketches "
+    "frequent-items surface, the sketch sibling of a17's exact "
+    "Misra-Gries path): the same synthetic skewed key (5 heavy keys "
+    "holding ~10% of rows each, a unique tail) goes through "
+    "approx_top_k(5, 10000); with maxItemsTracked far above the "
+    "stream's distinct count per tracker the estimates are EXACT, so "
+    "the contract pins (a) the returned item set equals the exact "
+    "top-5 by count, (b) every returned count equals the exact "
+    "groupBy count, (c) descending count order. Literal invariant "
+    "oracle, a8/x15's pattern.",
+)
+def a21_approx_topk_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.plans.registry import chk_row
+
+    ev = load_table(spark, "events", sf_dir)
+    keyed = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.col("event_id") % 5)
+        .otherwise(F.col("event_id"))
+        .alias("hh_key")
+    )
+    sketch = keyed.agg(
+        F.expr("approx_top_k(hh_key, 5, 10000)").alias("tk")
+    )
+    exact = (
+        keyed.groupBy("hh_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("hh_key").asc())
+        .limit(5)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("hh_key", "cnt"))).alias("ex")
+        )
+    )
+    both = sketch.crossJoin(exact)
+    items_sorted = F.sort_array(
+        F.transform(F.col("tk"), lambda e: F.struct(e["item"].alias("hh_key"),
+                                                    e["count"].alias("cnt")))
+    )
+    counts_desc = F.transform(F.col("tk"), lambda e: e["count"])
+    ordered_ok = F.aggregate(
+        F.zip_with(
+            counts_desc,
+            F.slice(counts_desc, 2, F.size(counts_desc)),
+            lambda a, b: (a >= b).cast("int"),
+        ),
+        F.lit(1),
+        lambda acc, x: acc * F.coalesce(x, F.lit(1)),
+    ) == 1
+    checks = [
+        chk_row("topk_counts_exact_on_skew", items_sorted == F.col("ex")),
+        chk_row("topk_items_match_exact",
+                F.transform(items_sorted, lambda e: e["hh_key"])
+                == F.transform(F.col("ex"), lambda e: e["hh_key"])),
+        chk_row("topk_ordered_desc", ordered_ok),
+    ]
+    out = None
+    for c in checks:
+        row = both.select(*c)
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("chk")
+
+
+@register(
+    "w9_distribution_ranks",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderpriority,
+        ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        ROUND(CUME_DIST() OVER w, 6) AS cume,
+        CAST(NTILE(4) OVER w AS INT) AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT o_orderkey, o_orderpriority, pct_rank, cume, quartile
+    FROM ranked WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey
+    """,
+    description="Distribution-rank window family (W-surface completeness: "
+    "percent_rank + cume_dist + ntile in ONE window pass sharing one "
+    "sort — the remaining rank functions next to w1/w2's rank/"
+    "row_number and the deciles' lone ntile): per-priority price "
+    "distribution position for every order, then a modulo sample of "
+    "the output (ranks computed over the FULL partition, filtered "
+    "after — filtering first would change every rank). The (price, "
+    "orderkey) total order makes ntile's bucket boundaries and tie "
+    "placement deterministic cross-engine.",
+)
+def w9_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .orderBy("o_orderkey")
+    )

@@ -102,6 +102,8 @@ EXTENDED = [
     "a18_skyline_pareto",
     "a19_event_transitions",
     "a20_attribution_last_touch",
+    "a21_approx_topk_invariant",
+    "w9_distribution_ranks",
 ]
 
 
