@@ -555,3 +555,61 @@ def test_skyline_matches_bruteforce(spark, pts):
         )
     )
     assert got == want
+
+
+# --- CDC: log compaction == sequential MERGE, order-independent (r7) ------------
+
+cdc_events = st.lists(
+    st.tuples(
+        st.integers(0, 5),        # key
+        st.integers(0, 30),       # version (minutes offset; may collide)
+        st.integers(0, 999),      # change id (tie-break)
+        st.booleans(),            # is delete
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: (t[1], t[2]),  # (ts, cid) is a total order
+)
+
+
+@settings(**SETTINGS)
+@given(evs=cdc_events, split=st.integers(1, 29), swap=st.booleans())
+def test_cdc_log_merge_equals_sequential_apply(spark, evs, split, swap):
+    from pyspark.sql import functions as F
+
+    from accident_prediction_montreal_spark.operators.cdc import (
+        cdc_apply,
+        latest_change_per_key,
+    )
+
+    rows = [
+        (k, float(k * 100 + v), BASE + timedelta(minutes=v), c, "D" if d else "U")
+        for k, v, c, d in evs
+    ]
+    schema = "k LONG, val DOUBLE, ts TIMESTAMP, cid LONG, op STRING"
+    batches = [
+        [r for r in rows if r[2] < BASE + timedelta(minutes=split)],
+        [r for r in rows if r[2] >= BASE + timedelta(minutes=split)],
+    ]
+    if swap:  # merge-on-read must not care which micro-batch landed first
+        batches.reverse()
+
+    # merge-on-read: compact the unordered union of the version log
+    log = spark.createDataFrame(rows, schema)
+    mor = latest_change_per_key(log, ["k"], ["ts", "cid"], ["val", "ts"])
+    got = {
+        r["k"]: r["val"] for r in mor.filter(F.col("op") != "D").collect()
+    }
+
+    # copy-on-write: apply batches sequentially in TIME order
+    state = spark.createDataFrame([], "k LONG, val DOUBLE, ts TIMESTAMP")
+    for b in sorted(batches, key=lambda b: min((r[2] for r in b), default=BASE)):
+        if not b:
+            continue
+        state = cdc_apply(
+            state,
+            spark.createDataFrame(b, schema),
+            ["k"], ["ts", "cid"], ["val", "ts"],
+        ).select("k", "val", "ts")
+    want = {r["k"]: r["val"] for r in state.collect()}
+    assert got == want
