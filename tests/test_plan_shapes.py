@@ -292,3 +292,42 @@ def test_heavy_hitters_tail_never_shuffles_unfiltered(spark):
         r"[^\n]*\n\s*\+- BroadcastHashJoin",
         plan,
     ), plan
+
+
+def test_skyline_no_cartesian(spark):
+    # Local prune is mapInPandas; the global sweep joins back via a
+    # broadcast of the (tiny) skyline price set — never an all-pairs
+    # dominance join.
+    plan = plan_of(spark, "a18_skyline_pareto")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pagerank_joins_are_hash_or_broadcast(spark):
+    # Only 1-row count frames ride nested-loop broadcasts (crossJoin of
+    # the node-count scalar); the edge/rank joins are hash joins.
+    plan = plan_of(spark, "g1_pagerank_trade")
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_er_capstone_no_all_pairs(spark):
+    # Both matchers are bucketed equi-joins (shingle hash / deletion-
+    # variant hash); clustering is star rounds; golden join broadcasts.
+    plan = plan_of(spark, "er_golden_records")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_is_one_window_no_self_join(spark):
+    plan = plan_of(spark, "a20_attribution_last_touch")
+    assert "Join" not in plan  # carry via window, not purchasesxtouches
+    assert "Window" in plan
+
+
+def test_transitions_one_window_one_agg(spark):
+    plan = plan_of(spark, "a19_event_transitions")
+    assert "Join" not in plan
+    # lead() per user + prob window over the 25-row aggregate
+    assert plan.count("Window") >= 2
