@@ -141,6 +141,7 @@ _TAIL_HEAD = [
     "a20_attribution_last_touch",
     "a21_approx_topk_invariant",
     "w9_distribution_ranks",
+    "st_heavy_hitters_stream",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

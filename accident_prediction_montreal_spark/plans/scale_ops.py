@@ -199,9 +199,9 @@ def j14_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "a17_heavy_hitters",
-    oracle="""
+# Shared by the batch (a17) and streaming (st_heavy_hitters_stream)
+# heavy-hitter paths: both must produce the exact thresholded counts.
+_HH_ORACLE = """
     WITH keyed AS (
       SELECT CASE WHEN event_id % 2 = 0 THEN event_id % 5
                   ELSE event_id END AS hh_key
@@ -211,7 +211,12 @@ def j14_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM keyed GROUP BY hh_key
     HAVING COUNT(*) > 0.05 * (SELECT COUNT(*) FROM keyed)
     ORDER BY hh_key
-    """,
+    """
+
+
+@register(
+    "a17_heavy_hitters",
+    oracle=_HH_ORACLE,
     description="Exact HEAVY HITTERS without shuffling the long tail "
     "(A-surface; operators/heavyhitters.py, Misra-Gries 1982): a "
     "synthetic skewed key (half the events collapse onto 5 keys, half "
@@ -941,4 +946,73 @@ def w9_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("o_orderkey") % 50 == 0)
         .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "st_heavy_hitters_stream",
+    oracle=_HH_ORACLE,
+    description="STREAMING heavy hitters — the stateful twin of a17 "
+    "(§2.12 x operators/heavyhitters.py; streaming/stateful.py::"
+    "sharded_heavy_hitter_candidates): the skewed-key events stream "
+    "arrives as two micro-batches; per HASH SHARD (16-way — a single "
+    "global summary would funnel the stream through one state key, "
+    "shards spread the state store across the cluster) an "
+    "applyInPandasWithState Misra-Gries summary absorbs each batch "
+    "(vectorized value_counts merge, decrement-by-min eviction, state "
+    "= two parallel arrays). A key's whole stream lands in one shard, "
+    "so the pigeonhole superset guarantee survives sharding; the "
+    "update-mode candidate snapshots are then exactly recounted "
+    "batch-side and thresholded. Oracle: the SAME GROUP BY HAVING as "
+    "the batch a17 — stream state and batch must agree exactly.",
+)
+def st_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark.plans.llm_ops import (
+        _run_to_memory_sink,
+        _two_batch_fixture,
+    )
+    from accident_prediction_montreal_spark.streaming.stateful import (
+        sharded_heavy_hitter_candidates,
+    )
+
+    fix_dir = _two_batch_fixture(sf_dir)
+    disk_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(disk_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fix_dir)
+    )
+    hh_key = (
+        F.when(F.col("event_id") % 2 == 0, F.col("event_id") % 5)
+        .otherwise(F.col("event_id"))
+        .alias("hh_key")
+    )
+    keyed = raw.select(hh_key).select(
+        F.pmod(F.xxhash64("hh_key"), F.lit(16)).cast("int").alias("shard"), "hh_key"
+    )
+    cand_log = _run_to_memory_sink(
+        spark, sharded_heavy_hitter_candidates(keyed, capacity=41), "update"
+    )
+    candidates = cand_log.select("hh_key").distinct()
+
+    batch_keyed = load_table(spark, "events", sf_dir).select(hh_key)
+    n = batch_keyed.count()
+    return (
+        batch_keyed.join(F.broadcast(candidates), on="hh_key", how="left_semi")
+        .groupBy("hh_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 0.05 * n)
+        .select("hh_key", F.col("cnt").cast("long"))
+        .orderBy("hh_key")
     )

@@ -86,3 +86,60 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- sharded streaming heavy-hitter candidates -----------------------------------
+
+HH_STATE_SCHEMA = "ks ARRAY<LONG>, cs ARRAY<LONG>"
+HH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("hh_key", T.LongType()),
+    ]
+)
+
+
+def sharded_heavy_hitter_candidates(
+    keyed: DataFrame, capacity: int = 41
+) -> DataFrame:
+    """Streaming Misra-Gries candidate maintenance, SHARDED for scale
+    (the streaming face of operators/heavyhitters.py): input rows carry
+    (shard, hh_key); each shard's summary lives in the state store as
+    two parallel arrays and absorbs every micro-batch with a vectorized
+    value_counts merge + decrement-by-min eviction.
+
+    Sharding is what makes this distributed: a single global summary
+    would funnel the stream through one state key, while hash shards
+    spread state across the cluster and the per-shard pigeonhole bound
+    still holds (a key's whole stream lands in ONE shard, and
+    n_shard <= n, so capacity >= 1/threshold_frac suffices). Update-mode
+    emissions are per-batch candidate snapshots; the union over batches
+    remains a SUPERSET of every key above the global threshold — callers
+    recount candidates exactly batch-side (same second pass as the batch
+    operator).
+    """
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ks, cs = state.get
+            counters = dict(zip(ks, cs))
+        else:
+            counters = {}
+        for pdf in pdfs:
+            for v, c in pdf["hh_key"].value_counts().items():
+                counters[int(v)] = counters.get(int(v), 0) + int(c)
+            if len(counters) > capacity:
+                floor = sorted(counters.values())[len(counters) - capacity - 1]
+                counters = {v: c - floor for v, c in counters.items() if c > floor}
+        state.update((list(counters.keys()), list(counters.values())))
+        yield pd.DataFrame(
+            {"shard": key[0], "hh_key": list(counters.keys())}
+        )
+
+    return keyed.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

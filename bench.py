@@ -104,6 +104,7 @@ EXTENDED = [
     "a20_attribution_last_touch",
     "a21_approx_topk_invariant",
     "w9_distribution_ranks",
+    "st_heavy_hitters_stream",
 ]
 
 
