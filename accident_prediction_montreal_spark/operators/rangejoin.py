@@ -79,3 +79,52 @@ def point_in_interval_join(
     pt = points.withColumn("__cell", cell(F.col(ts_col)))
     cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     return pt.join(iv, on=["__cell"]).filter(cond).drop("__cell")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str] | None = None,
+    a_start: str = "a_start",
+    a_end: str = "a_end",
+    b_start: str = "b_start",
+    b_end: str = "b_end",
+    bucket_seconds: int = 6 * 3600,
+) -> DataFrame:
+    """Interval-INTERVAL overlap join (strict overlap: a_start < b_end
+    AND b_start < a_end; touching intervals do not match) — the
+    two-sided sibling of ``point_in_interval_join``.
+
+    Both sides explode onto time cells; candidates come from a hash
+    equi-join on (keys..., cell). An overlapping pair can share MANY
+    cells, so instead of a dropDuplicates shuffle the pair is emitted
+    only in its CANONICAL cell — the cell containing the overlap's
+    start max(a_start, b_start), which both intervals provably touch —
+    making the output exactly-once by construction. Fan-out per
+    interval is ceil(duration/bucket)+1 cells; candidate pairs are
+    bounded by co-located-cell density, never |A| x |B|.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+
+    def cell(col: Column) -> Column:
+        return F.floor(F.unix_timestamp(col) / F.lit(bucket_seconds)).cast("long")
+
+    def explode_cells(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__cell",
+            F.explode(
+                F.sequence(
+                    cell(F.col(s)),
+                    cell(F.col(e) - F.expr("interval 1 microsecond")),
+                )
+            ),
+        )
+
+    on = list(keys or []) + ["__cell"]
+    joined = explode_cells(a, a_start, a_end).join(
+        explode_cells(b, b_start, b_end), on=on
+    )
+    overlap = (F.col(a_start) < F.col(b_end)) & (F.col(b_start) < F.col(a_end))
+    canonical = F.col("__cell") == cell(F.greatest(a_start, b_start))
+    return joined.filter(overlap & canonical).drop("__cell")

@@ -142,6 +142,7 @@ _TAIL_HEAD = [
     "a21_approx_topk_invariant",
     "w9_distribution_ranks",
     "st_heavy_hitters_stream",
+    "j16_interval_overlap",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

@@ -1016,3 +1016,69 @@ def st_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hh_key", F.col("cnt").cast("long"))
         .orderBy("hh_key")
     )
+
+
+@register(
+    "j16_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, ts AS a_start,
+        ts + INTERVAL 1 MINUTE * CAST(FLOOR(value) AS INT) AS a_end
+      FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT user_id, ts AS b_start,
+        ts + INTERVAL 1 MINUTE * CAST(FLOOR(value) AS INT) AS b_end
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+      CAST(SUM(epoch_us(LEAST(a_end, b_end))
+               - epoch_us(GREATEST(a_start, b_start))) AS BIGINT) AS overlap_us
+    FROM a JOIN b ON a.user_id = b.user_id
+     AND a.a_start < b.b_end AND b.b_start < a.a_end
+    GROUP BY a.user_id ORDER BY a.user_id
+    """,
+    description="Interval-INTERVAL overlap join (J-surface; operators/"
+    "rangejoin.py::interval_overlap_join — the two-sided sibling of "
+    "j10's point-in-interval): click activity windows vs purchase "
+    "windows per user (duration = floor(value) minutes). Both sides "
+    "explode onto 6h time cells and hash-equi-join on (user, cell); a "
+    "pair sharing many cells is emitted ONLY in the canonical cell "
+    "containing its overlap start — exactly-once by construction, no "
+    "dropDuplicates shuffle. Overlap micros summed as exact BIGINT. "
+    "Oracle is the naive per-user theta join; candidate pairs in the "
+    "engine are bounded by cell co-location, never |A| x |B|.",
+)
+def j16_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    dur = F.expr("make_interval(0, 0, 0, 0, 0, CAST(FLOOR(value) AS INT), 0)")
+    a = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("a_start"),
+        (F.col("ts") + dur).alias("a_end"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("b_start"),
+        (F.col("ts") + dur).alias("b_end"),
+    )
+    pairs = interval_overlap_join(a, b, keys=["user_id"])
+    # event time is TIMESTAMP_NTZ engine-wide; epoch_us is the
+    # session-TZ-independent micros extraction for that flavor
+    from accident_prediction_montreal_spark.sources.registry import epoch_us
+
+    dur_us = epoch_us(F.least("a_end", "b_end"), "timestamp_ntz") - epoch_us(
+        F.greatest("a_start", "b_start"), "timestamp_ntz"
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum(dur_us).cast("long").alias("overlap_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -105,6 +105,7 @@ EXTENDED = [
     "a21_approx_topk_invariant",
     "w9_distribution_ranks",
     "st_heavy_hitters_stream",
+    "j16_interval_overlap",
 ]
 
 

@@ -613,3 +613,40 @@ def test_cdc_log_merge_equals_sequential_apply(spark, evs, split, swap):
         ).select("k", "val", "ts")
     want = {r["k"]: r["val"] for r in state.collect()}
     assert got == want
+
+
+# --- interval overlap join (r7) --------------------------------------------------
+
+iv_pairs = st.tuples(
+    st.lists(st.tuples(st.integers(0, 1), st.integers(0, 400), st.integers(1, 500)),
+             min_size=0, max_size=12),
+    st.lists(st.tuples(st.integers(0, 1), st.integers(0, 400), st.integers(1, 500)),
+             min_size=0, max_size=12),
+)
+
+
+@settings(**SETTINGS)
+@given(ab=iv_pairs)
+def test_interval_overlap_join_matches_bruteforce(spark, ab):
+    from accident_prediction_montreal_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    am, bm = ab
+    a_rows = [(k, BASE + timedelta(minutes=s), BASE + timedelta(minutes=s + d))
+              for k, s, d in am]
+    b_rows = [(k, BASE + timedelta(minutes=s), BASE + timedelta(minutes=s + d))
+              for k, s, d in bm]
+    a = spark.createDataFrame(a_rows or [], "k LONG, a_start TIMESTAMP, a_end TIMESTAMP")
+    b = spark.createDataFrame(b_rows or [], "k LONG, b_start TIMESTAMP, b_end TIMESTAMP")
+    got = sorted(
+        (r["k"], r["a_start"], r["b_start"])
+        for r in interval_overlap_join(a, b, keys=["k"], bucket_seconds=3600).collect()
+    )
+    want = sorted(
+        (ka, sa, sb)
+        for ka, sa, ea in a_rows
+        for kb, sb, eb in b_rows
+        if ka == kb and sa < eb and sb < ea
+    )
+    assert got == want
