@@ -143,6 +143,7 @@ _TAIL_HEAD = [
     "w9_distribution_ranks",
     "st_heavy_hitters_stream",
     "j16_interval_overlap",
+    "x21_ann_pruned_layout",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

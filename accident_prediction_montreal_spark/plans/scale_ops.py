@@ -1082,3 +1082,109 @@ def j16_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "x21_ann_pruned_layout",
+    oracle="""
+    SELECT 'partition_pruning_files' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'pruned_equals_inmemory_topk', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'topk_rows', CAST(1 AS BIGINT)
+    ORDER BY chk
+    """,
+    description="ANN x DATA LAYOUT composition (operators/ivf.py x "
+    "partitioned sink — the at-rest form of the IVF story the sim_ann_"
+    "ivf contract proves in memory): the corpus is written "
+    "partitionBy(cell_id) so each IVF cell is a parquet partition; "
+    "probing then reads ONLY the probed cells' directories — the scan "
+    "cost of a query is n_probe/n_cells of the corpus at ANY corpus "
+    "size, which is the entire point of IVF at 100 TB. Contract: (a) "
+    "top-k computed through the partitioned layout EQUALS the "
+    "in-memory IVF top-k (order-insensitive hash over (query, id, "
+    "cosine, rank)), (b) the probe-cell filtered read touches strictly "
+    "fewer files than the layout holds (file-level pruning proof via "
+    "input_file_name), (c) k rows per query. Probe cells resolve from "
+    "the <=16-row centroid table — the same driver-side metadata step "
+    "as partition pruning itself, never a data collect.",
+)
+def x21_ann_pruned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.functions.vectors import cosine_similarity
+    from accident_prediction_montreal_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_cosine_topk,
+    )
+    from accident_prediction_montreal_spark.plans.registry import chk_row
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned, centroids = build_ivf_index(emb, n_cells=16)
+    out_dir, _ = _scratch("ivfpart", sf_dir)
+    (
+        assigned.select("vec_id", "embedding", "cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(out_dir)
+    )
+    disk = spark.read.parquet(out_dir)
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    k, n_probe = 5, 2
+    res_disk = ivf_cosine_topk(queries, disk, centroids, k=k, n_probe=n_probe)
+    res_mem = ivf_cosine_topk(queries, assigned, centroids, k=k, n_probe=n_probe)
+
+    def res_hash(df: DataFrame):
+        return df.agg(
+            F.bit_xor(
+                F.xxhash64(
+                    "query_id", "vec_id", F.round("cosine", 6), "rank"
+                )
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    hd = res_hash(res_disk)
+    hm = res_hash(res_mem).select(
+        F.col("h").alias("hm"), F.col("n").alias("nm")
+    )
+
+    # probe cells for query 0: centroid table is <=16 rows of metadata —
+    # resolving them driver-side is the partition-pruning step itself
+    q0 = queries.filter(F.col("query_id") == 0)
+    probe_cells = [
+        r["cell_id"]
+        for r in q0.crossJoin(F.broadcast(centroids))
+        .select(
+            "cell_id",
+            cosine_similarity("query_vec", "centroid").alias("s"),
+        )
+        .orderBy(F.col("s").desc(), F.col("cell_id").asc())
+        .limit(n_probe)
+        .collect()
+    ]
+    total_files = disk.select(F.input_file_name()).distinct().count()
+    pruned_files = (
+        disk.filter(F.col("cell_id").isin(probe_cells))
+        .withColumn("__f", F.input_file_name())
+        .select("__f")
+        .distinct()
+        .count()
+    )
+
+    both = hd.crossJoin(hm)
+    checks = [
+        chk_row(
+            "partition_pruning_files",
+            F.lit(int(0 < pruned_files < total_files)) == 1,
+        ),
+        chk_row(
+            "pruned_equals_inmemory_topk",
+            (F.col("h") == F.col("hm")) & (F.col("n") == F.col("nm")),
+        ),
+        chk_row("topk_rows", F.col("n") == 3 * k),
+    ]
+    out = None
+    for c in checks:
+        row = both.select(*c)
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("chk")

@@ -106,6 +106,7 @@ EXTENDED = [
     "w9_distribution_ranks",
     "st_heavy_hitters_stream",
     "j16_interval_overlap",
+    "x21_ann_pruned_layout",
 ]
 
 
