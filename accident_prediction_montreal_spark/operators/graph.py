@@ -76,3 +76,77 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame, u: str = "u", v: str = "v"
+) -> DataFrame:
+    """One-row (n_nodes, n_edges, n_wedges, n_triangles) over an
+    undirected simple graph given as unique id-ordered edges (u < v).
+
+    Degree-ordered orientation (the classic distributed triangle-count
+    trick): re-orient every edge from its lower-(degree, id) endpoint to
+    the higher one, enumerate wedges only inside each node's OUT-
+    neighborhood, and close them with one semi-join back against the
+    oriented edge list. Out-degrees under this orientation are bounded
+    by O(√m) even on power-law graphs — the wedge join is therefore
+    Σ out_deg² = O(m^1.5), never the Σ deg² blowup a hub node causes
+    under naive id-ordering. Every triangle {a<b<c by (deg,id)} is
+    emitted exactly once (as the wedge (b,c) hanging off a), so the
+    count needs no post-division — and the count is orientation-
+    invariant, which is what lets an id-ordered SQL oracle check it.
+
+    Shuffle shape: two node-keyed degree joins (degree table is |V|
+    rows — broadcast when it fits), one self-join on the wedge apex,
+    one semi-join on the closing edge. No shuffle carries more than the
+    oriented wedge set.
+    """
+    fwd = edges.select(F.col(u).alias("node"))
+    rev = edges.select(F.col(v).alias("node"))
+    deg = fwd.unionByName(rev).groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+
+    e = (
+        edges.join(deg.withColumnRenamed("node", u).withColumnRenamed("d", "du"), u)
+        .join(deg.withColumnRenamed("node", v).withColumnRenamed("d", "dv"), v)
+    )
+    # orient: a = lower (deg, id) endpoint; carry b's (deg, id) for the
+    # wedge-pair ordering (must match the closing edge's orientation).
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col(u) < F.col(v))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col(u)).otherwise(F.col(v)).alias("a"),
+        F.when(u_first, F.col(v)).otherwise(F.col(u)).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+
+    # wedges inside each out-neighborhood, pair ordered by (deg, id) so
+    # (lo, hi) is exactly how the closing edge is oriented.
+    e1 = oriented.select(F.col("a"), F.col("b").alias("b1"), F.col("db").alias("db1"))
+    e2 = oriented.select(F.col("a"), F.col("b").alias("b2"), F.col("db").alias("db2"))
+    before = (F.col("db1") < F.col("db2")) | (
+        (F.col("db1") == F.col("db2")) & (F.col("b1") < F.col("b2"))
+    )
+    wedges = e1.join(e2, on="a").filter(before).select(
+        F.col("b1").alias("wa"), F.col("b2").alias("wb")
+    )
+    closed = wedges.join(
+        oriented.select(F.col("a").alias("wa"), F.col("b").alias("wb")),
+        on=["wa", "wb"],
+        how="left_semi",
+    )
+
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    # wedge count from out-degrees alone (no need to count the join)
+    n_wedges = (
+        oriented.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .agg(F.sum(F.col("od") * (F.col("od") - 1) / 2).cast("long").alias("n_wedges"))
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(n_tri))
+    )

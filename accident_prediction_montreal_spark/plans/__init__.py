@@ -144,6 +144,9 @@ _TAIL_HEAD = [
     "st_heavy_hitters_stream",
     "j16_interval_overlap",
     "x21_ann_pruned_layout",
+    "g2_triangle_count",
+    "x22_dynamic_partition_overwrite",
+    "x23_global_index",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

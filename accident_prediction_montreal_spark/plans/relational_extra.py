@@ -3252,3 +3252,59 @@ def m14_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(num / dx / dy, 6) + 0.0).alias("pearson_r"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+@register(
+    "x22_dynamic_partition_overwrite",
+    oracle="""
+    WITH cur AS (
+      SELECT CAST(ts AS DATE) AS d, value, event_type FROM events
+    ),
+    final AS (
+      SELECT d, value FROM cur
+      WHERE d NOT IN (DATE '2024-01-12', DATE '2024-01-13')
+      UNION ALL
+      SELECT d, value * 2 AS value FROM cur
+      WHERE d IN (DATE '2024-01-12', DATE '2024-01-13')
+        AND event_type <> 'error'
+    )
+    SELECT d, COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        AS value_sum
+    FROM final GROUP BY d
+    """,
+    description="DYNAMIC partition overwrite (S3 restatement contract — "
+    "the daily-pipeline reality that yesterday's bad partitions get "
+    "recomputed in place without touching the other 10 000): the full "
+    "events table is laid down partitionBy(date), then a RESTATED batch "
+    "covering only Jan 12-13 (errors dropped, values doubled — both row "
+    "count and sums change) is written with partitionOverwriteMode="
+    "dynamic, which must replace exactly the partitions present in the "
+    "batch. The per-date aggregate over the final table catches every "
+    "failure mode: static-overwrite semantics wipe the other 28 dates "
+    "(their groups vanish), append-instead-of-overwrite doubles the "
+    "restated dates, and a partial replace breaks n/value_sum. Oracle "
+    "replays the restatement relationally from the source table.",
+)
+def x22_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, _ = _scratch("dynpo", sf_dir)
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("ts").cast("date").alias("d"), "value", "event_type"
+    )
+    ev.select("d", "value").write.mode("overwrite").partitionBy("d").parquet(path)
+    restated = (
+        ev.filter(F.col("d").isin("2024-01-12", "2024-01-13"))
+        .filter(F.col("event_type") != "error")
+        .select("d", (F.col("value") * 2).alias("value"))
+    )
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("d")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )

@@ -1188,3 +1188,96 @@ def x21_ann_pruned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = both.select(*c)
         out = row if out is None else out.unionByName(row)
     return out.orderBy("chk")
+
+
+@register(
+    "g2_triangle_count",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT user_id AS uid, event_type, date_trunc('hour', ts) AS h
+      FROM events
+    ),
+    e AS (
+      SELECT DISTINCT x.uid AS u, y.uid AS v
+      FROM b x JOIN b y USING (event_type, h) WHERE x.uid < y.uid
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    )
+    SELECT
+      (SELECT COUNT(*) FROM deg) AS n_nodes,
+      (SELECT COUNT(*) FROM e) AS n_edges,
+      (SELECT CAST(SUM((od * (od - 1)) // 2) AS BIGINT)
+         FROM (SELECT a, COUNT(*) AS od FROM o GROUP BY a)) AS n_wedges,
+      (SELECT COUNT(*) FROM e e1
+         JOIN e e2 ON e2.u = e1.v
+         JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+    description="Distributed triangle counting (graph family, with "
+    "g1_pagerank and the components fixpoint): the co-occurrence graph "
+    "(users sharing an (event_type, hour) bucket) is built by a BUCKET-"
+    "BOUNDED pair join -- candidate pairs are quadratic only in bucket "
+    "size (max 10 here; at scale a doc-freq-style bucket cap applies, "
+    "exactly the decontam/jaccard guard), never |V|^2. Counting uses "
+    "degree-ordered orientation (operators/graph.py::triangle_stats): "
+    "wedges enumerate only inside out-neighborhoods (out-degree bounded "
+    "by O(sqrt(m)) under this orientation -- hub-proof), one semi-join "
+    "closes them, each triangle counted exactly once with no post-"
+    "division. The oracle counts triangles with the orientation-"
+    "INVARIANT id-ordered 3-way join -- agreement proves the oriented "
+    "plan loses/double-counts nothing -- and replays the wedge count "
+    "via DuckDB row-value comparison orientation.",
+)
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.graph import triangle_stats
+
+    ev = load_table(spark, "events", sf_dir)
+    b = ev.select(
+        F.col("user_id").alias("uid"),
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+    ).distinct()
+    x = b.select(F.col("uid").alias("u"), "event_type", "h")
+    y = b.select(F.col("uid").alias("v"), "event_type", "h")
+    edges = (
+        x.join(y, on=["event_type", "h"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_stats(edges)
+
+
+@register(
+    "x23_global_index",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS BIGINT)
+             AS global_idx,
+           event_id
+    FROM events
+    """,
+    description="Scale-safe GLOBAL row numbering (operators/indexing.py — "
+    "the zipWithIndex pattern, DataFrame-first): row_number() OVER "
+    "(ORDER BY ...) with no partition clause plans a SINGLE-partition "
+    "sort — the whole dataset through one task, the canonical 100-TB "
+    "bottleneck. Here: range-repartition by the key, sort within "
+    "partitions, number locally with a zero-shuffle Arrow pass (running "
+    "counter across the partition's batches), then one n_partitions-row "
+    "count aggregate (REUSES the range exchange) rolled into exclusive "
+    "prefix offsets and broadcast back. One data-sized shuffle total. "
+    "Oracle is the naive ROW_NUMBER — agreement proves the two-phase "
+    "assignment is exactly the global rank, boundary placement "
+    "included.",
+)
+def x23_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.indexing import global_row_index
+
+    ev = load_table(spark, "events", sf_dir).select("ts", "event_id")
+    out = global_row_index(ev, ["ts", "event_id"], num_partitions=32)
+    return out.select("global_idx", "event_id")
