@@ -64,6 +64,7 @@ _LCG_MOD_OUT = 1000000007
 # split of a sampled corpus degenerates (see module docstring).
 SALT_SAMPLE = 1
 SALT_SPLIT = 2
+SALT_WEIGHTED = 3
 
 
 def lcg_uniform(id_col: Column | str, salt: int = 0) -> Column:
@@ -228,4 +229,68 @@ def temperature_sample(
         domain_col,
     ).filter(lcg_uniform(id_col, salt=SALT_SAMPLE) < F.col("sample_rate")).drop(
         "n_docs", "p_share", "p_tau", "sample_rate"
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column,
+    k: int,
+    strata_col: str | None = None,
+    salt: int = SALT_WEIGHTED,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement as one distributed top-k —
+    the Efraimidis–Spirakis A-ES scheme: each row draws a deterministic
+    uniform u(id) and keys itself with u^(1/w); the k largest keys ARE
+    a weighted sample without replacement. No rejection loop, no
+    sequential pass, no driver state — "sample n of 100 TB by weight"
+    becomes the same shape as any top-k.
+
+    Scale shape: keys are computed map-side (JVM column math), then an
+    Arrow per-partition COMBINER keeps only each partition's top-k per
+    stratum — the shuffle that feeds the final exact rank carries at
+    most ``n_partitions × n_strata × k`` rows, never the corpus. The
+    final window re-ranks the survivors exactly.
+
+    Cross-engine determinism: u(id) is the shared exact LCG, so both
+    engines rank identical key VALUES; ``pow`` is not correctly rounded
+    (module docstring), but selection only flips if two keys differ by
+    under ~1 ulp, and distinct LCG uniforms keep real key gaps ~1e-5+
+    at any practical sample size — the SELECTION (ids + ranks) is
+    engine-stable even though raw keys are not hash-comparable. Callers
+    therefore output membership/rank, not the key itself.
+
+    Rows with non-positive weight are excluded (their key is undefined
+    — mirror of the oracle's ``WHERE w > 0``).
+    """
+    import pandas as pd
+
+    u = lcg_uniform(id_col, salt=salt)
+    keyed = (
+        df.filter(weight_col > 0)
+        .withColumn("__wkey", F.pow(u, F.lit(1.0) / weight_col))
+    )
+    schema = keyed.schema
+    strata = [strata_col] if strata_col else []
+
+    def combine(batches):
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            acc = acc.sort_values(
+                ["__wkey", id_col], ascending=[False, True], kind="mergesort"
+            )
+            acc = acc.groupby(strata_col, sort=False).head(k) if strata_col else acc.head(k)
+        if acc is not None and len(acc):
+            yield acc
+
+    pruned = keyed.mapInPandas(combine, schema=schema)
+    w = Window.partitionBy(*strata).orderBy(
+        F.col("__wkey").desc(), F.col(id_col).asc()
+    )
+    return (
+        pruned.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__wkey")
     )

@@ -147,6 +147,8 @@ _TAIL_HEAD = [
     "g2_triangle_count",
     "x22_dynamic_partition_overwrite",
     "x23_global_index",
+    "a22_weighted_sample",
+    "mm_audio_frames",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

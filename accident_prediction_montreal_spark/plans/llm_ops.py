@@ -3363,3 +3363,74 @@ def st_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("temp").cast("decimal(38,6)")).cast("double").alias("temp_sum"),
         F.sum((F.col("risky_weather") == 1.0).cast("long")).alias("n_risky"),
     )
+
+
+@register(
+    "mm_audio_frames",
+    oracle="""
+    WITH samp AS (
+      SELECT doc_id, unnest(range(0, 100 + doc_id % 50)) AS i FROM documents
+    ), v AS (
+      SELECT doc_id, i, i // 25 AS frame_id,
+        CAST((doc_id * 7919 + i * 104729) % 65536 - 32768 AS DOUBLE) AS s
+      FROM samp
+    ), z AS (
+      SELECT doc_id, frame_id, s,
+        LAG(s) OVER (PARTITION BY doc_id, frame_id ORDER BY i) AS sp
+      FROM v
+    )
+    SELECT doc_id AS media_id, frame_id, COUNT(*) AS n_samples,
+      ROUND(sqrt(AVG(s * s)), 6) + 0.0 AS rms_amp,
+      CAST(SUM(CASE WHEN s * sp < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+    FROM z GROUP BY doc_id, frame_id
+    """,
+    description="Frame-level AUDIO feature extraction with variable fan-out "
+    "(operators/multimodal.py::wav_frame_features — the audio twin of "
+    "video frame sampling, completing the multimodal north star's "
+    "feature-extract family): per document a mono PCM16 WAV payload is "
+    "synthesized from the closed form, the RIFF container is decoded for "
+    "REAL in the Arrow batch loop, and each 25-sample frame emits one "
+    "row of (count, RMS energy, zero-crossing count). The payload is "
+    "decoded ONCE and never shuffled — only (id, frame, features) rows "
+    "leave the map pass. Zero crossings are strict sign flips (exact "
+    "integers); RMS over integer PCM is sum-exact with correctly-rounded "
+    "division/sqrt, so both features are engine-stable. Oracle replays "
+    "frames from the closed form with a LAG window.",
+)
+def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        wav_frame_features,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    enc_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = 100 + d % 50
+                i = np.arange(n, dtype=np.int64)
+                s = (d * 7919 + i * 104729) % 65536 - 32768
+                payloads.append(encode_wav_pcm16(s))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, schema=enc_schema)
+    out = wav_frame_features(media, frame_len=25)
+    return out.select(
+        "media_id",
+        "frame_id",
+        "n_samples",
+        (F.round("rms_amp", 6) + 0.0).alias("rms_amp"),
+        "zero_cross",
+    )

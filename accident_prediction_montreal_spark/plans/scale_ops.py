@@ -1281,3 +1281,61 @@ def x23_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select("ts", "event_id")
     out = global_row_index(ev, ["ts", "event_id"], num_partitions=32)
     return out.select("global_idx", "event_id")
+
+
+def _a22_oracle() -> str:
+    from accident_prediction_montreal_spark.operators.mixing import (
+        SALT_WEIGHTED,
+        lcg_uniform_sql,
+    )
+
+    u = lcg_uniform_sql("event_id", salt=SALT_WEIGHTED)
+    return f"""
+    WITH keyed AS (
+      SELECT event_type, event_id,
+             POW({u}, 1.0 / (value + 1)) AS k
+      FROM events WHERE value + 1 > 0
+    ),
+    r AS (
+      SELECT event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY k DESC, event_id ASC) AS sample_rank
+      FROM keyed
+    )
+    SELECT event_type, event_id, CAST(sample_rank AS INT) AS sample_rank
+    FROM r WHERE sample_rank <= 100
+    """
+
+
+@register(
+    "a22_weighted_sample",
+    oracle=_a22_oracle(),
+    description="Weighted sampling WITHOUT replacement as ONE distributed "
+    "top-k (operators/mixing.py::weighted_sample_topk — Efraimidis-"
+    "Spirakis A-ES): every row keys itself with u(id)^(1/w) from the "
+    "shared exact LCG, and the k largest keys per stratum ARE a weighted "
+    "sample without replacement — no rejection loop, no sequential "
+    "reservoir, no driver state. Keys are computed map-side in the JVM; "
+    "an Arrow per-partition COMBINER prunes to each partition's local "
+    "top-k per stratum, so the only shuffle carries at most n_partitions "
+    "x n_strata x k rows (never the corpus) into the exact final rank. "
+    "Weight = value+1 over events, k=100 per event_type; the output is "
+    "the SELECTION (ids + ranks), engine-stable because distinct LCG "
+    "uniforms keep key gaps orders of magnitude above pow()'s ulp "
+    "differences; the raw transcendental key is deliberately not "
+    "emitted. Oracle replays the identical keying in SQL.",
+)
+def a22_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.mixing import (
+        weighted_sample_topk,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select("event_type", "event_id", "value")
+    out = weighted_sample_topk(
+        ev,
+        id_col="event_id",
+        weight_col=F.col("value") + 1,
+        k=100,
+        strata_col="event_type",
+    )
+    return out.select("event_type", "event_id", F.col("sample_rank").cast("int"))

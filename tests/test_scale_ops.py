@@ -227,3 +227,165 @@ def test_pagerank_matches_bruteforce(spark):
         assert abs(got[n] - rank[n]) < 1e-12, (n, got[n], rank[n])
     # dangling node 3 keeps only the base mass
     assert abs(got[3] - 0.15 / 4) < 1e-12
+
+
+# --- triangle counting ---------------------------------------------------------
+
+
+def test_triangle_stats_vs_brute_force(spark):
+    import itertools
+    import random
+
+    from accident_prediction_montreal_spark.operators.graph import triangle_stats
+
+    rng = random.Random(7)
+    nodes = list(range(12))
+    edges = sorted(
+        {(u, v) for u, v in itertools.combinations(nodes, 2) if rng.random() < 0.4}
+    )
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    brute_tri = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    df = spark.createDataFrame(edges, "u LONG, v LONG")
+    row = triangle_stats(df).collect()[0]
+    touched = {n for e in edges for n in e}
+    assert row["n_nodes"] == len(touched)
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == brute_tri
+    # oriented wedge count >= triangles, and equals sum over out-degrees
+    assert row["n_wedges"] >= brute_tri
+
+
+def test_triangle_stats_counts_each_once(spark):
+    from accident_prediction_montreal_spark.operators.graph import triangle_stats
+
+    # K4: 4 triangles, 6 edges; a star (no triangles) hangs off node 0
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (0, 9), (0, 8)]
+    df = spark.createDataFrame(k4, "u LONG, v LONG")
+    row = triangle_stats(df).collect()[0]
+    assert row["n_triangles"] == 4
+    assert row["n_nodes"] == 6
+
+
+# --- global row index ----------------------------------------------------------
+
+
+def test_global_row_index_matches_window(spark):
+    import random
+
+    from pyspark.sql import Window
+
+    from accident_prediction_montreal_spark.operators.indexing import global_row_index
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(0, 10_000)) for i in range(5_000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "id LONG, key LONG").repartition(16)
+    got = global_row_index(df, ["key", "id"], num_partitions=8)
+    expected = df.withColumn(
+        "want", F.row_number().over(Window.orderBy("key", "id")) - 1
+    )
+    bad = (
+        got.join(expected.select("id", "want"), "id")
+        .filter(F.col("global_idx") != F.col("want"))
+        .count()
+    )
+    assert bad == 0
+    # index is a 0..n-1 bijection
+    n = got.count()
+    assert got.select("global_idx").distinct().count() == n
+    assert got.agg(F.min("global_idx"), F.max("global_idx")).collect()[0] == (0, n - 1)
+
+
+def test_global_row_index_no_single_partition_sort(spark):
+    from accident_prediction_montreal_spark.operators.indexing import global_row_index
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    plan = global_row_index(df, ["k"], num_partitions=8)._jdf.queryExecution().executedPlan().toString()
+    # the data-sized path must carry no global Sort (rangepartitioning
+    # shuffle + within-partition sort only); a Window over an empty
+    # partition spec would show 'Window' with a single-partition exchange
+    assert "SinglePartition" not in plan.split("Window")[0]
+
+
+# --- weighted sampling ---------------------------------------------------------
+
+
+def test_weighted_sample_topk_equals_naive(spark):
+    from pyspark.sql import Window
+
+    from accident_prediction_montreal_spark.operators.mixing import (
+        SALT_WEIGHTED,
+        lcg_uniform,
+        weighted_sample_topk,
+    )
+
+    df = (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("rid"),
+            (F.col("id") % 3).cast("string").alias("g"),
+            ((F.col("id") * 37) % 100 + 1.0).alias("w"),
+        )
+        .repartition(16)
+    )
+    got = weighted_sample_topk(
+        df, id_col="rid", weight_col=F.col("w"), k=25, strata_col="g"
+    ).select("g", "rid", "sample_rank")
+
+    key = F.pow(lcg_uniform("rid", salt=SALT_WEIGHTED), F.lit(1.0) / F.col("w"))
+    naive = (
+        df.withColumn("__k", key)
+        .withColumn(
+            "sample_rank",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy(F.col("__k").desc(), F.col("rid"))
+            ),
+        )
+        .filter(F.col("sample_rank") <= 25)
+        .select("g", "rid", "sample_rank")
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+def test_weighted_sample_topk_excludes_nonpositive(spark):
+    from accident_prediction_montreal_spark.operators.mixing import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, 2.0)], "rid LONG, w DOUBLE"
+    )
+    got = weighted_sample_topk(df, id_col="rid", weight_col=F.col("w"), k=10)
+    ids = {r["rid"] for r in got.collect()}
+    assert ids == {1, 4}
+
+
+# --- audio frames --------------------------------------------------------------
+
+
+def test_wav_frame_features_vs_numpy(spark):
+    import numpy as np
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        wav_frame_features,
+    )
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32767, size=63, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav_pcm16(samples)))], "media_id LONG, payload BINARY"
+    )
+    out = {r["frame_id"]: r for r in wav_frame_features(df, frame_len=25).collect()}
+    assert sorted(out) == [0, 1, 2]
+    assert [out[i]["n_samples"] for i in (0, 1, 2)] == [25, 25, 13]
+    for fid in (0, 1, 2):
+        fr = samples[fid * 25 : (fid + 1) * 25]
+        assert out[fid]["zero_cross"] == int((fr[:-1] * fr[1:] < 0).sum())
+        assert abs(out[fid]["rms_amp"] - float(np.sqrt((fr.astype(float) ** 2).mean()))) < 1e-9
