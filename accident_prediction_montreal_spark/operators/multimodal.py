@@ -976,3 +976,254 @@ def wav_frame_features(
             )
 
     return media.select(id_col, payload_col).mapInPandas(frames, schema=out_schema)
+
+
+# --- GIF (real LZW — the second compressed raster codec) ----------------------
+
+
+def _gif_lzw_compress(indices, mcs: int) -> bytes:
+    """GIF-flavor LZW: variable-width codes (mcs+1 .. 12 bits), LSB-first
+    bit packing, CLEAR emitted up front and again if the table fills.
+    Width grows when the encoder's next free code reaches 2^width + 1 —
+    the exact mirror of the decoder's 2^width rule (the decoder's table
+    lags one entry because its first post-clear code adds none)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code, width = eoi + 1, mcs + 1
+
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, w: int):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += w
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    emit(clear, width)
+    w_seq: tuple = ()
+    for k in indices:
+        k = int(k)
+        wk = w_seq + (k,)
+        if wk in table:
+            w_seq = wk
+            continue
+        emit(table[w_seq], width)
+        if next_code < 4095:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code, width = eoi + 1, mcs + 1
+        w_seq = (k,)
+    if w_seq:
+        emit(table[w_seq], width)
+    emit(eoi, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, mcs: int) -> list[int]:
+    """GIF LZW decode per the spec: LSB-first variable-width codes,
+    CLEAR resets the table, KwKwK case (code == next free) handled,
+    width grows when the table reaches 2^width."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = acc = n_bits = 0
+    width = mcs + 1
+    table: list[list[int]] = [[i] for i in range(eoi + 1)]
+    out: list[int] = []
+    prev: list[int] | None = None
+
+    while True:
+        while n_bits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream ended without EOI")
+            acc |= data[pos] << n_bits
+            n_bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = [[i] for i in range(eoi + 1)]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW first code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # KwKwK
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out.extend(entry)
+        if prev is not None and len(table) < 4095:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_palette(n: int = 16) -> list[tuple[int, int, int]]:
+    """Deterministic 16-color palette, closed-form per index (the oracle
+    recomputes channel sums from these formulas)."""
+    return [((i * 17) % 256, (i * 29) % 256, (i * 43) % 256) for i in range(n)]
+
+
+def encode_gif87a(indices, width: int, height: int) -> bytes:
+    """Minimal GIF87a writer, stdlib only: logical screen descriptor,
+    16-entry global color table, one image, REAL LZW-compressed data in
+    ≤255-byte sub-blocks."""
+    import struct
+
+    idx = [int(i) for i in indices]
+    if len(idx) != width * height:
+        raise ValueError("index raster does not match dimensions")
+    if any(i < 0 or i > 15 for i in idx):
+        raise ValueError("palette index out of range")
+    mcs = 4  # 16-color table
+    out = bytearray(b"GIF87a")
+    # LSD: global color table flag, color resolution 3 (→ bits 0b1110),
+    # table size 2^(3+1)=16
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x03, 0, 0)
+    for r, g, b in _gif_palette(16):
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(mcs)
+    comp = _gif_lzw_compress(idx, mcs)
+    for i in range(0, len(comp), 255):
+        block = comp[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL GIF decode, stdlib only: header + logical screen descriptor,
+    global color table, image descriptor, sub-block reassembly, and a
+    full variable-width LZW decode (clear/EOI codes, KwKwK case, 12-bit
+    cap). Supports GIF87a/89a single-image, global-palette,
+    non-interlaced rasters — extensions (0x21 blocks) are skipped;
+    local palettes and interlace raise ValueError (PIL-class
+    territory).
+
+    Returns {width, height, mean_r, mean_g, mean_b, idx_sum} — the BMP/
+    PNG feature contract plus the palette-index checksum.
+    """
+    import struct
+
+    if payload is None or len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    width, height, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table")
+    gct_n = 2 << (packed & 0x07)
+    if len(payload) < 13 + 3 * gct_n:
+        raise ValueError("GIF truncated inside the global color table")
+    palette = [tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(gct_n)]
+    pos += 3 * gct_n
+    found_image = False
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:
+            found_image = True
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not found_image or pos + 11 > len(payload):
+        raise ValueError("GIF truncated before the image descriptor")
+    _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+    pos += 10
+    if ipacked & 0x80:
+        raise ValueError("local color tables unsupported")
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    mcs = payload[pos]
+    pos += 1
+    data = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF truncated inside image data sub-blocks")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            break
+        if pos + n > len(payload):
+            raise ValueError("GIF truncated inside image data sub-blocks")
+        data += payload[pos : pos + n]
+        pos += n
+    idx = _gif_lzw_decompress(bytes(data), mcs)
+    if len(idx) != iw * ih:
+        raise ValueError(f"GIF raster size mismatch: {len(idx)} != {iw}x{ih}")
+    if any(i >= gct_n for i in idx):
+        raise ValueError("GIF palette index out of range")
+    n_px = iw * ih
+    sum_r = sum(palette[i][0] for i in idx)
+    sum_g = sum(palette[i][1] for i in idx)
+    sum_b = sum(palette[i][2] for i in idx)
+    return {
+        "width": iw,
+        "height": ih,
+        "mean_r": sum_r / n_px,
+        "mean_g": sum_g / n_px,
+        "mean_b": sum_b / n_px,
+        "idx_sum": sum(idx),
+    }
+
+
+def gif_features(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, width, height, mean_r/g/b, idx_sum) via the REAL GIF decoder
+    (variable-width LZW) inside the Arrow batch loop."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("idx_sum", T.LongType()),
+        ]
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_gif(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "mean_r": [f["mean_r"] for f in feats],
+                    "mean_g": [f["mean_g"] for f in feats],
+                    "mean_b": [f["mean_b"] for f in feats],
+                    "idx_sum": [f["idx_sum"] for f in feats],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        decode_batches, schema=out_schema
+    )

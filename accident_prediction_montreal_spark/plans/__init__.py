@@ -149,6 +149,8 @@ _TAIL_HEAD = [
     "x23_global_index",
     "a22_weighted_sample",
     "mm_audio_frames",
+    "st_stream_stream_outer",
+    "mm_gif_decode",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

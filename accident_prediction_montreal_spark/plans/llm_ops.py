@@ -3434,3 +3434,157 @@ def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("rms_amp", 6) + 0.0).alias("rms_amp"),
         "zero_cross",
     )
+
+
+@register(
+    "st_stream_stream_outer",
+    oracle="""
+    SELECT event_id, value,
+      CASE WHEN event_id % 2 = 0 THEN value * 2 END AS r_value
+    FROM events
+    """,
+    description="LEFT-OUTER stream-stream join with watermark-driven NULL "
+    "emission (§2.12 — the semantics the inner join cannot exercise: an "
+    "unmatched left row may only emit once the watermark PROVES no match "
+    "can still arrive). Left = every event; right = only the even-id "
+    "half (values doubled), so every odd-id row must eventually emit "
+    "with r_value NULL — but not before eviction. The 3-file fixture "
+    "(maxFilesPerTrigger=1) drives it: bulk rows join/withhold in batch "
+    "1, the +10h clock row rides BOTH streams (on the right under an "
+    "unmatchable sentinel key, so it advances the right watermark "
+    "without joining — the global watermark is the MIN across operators, "
+    "so a right side whose clock is filtered would stall eviction "
+    "forever, a real production foot-gun this query documents), and "
+    "batch 3's processing flushes every withheld odd row with NULLs. "
+    "The clock row itself can never be proven unmatched (the watermark "
+    "never passes it) and stays withheld — excluded by construction; "
+    "the planted late row is dropped below the watermark. Output equals "
+    "the batch left join, which is the oracle.",
+)
+def st_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark.sources.registry import ntz_to_timestamp
+
+    fix_dir = _late_data_fixture(sf_dir)
+    disk_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def stream():
+        raw = (
+            spark.readStream.schema(disk_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(fix_dir)
+        )
+        return raw.withColumn("ts", ntz_to_timestamp(F.col("ts")))
+
+    left = (
+        stream()
+        .filter(F.col("event_type") != "late_planted")
+        .select("event_id", "ts", "value")
+        .withWatermark("ts", "1 hour")
+    )
+    right = (
+        stream()
+        .filter(
+            (F.col("event_type") == "clock_advance")
+            | ((F.col("event_id") % 2 == 0) & (F.col("event_id") >= 0))
+        )
+        .select(
+            # sentinel key keeps the clock row advancing the right
+            # watermark while never matching any left id
+            F.when(F.col("event_type") == "clock_advance", F.lit(-999_999))
+            .otherwise(F.col("event_id"))
+            .alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+            (F.col("value") * 2).alias("r_value"),
+        )
+        .withWatermark("r_ts", "1 hour")
+    )
+    cond = (
+        (F.col("event_id") == F.col("r_event_id"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 1 hour"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 1 hour"))
+    )
+    joined = left.join(right, cond, "leftOuter").select("event_id", "value", "r_value")
+    return _run_to_memory_sink(spark, joined, "append")
+
+
+@register(
+    "mm_gif_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims
+    ), v AS (
+      SELECT doc_id, w, h, (doc_id * 31 + p * 7) % 16 AS i FROM px
+    )
+    SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+      CAST(h AS BIGINT) AS height,
+      ROUND(AVG((i * 17) % 256), 6) + 0.0 AS mean_r,
+      ROUND(AVG((i * 29) % 256), 6) + 0.0 AS mean_g,
+      ROUND(AVG((i * 43) % 256), 6) + 0.0 AS mean_b,
+      CAST(SUM(i) AS BIGINT) AS idx_sum
+    FROM v GROUP BY doc_id, w, h
+    """,
+    description="REAL GIF decode under the value-oracle gate — the second "
+    "COMPRESSED raster codec next to PNG (operators/multimodal.py::"
+    "decode_gif): per document a 16-color GIF87a payload is synthesized "
+    "from the closed-form index raster and LZW-COMPRESSED for real "
+    "(variable-width codes growing 5..12 bits, clear/EOI, sub-block "
+    "framing), then decoded for real — header + logical screen "
+    "descriptor, global color table, sub-block reassembly, full LZW "
+    "with the KwKwK case — and reduced to palette-resolved channel "
+    "means + the index checksum. A decoder that mis-widths a code, "
+    "drops a clear, or misorders the table corrupts every downstream "
+    "pixel and hash-mismatches. Encoder/decoder width rules are "
+    "deliberately asymmetric (2^w+1 vs 2^w — the decoder's table lags "
+    "one entry), property-tested round-trip across the growth "
+    "boundaries in tests/test_multimodal_kml.py.",
+)
+def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        encode_gif87a,
+        gif_features,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    enc_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                w, h = 8 + d % 8, 6 + d % 6
+                idx = [(d * 31 + p * 7) % 16 for p in range(w * h)]
+                payloads.append(encode_gif87a(idx, w, h))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, schema=enc_schema)
+    out = gif_features(media)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        (F.round("mean_r", 6) + 0.0).alias("mean_r"),
+        (F.round("mean_g", 6) + 0.0).alias("mean_g"),
+        (F.round("mean_b", 6) + 0.0).alias("mean_b"),
+        "idx_sum",
+    )

@@ -458,3 +458,66 @@ def test_png_grayscale_and_features_mapinpandas(spark):
     for i in range(6):
         arr = (np.arange(5 * 4 * 3) * (i + 1) % 256).reshape(4, 5, 3)
         assert abs(got[i]["mean_g"] - arr[:, :, 1].mean()) < 1e-9
+
+
+def test_gif_lzw_roundtrip_growth_boundaries():
+    import random
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        _gif_lzw_compress,
+        _gif_lzw_decompress,
+    )
+
+    rng = random.Random(5)
+    for _ in range(60):
+        n = rng.randint(1, 4000)
+        idx = [rng.randint(0, 15) for _ in range(n)]
+        assert _gif_lzw_decompress(_gif_lzw_compress(idx, 4), 4) == idx
+    # low-entropy runs force dict growth across several width boundaries
+    for mcs in (2, 4):
+        idx = [0, 1] * 6000
+        assert _gif_lzw_decompress(_gif_lzw_compress(idx, mcs), mcs) == idx
+
+
+def test_gif_container_roundtrip_and_errors():
+    import pytest as _pytest
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif87a,
+    )
+
+    idx = [(p * 7) % 16 for p in range(12 * 9)]
+    payload = encode_gif87a(idx, 12, 9)
+    f = decode_gif(payload)
+    assert (f["width"], f["height"]) == (12, 9)
+    assert f["idx_sum"] == sum(idx)
+    pal_r = [(i * 17) % 256 for i in range(16)]
+    assert abs(f["mean_r"] - sum(pal_r[i] for i in idx) / len(idx)) < 1e-9
+    with _pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
+    with _pytest.raises(ValueError):
+        decode_gif(payload[:20])  # truncated mid-palette
+    # corrupt a byte inside the LZW stream: decode must fail loudly,
+    # not return wrong pixels silently (size or code-range check fires)
+    broken = bytearray(payload)
+    broken[-10] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_gif(bytes(broken))
+
+
+def test_gif_features_mapinpandas(spark):
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        encode_gif87a,
+        gif_features,
+    )
+
+    rows = []
+    for mid in (1, 2):
+        w, h = 5 + mid, 4
+        idx = [(mid * 31 + p * 7) % 16 for p in range(w * h)]
+        rows.append((mid, bytearray(encode_gif87a(idx, w, h))))
+    df = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = {r["media_id"]: r for r in gif_features(df).collect()}
+    assert got[1]["width"] == 6 and got[2]["width"] == 7
+    assert got[1]["idx_sum"] == sum((31 + p * 7) % 16 for p in range(24))

@@ -126,3 +126,23 @@ def test_stream_stream_join_pairs_every_event(spark, events_stream_fixture=None)
     )
     out = stream_stream_join(left, right).select("event_id", "r_value").collect()
     assert [(r["event_id"], r["r_value"]) for r in out] == [(1, 10.0)]
+
+
+def test_stream_stream_outer_null_emission(spark):
+    """The registered left-outer query at sf0.001: odd-id rows emit with
+    NULL r_value only after the clock batch pushes the watermark; the
+    synthetic clock row itself stays withheld (never provably
+    unmatched)."""
+    from accident_prediction_montreal_spark.plans import REGISTRY
+
+    out = REGISTRY["st_stream_stream_outer"].fn(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert all(i >= 0 for i in ids)  # synthetics excluded by construction
+    for r in rows:
+        if r["event_id"] % 2 == 0:
+            assert r["r_value"] == r["value"] * 2
+        else:
+            assert r["r_value"] is None
+    assert any(r["event_id"] % 2 == 1 for r in rows)  # outer rows DID flush
