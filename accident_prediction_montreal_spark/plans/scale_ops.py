@@ -1193,9 +1193,16 @@ def x21_ann_pruned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "g2_triangle_count",
     oracle="""
-    WITH b AS (
+    WITH b0 AS (
       SELECT DISTINCT user_id AS uid, event_type, date_trunc('hour', ts) AS h
       FROM events
+    ),
+    b AS (
+      SELECT uid, event_type, h FROM (
+        SELECT uid, event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type, h
+                                  ORDER BY uid) AS rn
+        FROM b0) t WHERE rn <= 5
     ),
     e AS (
       SELECT DISTINCT x.uid AS u, y.uid AS v
@@ -1222,9 +1229,14 @@ def x21_ann_pruned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Distributed triangle counting (graph family, with "
     "g1_pagerank and the components fixpoint): the co-occurrence graph "
     "(users sharing an (event_type, hour) bucket) is built by a BUCKET-"
-    "BOUNDED pair join -- candidate pairs are quadratic only in bucket "
-    "size (max 10 here; at scale a doc-freq-style bucket cap applies, "
-    "exactly the decontam/jaccard guard), never |V|^2. Counting uses "
+    "CAPPED pair join -- each bucket keeps its 5 smallest user_ids "
+    "(deterministic rank, mirrored in the oracle), the decontam/"
+    "jaccard doc-freq guard applied to graph construction: candidate "
+    "pairs are <= buckets x C(5,2) at ANY data scale, where the "
+    "uncapped co-occurrence graph densifies toward |V|^2 as event "
+    "volume grows over a fixed population (measured: 7.8k edges at "
+    "sf0.01 but 789k at sf0.1 uncapped -- the cap keeps the graph "
+    "sparse and the query O(data), not O(data^1.5)). Counting uses "
     "degree-ordered orientation (operators/graph.py::triangle_stats): "
     "wedges enumerate only inside out-neighborhoods (out-degree bounded "
     "by O(sqrt(m)) under this orientation -- hub-proof), one semi-join "
@@ -1237,12 +1249,20 @@ def x21_ann_pruned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from accident_prediction_montreal_spark.operators.graph import triangle_stats
 
+    from pyspark.sql import Window
+
     ev = load_table(spark, "events", sf_dir)
-    b = ev.select(
+    b0 = ev.select(
         F.col("user_id").alias("uid"),
         "event_type",
         F.date_trunc("hour", "ts").alias("h"),
     ).distinct()
+    cap_w = Window.partitionBy("event_type", "h").orderBy("uid")
+    b = (
+        b0.withColumn("__rn", F.row_number().over(cap_w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
     x = b.select(F.col("uid").alias("u"), "event_type", "h")
     y = b.select(F.col("uid").alias("v"), "event_type", "h")
     edges = (

@@ -107,6 +107,14 @@ EXTENDED = [
     "st_heavy_hitters_stream",
     "j16_interval_overlap",
     "x21_ann_pruned_layout",
+    # appended late r7:
+    "g2_triangle_count",
+    "x22_dynamic_partition_overwrite",
+    "x23_global_index",
+    "a22_weighted_sample",
+    "mm_audio_frames",
+    "st_stream_stream_outer",
+    "mm_gif_decode",
 ]
 
 
