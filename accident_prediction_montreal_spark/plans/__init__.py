@@ -151,6 +151,9 @@ _TAIL_HEAD = [
     "mm_audio_frames",
     "st_stream_stream_outer",
     "mm_gif_decode",
+    "a23_time_weighted_avg",
+    "a24_ohlc_bars",
+    "sql_lateral_topk",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

@@ -1359,3 +1359,152 @@ def a22_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         strata_col="event_type",
     )
     return out.select("event_type", "event_id", F.col("sample_rank").cast("int"))
+
+
+@register(
+    "a23_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, ts,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id,
+        CAST(value AS DECIMAL(18,6))
+          * CAST(date_diff('second', ts, nxt) AS DECIMAL(18,0)) AS wv,
+        date_diff('second', ts, nxt) AS dt
+      FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+      CAST(SUM(dt) AS BIGINT) AS span_s,
+      ROUND(CAST(SUM(wv) AS DOUBLE) / SUM(dt), 6) AS twa
+    FROM seg GROUP BY user_id HAVING SUM(dt) > 0
+    """,
+    description="TIME-WEIGHTED average per key (A-surface, time-series "
+    "family with the LVCF gap-fill and as-of joins — the TimescaleDB-"
+    "class rollup for irregular samples, where a plain AVG over-weights "
+    "bursts): each observation holds its value until the next one "
+    "(lead(ts) segment duration), TWA = sum(value x dt) / sum(dt). One "
+    "user-keyed sort window + one aggregate — both share the user_id "
+    "partitioning, so the second shuffle is free at scale. Products "
+    "accumulate in DECIMAL (exact, order-independent) so the sum is "
+    "partition-layout-stable and engine-exact; the final division is "
+    "one correctly-rounded double op.",
+)
+def a23_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        "ts",
+        F.lead("ts").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dt = (F.unix_timestamp("nxt") - F.unix_timestamp("ts")).alias("dt")
+    seg = seq.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,6)") * dt.cast("decimal(18,0)")).alias("wv"),
+        dt,
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum("dt").cast("long").alias("span_s"),
+            F.sum("wv").alias("__wv"),
+        )
+        .filter(F.col("span_s") > 0)
+        .select(
+            "user_id",
+            "span_s",
+            F.round(F.col("__wv").cast("double") / F.col("span_s"), 6).alias("twa"),
+        )
+    )
+
+
+@register(
+    "a24_ohlc_bars",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar, value, ts, event_id,
+        ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts, event_id) AS rn_open,
+        ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT event_type, bar,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+      MAX(value) AS high, MIN(value) AS low,
+      MAX(CASE WHEN rn_close = 1 THEN value END) AS close
+    FROM r GROUP BY event_type, bar
+    """,
+    description="OHLC bar resampling (A-surface, time-series family): "
+    "open/high/low/close of value per (event_type, hour) — the "
+    "canonical downsampling shape for market/sensor data. ONE hash "
+    "aggregate, no window sort: open/close are min/max over "
+    "(ts, event_id, value) STRUCTS (lexicographic struct ordering "
+    "encodes the total order; the tie-break makes first/last exact "
+    "under any partitioning — Spark's first()/last() aggregate would "
+    "be partition-order-dependent and min_by/max_by carry no "
+    "tie-break), high/low are plain min/max. Map-side combinable, one "
+    "shuffle of 8-byte-key groups at any scale. The oracle replays "
+    "open/close with two rank windows.",
+)
+def a24_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    g = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    return g.groupBy("event_type", "bar").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(F.struct("ts", "event_id", "value"))["value"].alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.struct("ts", "event_id", "value"))["value"].alias("close"),
+    )
+
+
+@register(
+    "sql_lateral_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT n.n_name, c.c_name, ROUND(c.c_acctbal, 2) AS c_acctbal,
+        ROW_NUMBER() OVER (PARTITION BY n.n_nationkey
+                           ORDER BY c.c_acctbal DESC, c.c_name) AS rn
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name, c_name, c_acctbal FROM ranked WHERE rn <= 3
+    """,
+    description="SQL LATERAL correlated subquery (relational surface next "
+    "to the correlated-EXISTS and recursive-CTE queries): top-3 "
+    "customers by account balance PER NATION via JOIN LATERAL "
+    "(... ORDER BY ... LIMIT 3) — the per-row-subquery syntax analysts "
+    "reach for. Catalyst DECORRELATES it into the same windowed-rank "
+    "plan the oracle spells out explicitly (DomainJoin -> rank filter), "
+    "so the declarative form pays no per-row execution at scale — that "
+    "equivalence is exactly what the oracle checks.",
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "nation", sf_dir).createOrReplaceTempView("lat_nation")
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 2) AS c_acctbal
+        FROM lat_nation n
+        JOIN LATERAL (
+          SELECT c_name, c_acctbal
+          FROM lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name
+          LIMIT 3
+        ) t
+        """
+    )

@@ -115,6 +115,9 @@ EXTENDED = [
     "mm_audio_frames",
     "st_stream_stream_outer",
     "mm_gif_decode",
+    "a23_time_weighted_avg",
+    "a24_ohlc_bars",
+    "sql_lateral_topk",
 ]
 
 
