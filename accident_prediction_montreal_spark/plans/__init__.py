@@ -154,6 +154,7 @@ _TAIL_HEAD = [
     "a23_time_weighted_avg",
     "a24_ohlc_bars",
     "sql_lateral_topk",
+    "f_array_hof",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

@@ -3308,3 +3308,87 @@ def x22_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
     )
+
+
+@register(
+    "f_array_hof",
+    oracle="""
+    WITH el AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x,
+             len(embedding) AS n
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, i, n, x,
+             CAST(ROUND(ABS(x) * 1000) AS BIGINT) AS absq
+      FROM el
+    ),
+    dot AS (
+      SELECT a.vec_id,
+             CAST(SUM(CAST(ROUND(a.x * b.x * 1000) AS BIGINT)) AS BIGINT)
+               AS revdot_q
+      FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i = a.n + 1 - a.i
+      GROUP BY a.vec_id
+    ),
+    top3 AS (
+      SELECT vec_id, CAST(SUM(absq) AS BIGINT) AS top3_q FROM (
+        SELECT vec_id, absq,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY absq DESC) AS rn
+        FROM q) t WHERE rn <= 3 GROUP BY vec_id
+    ),
+    base AS (
+      SELECT vec_id, CAST(MAX(n) AS INT) AS dim,
+        CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS INT) AS n_pos,
+        CAST(SUM(absq) AS BIGINT) AS l1_q
+      FROM q GROUP BY vec_id
+    )
+    SELECT base.vec_id, dim, n_pos, l1_q, revdot_q, top3_q
+    FROM base JOIN dot ON dot.vec_id = base.vec_id
+    JOIN top3 ON top3.vec_id = base.vec_id
+    """,
+    description="Higher-order array-function surface (F-family, next to "
+    "f_map_funcs/f_udtf): transform / filter / aggregate / zip_with / "
+    "reverse / sort_array / slice over the embedding column, all JVM-"
+    "side codegen'd lambdas — ZERO Python, zero explode-shuffle: every "
+    "per-vector statistic (dimension, positive count, L1 norm, dot with "
+    "the reversed vector, top-3 component sum) is computed inside one "
+    "narrow projection, where the oracle needs an unnest + self-join + "
+    "rank window to say the same thing. Values are quantized to integer "
+    "milli-units BEFORE summation (float folds are association-order-"
+    "sensitive; integer sums are exact in both engines). Documents the "
+    "HOF pitfalls the minhash operator hit: no common-subexpression "
+    "elimination inside lambda bodies, so the quantized array is built "
+    "ONCE and reused by name, never re-derived per use.",
+)
+def f_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    out = emb.select(
+        "vec_id",
+        e.alias("e"),
+    ).select(
+        "vec_id",
+        F.size("e").alias("dim"),
+        F.size(F.filter("e", lambda x: x > 0)).alias("n_pos"),
+        F.transform("e", lambda x: F.round(F.abs(x) * 1000).cast("long")).alias("absq"),
+        F.zip_with(
+            "e",
+            F.reverse("e"),
+            lambda x, y: F.round(x * y * 1000).cast("long"),
+        ).alias("dq"),
+    ).select(
+        "vec_id",
+        "dim",
+        "n_pos",
+        F.aggregate("absq", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("l1_q"),
+        F.aggregate("dq", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "revdot_q"
+        ),
+        F.aggregate(
+            F.slice(F.sort_array("absq", asc=False), 1, 3),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("top3_q"),
+    )
+    return out

@@ -118,6 +118,7 @@ EXTENDED = [
     "a23_time_weighted_avg",
     "a24_ohlc_bars",
     "sql_lateral_topk",
+    "f_array_hof",
 ]
 
 
