@@ -331,3 +331,62 @@ def test_transitions_one_window_one_agg(spark):
     assert "Join" not in plan
     # lead() per user + prob window over the 25-row aggregate
     assert plan.count("Window") >= 2
+
+
+def test_weighted_sample_single_data_shuffle(spark):
+    # keys computed map-side, combiner prunes BEFORE the only shuffle
+    plan = plan_of(spark, "a22_weighted_sample")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" in plan
+    # the combiner must sit UPSTREAM of the exchange (prune-then-shuffle)
+    assert plan.index("MapInPandas") > plan.index("Exchange hashpartitioning")
+
+
+def test_global_index_range_exchange_reused(spark):
+    # the counts branch must reuse the range shuffle at runtime (AQE
+    # stage reuse), so the data is range-shuffled exactly once
+    df = REGISTRY["x23_global_index"].fn(spark, SF)
+    qe = df._jdf.queryExecution()
+    df.collect()
+    final = qe.executedPlan().toString()
+    assert final.count("Exchange rangepartitioning") >= 1
+    assert "ReusedExchange" in final
+    # no data-sized single-partition sort anywhere
+    assert "rangepartitioning(ts" in final
+
+
+def test_ohlc_single_aggregate_no_window(spark):
+    plan = plan_of(spark, "a24_ohlc_bars")
+    assert "Window" not in plan  # struct min/max replaces rank windows
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_twa_window_and_agg_share_partitioning(spark):
+    plan = plan_of(spark, "a23_time_weighted_avg")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_lateral_decorrelates_to_group_limit(spark):
+    plan = plan_of(spark, "sql_lateral_topk")
+    assert "WindowGroupLimit" in plan  # map-side top-k before the shuffle
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_wedges_are_equi_joins(spark):
+    plan = plan_of(spark, "g2_triangle_count")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the three 1-row aggregate
+    # combiners at the top (sanctioned scalar broadcasts); the wedge
+    # self-join and the closing semi-join must be hash equi-joins
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+    assert "LeftSemi" in plan  # closing join is a real semi-join
+    from accident_prediction_montreal_spark import cachereg
+
+    cachereg.release("operators.graph.triangles")
+
+
+def test_array_hof_no_explode_no_python(spark):
+    plan = plan_of(spark, "f_array_hof")
+    assert "Generate" not in plan  # no explode — lambdas stay in-row
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # narrow: scan -> project, zero shuffles
