@@ -155,6 +155,7 @@ _TAIL_HEAD = [
     "a24_ohlc_bars",
     "sql_lateral_topk",
     "f_array_hof",
+    "a25_session_dynamic_gap",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

@@ -1508,3 +1508,72 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "a25_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN event_type = 'error' THEN INTERVAL 6 HOUR
+             ELSE INTERVAL 24 HOUR END AS gap
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, ts, value,
+        MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS prev_maxext
+      FROM g
+    ),
+    f AS (
+      SELECT user_id, ts, value,
+        CASE WHEN prev_maxext IS NULL OR ts >= prev_maxext THEN 1 ELSE 0 END
+          AS new_s
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS sid
+      FROM f
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        AS value_sum
+    FROM s GROUP BY user_id, sid
+    """,
+    description="DYNAMIC-gap sessionization (A-surface, the batch form of "
+    "§2.12's session windows): session_window(ts, CASE ...) with a PER-"
+    "EVENT gap — error events hold a session open 6 h, everything else "
+    "24 h — the real-world policy (checkout flows time out faster than "
+    "browsing) that a fixed-gap sessionizer cannot express. Spark's "
+    "session merge is window-overlap ([ts, ts+gap) intervals, "
+    "exclusive end); the oracle derives identical sessions by island "
+    "detection — cumulative MAX of extents, a new session exactly when "
+    "ts >= every preceding extent — proving the merge semantics, "
+    "including the ts == end boundary (new session) and out-of-order "
+    "extents (a long-gap event swallowing later short-gap ones). One "
+    "user-keyed shuffle; the aggregate is decimal-exact.",
+)
+def a25_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    gap = (
+        F.when(F.col("event_type") == "error", F.lit("6 hours"))
+        .otherwise(F.lit("24 hours"))
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n",
+            "value_sum",
+        )
+    )

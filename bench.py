@@ -119,6 +119,7 @@ EXTENDED = [
     "a24_ohlc_bars",
     "sql_lateral_topk",
     "f_array_hof",
+    "a25_session_dynamic_gap",
 ]
 
 
