@@ -156,6 +156,7 @@ _TAIL_HEAD = [
     "sql_lateral_topk",
     "f_array_hof",
     "a25_session_dynamic_gap",
+    "a26_rfm_segmentation",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

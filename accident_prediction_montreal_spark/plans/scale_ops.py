@@ -1577,3 +1577,66 @@ def a25_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+@register(
+    "a26_rfm_segmentation",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS amax FROM events),
+    u AS (
+      SELECT user_id,
+        date_diff('second', MAX(ts), (SELECT amax FROM anchor)) AS recency_s,
+        CAST(COUNT(*) AS BIGINT) AS frequency,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+          AS monetary
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(recency_s AS BIGINT) AS recency_s, frequency, monetary,
+      CAST(NTILE(5) OVER (ORDER BY recency_s ASC, user_id) AS INT) AS r_q,
+      CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_q,
+      CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_q
+    FROM u
+    """,
+    description="RFM SEGMENTATION (A-surface, product-analytics family with "
+    "cohort/funnel/attribution): per-user recency (seconds before the "
+    "corpus max-ts anchor — a 1-row broadcast, never a driver collect), "
+    "frequency, decimal-exact monetary, then quintile scores via three "
+    "NTILE windows with full tie-break total orders (metric, user_id — "
+    "cross-engine-deterministic tiles, the w9 discipline). The ranked "
+    "set is the USER AGGREGATE (|users| << |events|), so the global "
+    "windows sort metadata-sized data — at a scale where even the "
+    "aggregate is huge, the quintile boundaries would come from "
+    "approx_percentile instead (a8/a10 family); the raw-event side "
+    "stays one map-side-combined aggregate either way.",
+)
+def a26_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    anchor = ev.agg(F.max("ts").alias("amax"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            (F.unix_timestamp("amax") - F.unix_timestamp("last_ts"))
+            .cast("long")
+            .alias("recency_s"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return u.select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy(F.asc("recency_s"), F.asc("user_id"))).alias("r_q"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("user_id"))).alias("f_q"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("user_id"))).alias("m_q"),
+    )

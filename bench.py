@@ -120,6 +120,7 @@ EXTENDED = [
     "sql_lateral_topk",
     "f_array_hof",
     "a25_session_dynamic_gap",
+    "a26_rfm_segmentation",
 ]
 
 
