@@ -501,3 +501,97 @@ def editdist1_pairs(
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.6,
+) -> DataFrame:
+    """EXACT Jaccard threshold self-join via prefix filtering (PPJoin,
+    Xiao et al. 2008) — the scale path the capped inverted index
+    (``ngram_jaccard_pairs``) approximates with its ``max_doc_freq``
+    heuristic. No cap, no heuristic: every pair with J ≥ t is returned,
+    with a correctness proof instead of a frequency cutoff.
+
+    Prefix-filter theorem: order every document's shingle set by one
+    GLOBAL total order (ascending document frequency, ties by hash — the
+    rarest tokens first, so prefixes land in the emptiest buckets). If
+    J(a,b) ≥ t then their overlap is ≥ t·max(|a|,|b|), so a and b MUST
+    share a token within their first |x| − ceil(t·|x|) + 1 tokens. Only
+    those prefix tokens are indexed; everything else never enters the
+    candidate join.
+
+    Plan shape (the 100-TB story): one token-keyed aggregate for document
+    frequencies, one window per doc for the frequency ranking, a
+    token-keyed bucket join over PREFIX tokens only (with the PPJoin
+    length filter t·max ≤ min applied before a pair is ever emitted),
+    then exact verification of the deduped candidates against the full
+    shingle-hash arrays via array_intersect. Candidate volume is bounded
+    by prefix bucket sizes — rare-token buckets by construction — never
+    by raw token frequency; no all-pairs stage exists anywhere.
+    """
+    t = min_jaccard
+    docs = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingle_hashes(text_col, n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+
+    post = docs.select("doc", F.size("sh").alias("len"), F.explode("sh").alias("h"))
+    freq = post.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # Rank each doc's tokens by the global (df, h) order; keep the prefix.
+    w = Window.partitionBy("doc").orderBy("df", "h")
+    prefix_len = F.col("len") - F.ceil(F.lit(t) * F.col("len")).cast("int") + 1
+    pref = (
+        post.join(freq, "h")
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= prefix_len)
+        .select("doc", "len", "h")
+    )
+    buckets = (
+        pref.groupBy("h")
+        .agg(F.collect_list(F.struct("doc", "len")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+
+    def pair(x: Column, y: Column) -> Column:
+        return F.struct(
+            F.least(x["doc"], y["doc"]).alias("id_a"),
+            F.greatest(x["doc"], y["doc"]).alias("id_b"),
+            F.least(x["len"], y["len"]).alias("len_min"),
+            F.greatest(x["len"], y["len"]).alias("len_max"),
+        )
+
+    ms = F.col("ms")
+    combos = F.flatten(
+        # two-param lambda ON PURPOSE: pyspark passes the element index
+        F.transform(
+            ms,
+            lambda x, i: F.transform(F.slice(ms, i + 2, F.size(ms)), lambda y: pair(x, y)),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b", "p.len_min", "p.len_max")
+        # PPJoin length filter: J >= t forces t*max(|a|,|b|) <= min(|a|,|b|)
+        .filter(F.col("len_min") >= F.lit(t) * F.col("len_max"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # Exact verification: intersect the full (distinct) shingle-hash arrays.
+    a = docs.select(F.col("doc").alias("id_a"), F.col("sh").alias("__sha"))
+    b = docs.select(F.col("doc").alias("id_b"), F.col("sh").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size("__sha") + F.size("__shb") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+    )

@@ -24,6 +24,7 @@ from accident_prediction_montreal_spark.plans import composite  # noqa: F401,E40
 from accident_prediction_montreal_spark.plans import llm_ops  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import apm_pipeline  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import scale_ops  # noqa: F401,E402
+from accident_prediction_montreal_spark.plans import wave5  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #
@@ -157,6 +158,14 @@ _TAIL_HEAD = [
     "f_array_hof",
     "a25_session_dynamic_gap",
     "a26_rfm_segmentation",
+    "dedup_ppjoin",
+    "a27_market_basket",
+    "text_bm25",
+    "m15_psi_drift",
+    "a28_seasonal_anomaly",
+    "g3_label_propagation",
+    "a29_robust_zscore",
+    "a31_sequence_pattern",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

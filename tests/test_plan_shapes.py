@@ -390,3 +390,61 @@ def test_array_hof_no_explode_no_python(spark):
     assert "Generate" not in plan  # no explode — lambdas stay in-row
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan  # narrow: scan -> project, zero shuffles
+
+
+# --- r7 wave-5 guards ---------------------------------------------------------
+
+def test_ppjoin_no_all_pairs(spark):
+    plan = plan_of(spark, "dedup_ppjoin")
+    # prefix-bucket pairing + hash-join verification: never a cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_market_basket_pair_join_is_keyed(spark):
+    plan = plan_of(spark, "a27_market_basket")
+    assert "CartesianProduct" not in plan
+    # totals + order count ride broadcasts onto the filtered pair set;
+    # the only nested-loop join is the 1-row order-count broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_is_map_plus_scalar_broadcast(spark):
+    plan = plan_of(spark, "text_bm25")
+    # per-doc tf/dl are in-row lambdas; corpus stats join as a 1-row
+    # broadcast; no Python anywhere, no explode of the token arrays
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Generate" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_seasonal_baseline_is_broadcast_back(spark):
+    plan = plan_of(spark, "a28_seasonal_anomaly")
+    # the 168-row baseline joins broadcast — the raw events are never
+    # shuffled into the (dow, hr) key space for the enrichment
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_label_propagation_rounds_are_hash_joins(spark):
+    plan = plan_of(spark, "g3_label_propagation")
+    assert "CartesianProduct" not in plan
+    from accident_prediction_montreal_spark import cachereg
+
+    cachereg.release("plans.wave5.labelprop")
+
+
+def test_robust_zscore_stats_broadcast(spark):
+    plan = plan_of(spark, "a29_robust_zscore")
+    # per-user median and MAD tables come back as broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_pattern_single_user_shuffle(spark):
+    plan = plan_of(spark, "a31_sequence_pattern")
+    # both leads share one user_id window sort; the count-by-user agg
+    # reuses that partitioning — one data-sized exchange total
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1

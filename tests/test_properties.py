@@ -650,3 +650,45 @@ def test_interval_overlap_join_matches_bruteforce(spark, ab):
         if ka == kb and sa < eb and sb < ea
     )
     assert got == want
+
+
+# --- PPJoin exact Jaccard threshold join (r7 wave 5) ---------------------------
+
+pp_corpus = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=12),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(**SETTINGS)
+@given(corpus=pp_corpus, t=st.sampled_from([0.3, 0.5, 0.8]))
+def test_ppjoin_matches_bruteforce(spark, corpus, t):
+    """ppjoin_pairs == brute-force pairwise Jaccard over word-3-gram
+    shingle SETS, for every threshold: the prefix filter must not drop
+    a single qualifying pair (that is its theorem), the length filter
+    must not over-prune, and the verification must be exact."""
+    from accident_prediction_montreal_spark.operators.dedup import ppjoin_pairs
+
+    N = 3
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ppjoin_pairs(df, n=N, min_jaccard=t).collect()
+    }
+
+    def shingles(toks):
+        return {tuple(toks[i : i + N]) for i in range(len(toks) - N + 1)}
+
+    want = {}
+    for i in range(len(corpus)):
+        for j in range(i + 1, len(corpus)):
+            sa, sb = shingles(corpus[i]), shingles(corpus[j])
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= t:
+                want[(i, j)] = round(jac, 9)
+    assert got == want
