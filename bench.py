@@ -121,6 +121,15 @@ EXTENDED = [
     "f_array_hof",
     "a25_session_dynamic_gap",
     "a26_rfm_segmentation",
+    # appended wave 5 (r7):
+    "dedup_ppjoin",
+    "a27_market_basket",
+    "text_bm25",
+    "m15_psi_drift",
+    "a28_seasonal_anomaly",
+    "g3_label_propagation",
+    "a29_robust_zscore",
+    "a31_sequence_pattern",
 ]
 
 
