@@ -25,6 +25,7 @@ from accident_prediction_montreal_spark.plans import llm_ops  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import apm_pipeline  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import scale_ops  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave5  # noqa: F401,E402
+from accident_prediction_montreal_spark.plans import wave6  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #
@@ -166,6 +167,11 @@ _TAIL_HEAD = [
     "g3_label_propagation",
     "a29_robust_zscore",
     "a31_sequence_pattern",
+    "g4_bfs_khop",
+    "a30_autocorr",
+    "m16_gains_table",
+    "w10_rolling_median",
+    "x25_time_travel",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

@@ -130,6 +130,12 @@ EXTENDED = [
     "g3_label_propagation",
     "a29_robust_zscore",
     "a31_sequence_pattern",
+    # appended wave 6 (r7):
+    "g4_bfs_khop",
+    "a30_autocorr",
+    "m16_gains_table",
+    "w10_rolling_median",
+    "x25_time_travel",
 ]
 
 

@@ -448,3 +448,51 @@ def test_sequence_pattern_single_user_shuffle(spark):
     # reuses that partitioning — one data-sized exchange total
     assert plan.count("Window") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- r7 wave-6 guards ---------------------------------------------------------
+
+def test_bfs_rounds_are_hash_joins(spark):
+    plan = plan_of(spark, "g4_bfs_khop")
+    assert "CartesianProduct" not in plan
+    # nested-loop joins may appear once per lineage replay of the dist
+    # subtree, but every one must be the 1-row seed Cross broadcast —
+    # never a data-sized Inner BNLJ
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line
+    from accident_prediction_montreal_spark import cachereg
+
+    cachereg.release("plans.wave6.bfs")
+
+
+def test_autocorr_window_runs_on_reduced_series(spark):
+    plan = plan_of(spark, "a30_autocorr")
+    # one data-sized shuffle (the hourly aggregate); the global-order
+    # window's SinglePartition exchange only ever sees one row per hour
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_gains_table_no_global_sort_of_rows(spark):
+    plan = plan_of(spark, "m16_gains_table")
+    # one data-sized shuffle (the band aggregate); the cumulative
+    # windows run single-partition over the 10-row band table — the
+    # ntile formulation would range-sort every scored row instead
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" in plan
+    assert "Exchange rangepartitioning" not in plan.split("Exchange SinglePartition")[-1]
+
+
+def test_rolling_median_single_user_shuffle(spark):
+    plan = plan_of(spark, "w10_rolling_median")
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_time_travel_snapshot_scans_are_parquet(spark):
+    plan = plan_of(spark, "x25_time_travel")
+    # both versions resolve to real parquet scans (no driver-side rows)
+    assert plan.count("Scan parquet") >= 2
+    assert "LocalTableScan" not in plan

@@ -692,3 +692,52 @@ def test_ppjoin_matches_bruteforce(spark, corpus, t):
             if jac >= t:
                 want[(i, j)] = round(jac, 9)
     assert got == want
+
+
+# --- bounded-frame rolling median (r7 wave 6) ----------------------------------
+
+rm_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=30
+)
+
+
+@settings(**SETTINGS)
+@given(rows=rm_rows)
+def test_rolling_median_matches_naive(spark, rows):
+    """The collect_list+array_sort interpolated median == a per-row
+    Python median over the same 5-row trailing frame, including the
+    even-count interpolation and the short head frames."""
+    data = [
+        (i, k, float(v), BASE + timedelta(minutes=i)) for i, (k, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, value double, ts timestamp"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    med = F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))).otherwise(
+        (F.element_at(arr, (n / 2).cast("int")) + F.element_at(arr, (n / 2 + 1).cast("int")))
+        / 2
+    )
+    got = {
+        r["event_id"]: r["m"]
+        for r in df.select("event_id", med.alias("m")).collect()
+    }
+
+    bykey: dict[int, list[tuple[int, float]]] = {}
+    for i, (k, v) in enumerate(rows):
+        bykey.setdefault(k, []).append((i, float(v)))
+    want = {}
+    for seq in bykey.values():
+        for j in range(len(seq)):
+            frame = sorted(v for _, v in seq[max(0, j - 4) : j + 1])
+            n_ = len(frame)
+            want[seq[j][0]] = (
+                frame[n_ // 2]
+                if n_ % 2 == 1
+                else (frame[n_ // 2 - 1] + frame[n_ // 2]) / 2
+            )
+    assert got == pytest.approx(want)
