@@ -26,6 +26,7 @@ from accident_prediction_montreal_spark.plans import apm_pipeline  # noqa: F401,
 from accident_prediction_montreal_spark.plans import scale_ops  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave5  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave6  # noqa: F401,E402
+from accident_prediction_montreal_spark.plans import privacy  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #
@@ -172,6 +173,10 @@ _TAIL_HEAD = [
     "m16_gains_table",
     "w10_rolling_median",
     "x25_time_travel",
+    "p13_k_anonymity",
+    "p16_l_diversity",
+    "p14_dp_counts",
+    "p15_generalization_ladder",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

@@ -136,6 +136,11 @@ EXTENDED = [
     "m16_gains_table",
     "w10_rolling_median",
     "x25_time_travel",
+    # appended privacy family (r7):
+    "p13_k_anonymity",
+    "p16_l_diversity",
+    "p14_dp_counts",
+    "p15_generalization_ladder",
 ]
 
 

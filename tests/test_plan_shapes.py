@@ -496,3 +496,26 @@ def test_time_travel_snapshot_scans_are_parquet(spark):
     # both versions resolve to real parquet scans (no driver-side rows)
     assert plan.count("Scan parquet") >= 2
     assert "LocalTableScan" not in plan
+
+
+# --- r7 privacy-family guards -------------------------------------------------
+
+def test_k_anonymity_is_two_aggregates(spark):
+    plan = plan_of(spark, "p13_k_anonymity")
+    # QI groupBy + constant-size summary; one data-sized shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_dp_counts_noise_stays_on_group_table(spark):
+    plan = plan_of(spark, "p14_dp_counts")
+    # the Laplace math runs over the 5-row group table, never row-level
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_generalization_ladder_single_scan(spark):
+    plan = plan_of(spark, "p15_generalization_ladder")
+    # one parquet scan: the widths ladder rides an explode, not 3 passes
+    assert plan.count("Scan parquet") == 1
+    assert "Generate" in plan
