@@ -27,6 +27,7 @@ from accident_prediction_montreal_spark.plans import scale_ops  # noqa: F401,E40
 from accident_prediction_montreal_spark.plans import wave5  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave6  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import privacy  # noqa: F401,E402
+from accident_prediction_montreal_spark.plans import wave7_streaming  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #
@@ -177,6 +178,7 @@ _TAIL_HEAD = [
     "p16_l_diversity",
     "p14_dp_counts",
     "p15_generalization_ladder",
+    "st_checkpoint_resume",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

@@ -141,6 +141,7 @@ EXTENDED = [
     "p16_l_diversity",
     "p14_dp_counts",
     "p15_generalization_ladder",
+    "st_checkpoint_resume",
 ]
 
 

@@ -146,3 +146,51 @@ def test_stream_stream_outer_null_emission(spark):
         else:
             assert r["r_value"] is None
     assert any(r["event_id"] % 2 == 1 for r in rows)  # outer rows DID flush
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """The second availableNow run against the same checkpoint must
+    process exactly the files that appeared after the first run: after
+    run 1 the sink holds only batch-1 rows, after run 2 the union is
+    exactly-once (no reprocessing of the committed file)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (tmp_path / "in").mkdir()
+
+    a = spark.range(0, 100).select(F.col("id"), F.lit("a").alias("src"))
+    b = spark.range(100, 250).select(F.col("id"), F.lit("b").alias("src"))
+    a.coalesce(1).write.parquet(str(tmp_path / "stage_a"))
+    b.coalesce(1).write.parquet(str(tmp_path / "stage_b"))
+
+    def land(stage: str, name: str) -> None:
+        src = next((tmp_path / stage).glob("*.parquet"))
+        shutil.copyfile(src, tmp_path / "in" / name)
+
+    def run_once() -> None:
+        stream = spark.readStream.schema("id long, src string").parquet(in_dir)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land("stage_a", "f1.parquet")
+    run_once()
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 100 and first.filter("src = 'b'").count() == 0
+
+    land("stage_b", "f2.parquet")
+    run_once()
+    final = spark.read.parquet(out_dir)
+    # exactly-once: 250 distinct ids, no id seen twice
+    assert final.count() == 250
+    assert final.select("id").distinct().count() == 250
