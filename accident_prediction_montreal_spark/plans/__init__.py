@@ -179,6 +179,7 @@ _TAIL_HEAD = [
     "p14_dp_counts",
     "p15_generalization_ladder",
     "st_checkpoint_resume",
+    "privacy_release_pipeline",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

@@ -230,3 +230,193 @@ def p15_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width")
     )
+
+
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+@register(
+    "privacy_release_pipeline",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+        text || ' contact user' || doc_id || '@example.com or +1 (514) 555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    ),
+    scrub AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        CAST(SUM(len(regexp_extract_all(t, '{_EMAIL}'))) AS DOUBLE) AS n_emails,
+        CAST(SUM(len(regexp_extract_all(
+          regexp_replace(t, '{_EMAIL}', '<EMAIL>', 'g'), '{_PHONE}'))) AS DOUBLE)
+          AS n_phones
+      FROM planted
+    ),
+    widths AS (SELECT UNNEST([{", ".join(str(w) for w in _WIDTHS)}]) AS width),
+    grp AS (
+      SELECT w.width, e.event_type,
+        CAST(floor(e.value / w.width) AS INT) AS bucket, COUNT(*) AS sz
+      FROM events e CROSS JOIN widths w
+      GROUP BY w.width, e.event_type, bucket
+    ),
+    ladder AS (SELECT width, MIN(sz) AS mg, COUNT(*) AS ng FROM grp GROUP BY width),
+    chosen AS (
+      SELECT COALESCE(MIN(CASE WHEN mg >= {_K} THEN width END), MAX(width)) AS cw
+      FROM ladder
+    ),
+    chosen_stats AS (SELECT l.* FROM ladder l, chosen c WHERE l.width = c.cw),
+    safe AS (
+      SELECT g.event_type, SUM(g.sz) AS n
+      FROM grp g, chosen c WHERE g.width = c.cw AND g.sz >= {_K}
+      GROUP BY g.event_type
+    ),
+    seeded AS (
+      SELECT event_type, n, ROW_NUMBER() OVER (ORDER BY event_type) AS gid
+      FROM safe
+    ),
+    noised AS (
+      SELECT event_type, n, {lcg_uniform_sql("gid", salt=11)} AS u FROM seeded
+    ),
+    released AS (
+      SELECT 'scrub' AS stage, 'n_docs' AS metric, n_docs AS value FROM scrub
+      UNION ALL SELECT 'scrub', 'n_emails_masked', n_emails FROM scrub
+      UNION ALL SELECT 'scrub', 'n_phones_masked', n_phones FROM scrub
+      UNION ALL SELECT 'generalize', 'chosen_width', CAST(width AS DOUBLE)
+        FROM chosen_stats
+      UNION ALL SELECT 'generalize', 'min_group_size', CAST(mg AS DOUBLE)
+        FROM chosen_stats
+      UNION ALL SELECT 'generalize', 'n_groups', CAST(ng AS DOUBLE)
+        FROM chosen_stats
+      UNION ALL SELECT 'dp', 'noisy_' || event_type,
+        n + (-1.0 / {_DP_EPS}) * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+          * ln(1.0 - 2.0 * abs(u - 0.5))
+        FROM noised
+    )
+    SELECT stage, metric, ROUND(value, 6) AS value FROM released
+    ORDER BY stage, metric
+    """,
+    description="PRIVACY-RELEASE capstone (the wave-7 composition, "
+    "sibling of the apm / llm_pretrain / st_pipeline / x12 capstones): "
+    "content scrub -> generalization choice -> DP release as ONE lazy "
+    "plan. Stage 1 masks planted emails+phones over the documents "
+    "corpus (pure regexp chain); stage 2 prices the width ladder in "
+    "one exploded scan and SELECTS the smallest width passing k=5 (a "
+    "1-row aggregate broadcast, no driver round-trip); stage 3 "
+    "suppresses under-k groups at the chosen width and releases "
+    "per-type counts with seeded Laplace noise the oracle replays "
+    "exactly. The QI group table is persisted once (cachereg) and "
+    "feeds both the ladder and the suppression branch. Output is a "
+    "uniform (stage, metric, value) audit trail; the oracle is the "
+    "full CTE composition.",
+)
+def privacy_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark import cachereg
+    from accident_prediction_montreal_spark.operators.text import (
+        EMAIL_PATTERN,
+        PHONE_PATTERN,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+
+    planted = docs.select(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (514) 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t")
+    )
+    email_masked = F.regexp_replace("t", EMAIL_PATTERN, "<EMAIL>")
+    scrub = planted.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(F.regexp_count("t", F.lit(EMAIL_PATTERN)))
+        .cast("double")
+        .alias("n_emails"),
+        F.sum(F.regexp_count(email_masked, F.lit(PHONE_PATTERN)))
+        .cast("double")
+        .alias("n_phones"),
+    )
+
+    def rows3(df, stage: str, metrics: list[tuple[str, str]]):
+        return df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(stage).alias("stage"),
+                            F.lit(m).alias("metric"),
+                            F.col(c).cast("double").alias("value"),
+                        )
+                        for m, c in metrics
+                    ]
+                )
+            ).alias("r")
+        ).select("r.stage", "r.metric", "r.value")
+
+    scrub_rows = rows3(
+        scrub,
+        "scrub",
+        [("n_docs", "n_docs"), ("n_emails_masked", "n_emails"),
+         ("n_phones_masked", "n_phones")],
+    )
+
+    widths = F.array(*[F.lit(w) for w in _WIDTHS])
+    grp = (
+        ev.select("event_type", "value", F.explode(widths).alias("width"))
+        .select(
+            "width",
+            "event_type",
+            F.floor(F.col("value") / F.col("width")).cast("int").alias("bucket"),
+        )
+        .groupBy("width", "event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .persist()
+    )
+    cachereg.register("plans.privacy.capstone", grp)
+
+    ladder = grp.groupBy("width").agg(
+        F.min("sz").alias("mg"), F.count(F.lit(1)).alias("ng")
+    )
+    chosen1 = ladder.agg(
+        F.coalesce(
+            F.min(F.when(F.col("mg") >= _K, F.col("width"))), F.max("width")
+        ).alias("cw")
+    )
+    chosen_stats = ladder.join(
+        F.broadcast(chosen1), ladder["width"] == F.col("cw")
+    )
+    gen_rows = rows3(
+        chosen_stats,
+        "generalize",
+        [("chosen_width", "width"), ("min_group_size", "mg"), ("n_groups", "ng")],
+    )
+
+    safe = (
+        grp.join(F.broadcast(chosen1), grp["width"] == F.col("cw"))
+        .filter(F.col("sz") >= _K)
+        .groupBy("event_type")
+        .agg(F.sum("sz").alias("n"))
+    )
+    gid = F.row_number().over(Window.orderBy("event_type"))
+    seeded = safe.select("event_type", "n", gid.alias("gid"))
+    u = lcg_uniform("gid", salt=11)
+    noise = (
+        F.lit(-1.0 / _DP_EPS)
+        * F.when(u >= 0.5, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    dp_rows = seeded.select(
+        F.lit("dp").alias("stage"),
+        F.concat(F.lit("noisy_"), F.col("event_type")).alias("metric"),
+        (F.col("n") + noise).alias("value"),
+    )
+
+    return (
+        scrub_rows.unionByName(gen_rows)
+        .unionByName(dp_rows)
+        .select("stage", "metric", F.round("value", 6).alias("value"))
+        .orderBy("stage", "metric")
+    )

@@ -142,6 +142,7 @@ EXTENDED = [
     "p14_dp_counts",
     "p15_generalization_ladder",
     "st_checkpoint_resume",
+    "privacy_release_pipeline",
 ]
 
 

@@ -519,3 +519,14 @@ def test_generalization_ladder_single_scan(spark):
     # one parquet scan: the widths ladder rides an explode, not 3 passes
     assert plan.count("Scan parquet") == 1
     assert "Generate" in plan
+
+
+def test_privacy_capstone_shares_group_table(spark):
+    plan = plan_of(spark, "privacy_release_pipeline")
+    # the QI group table is persisted and read by both the ladder and
+    # the suppression branch: the events explode must appear once
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan
+    from accident_prediction_montreal_spark import cachereg
+
+    cachereg.release("plans.privacy.capstone")
