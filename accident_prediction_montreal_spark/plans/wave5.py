@@ -220,6 +220,8 @@ def _bm25_oracle() -> str:
     "cut with doc_id tie-break.",
 )
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.dedup import _bind_once
+
     docs = load_table(spark, "documents", sf_dir)
     toks = tokenize(F.col("text"))
 
@@ -229,14 +231,27 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         # silently rebinding t (see dedup.minhash_signature)
         return lambda x: x == F.lit(term)
 
-    tf = docs.select(
-        "doc_id",
-        F.size(toks).cast("double").alias("dl"),
-        *[
-            F.size(F.filter(toks, term_eq(t))).alias(f"tf_{t}")
-            for t in _BM25_TERMS
-        ],
-    )
+    # dl + per-term tfs as ONE struct behind inline(): four separate
+    # projection columns each re-evaluate tokenize (Catalyst does no CSE
+    # across expressions, and project-collapse re-inlines aliases), a
+    # measured 4x on the map stage at sf1. Generate is a collapse
+    # barrier, so the struct — and the tokenizer — run exactly once;
+    # _bind_once keeps the token array bound once INSIDE the struct.
+    def packed(ts):
+        return F.struct(
+            F.size(ts).cast("double").alias("dl"),
+            *[
+                F.size(F.filter(ts, term_eq(t))).alias(f"tf_{t}")
+                for t in _BM25_TERMS
+            ],
+        )
+
+    # tf feeds BOTH the corpus-stats aggregate and the scoring pass;
+    # persisted (cachereg) so the tokenizer map stage runs once total —
+    # at 100 TB this is the "materialize the term-frequency table"
+    # step every two-phase ranking pipeline has.
+    tf = docs.select("doc_id", F.inline(F.array(_bind_once(toks, packed)))).persist()
+    cachereg.register("plans.wave5.bm25", tf)
     stats = tf.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -476,6 +491,12 @@ def g3_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
+    # labels is referenced twice per round (lineage doubles per round),
+    # but with nbr persisted the replayed subtrees are all node-sized
+    # joins — measured FASTER re-executed than per-round persists (1.5 s
+    # vs 2.8 s at sf1: three rounds stay inside one codegen pipeline,
+    # per-round caching breaks the fusion). g4_bfs_khop measures the
+    # opposite; the two document the tradeoff's both sides.
     for _ in range(3):
         contrib = (
             nbr.join(labels, nbr["b"] == labels["node"])

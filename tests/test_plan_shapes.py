@@ -413,10 +413,18 @@ def test_market_basket_pair_join_is_keyed(spark):
 def test_bm25_is_map_plus_scalar_broadcast(spark):
     plan = plan_of(spark, "text_bm25")
     # per-doc tf/dl are in-row lambdas; corpus stats join as a 1-row
-    # broadcast; no Python anywhere, no explode of the token arrays
+    # broadcast; no Python anywhere. The ONLY Generate is the inline()
+    # project-collapse barrier that makes the tokenizer run once — the
+    # token arrays themselves are never exploded into rows.
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
-    assert "Generate" not in plan
+    # the persisted tf table serves both branches; the single Generate
+    # inside its cached plan is the inline barrier, not a row explode
+    assert "explode" not in plan
+    assert "InMemoryTableScan" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+    from accident_prediction_montreal_spark import cachereg
+
+    cachereg.release("plans.wave5.bm25")
 
 
 def test_seasonal_baseline_is_broadcast_back(spark):
