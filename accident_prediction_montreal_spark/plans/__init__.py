@@ -28,6 +28,7 @@ from accident_prediction_montreal_spark.plans import wave5  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave6  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import privacy  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave7_streaming  # noqa: F401,E402
+from accident_prediction_montreal_spark.plans import wave8  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #
@@ -180,6 +181,9 @@ _TAIL_HEAD = [
     "p15_generalization_ladder",
     "st_checkpoint_resume",
     "privacy_release_pipeline",
+    "w11_regex_sequence",
+    "m17_bootstrap_ci",
+    "a34_funnel_timing",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

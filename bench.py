@@ -143,6 +143,10 @@ EXTENDED = [
     "p15_generalization_ladder",
     "st_checkpoint_resume",
     "privacy_release_pipeline",
+    # appended wave 8 (r7):
+    "w11_regex_sequence",
+    "m17_bootstrap_ci",
+    "a34_funnel_timing",
 ]
 
 

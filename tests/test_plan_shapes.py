@@ -538,3 +538,26 @@ def test_privacy_capstone_shares_group_table(spark):
     from accident_prediction_montreal_spark import cachereg
 
     cachereg.release("plans.privacy.capstone")
+
+
+def test_regex_sequence_single_user_aggregate(spark):
+    plan = plan_of(spark, "w11_regex_sequence")
+    # ordered string built by one user-keyed aggregate — no window sort
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bootstrap_is_one_combined_aggregate(spark):
+    plan = plan_of(spark, "m17_bootstrap_ci")
+    # the B-replicate explode feeds ONE map-side-combined aggregate:
+    # the shuffle carries B rows per partition, never the exploded data
+    assert plan.count("Generate") == 1
+    assert "partial_sum" in plan
+    assert "Join" not in plan
+
+
+def test_funnel_timing_chained_broadcasts(spark):
+    plan = plan_of(spark, "a34_funnel_timing")
+    # each stage's min-ts table broadcasts back onto the next filter
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
