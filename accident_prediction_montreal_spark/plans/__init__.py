@@ -184,6 +184,8 @@ _TAIL_HEAD = [
     "w11_regex_sequence",
     "m17_bootstrap_ci",
     "a34_funnel_timing",
+    "a35_grouped_quantiles",
+    "a36_cusum_changepoint",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

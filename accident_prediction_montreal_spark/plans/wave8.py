@@ -206,3 +206,102 @@ def a34_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(us("t3") - us("t2")).cast("long").alias("click_to_purchase_us"),
         )
     )
+
+
+_QUANTS = [0.25, 0.5, 0.75, 0.95]
+
+
+@register(
+    "a35_grouped_quantiles",
+    oracle=f"""
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      {", ".join(f"ROUND(quantile_cont(value, {q}), 6) AS p{int(q * 100)}" for q in _QUANTS)}
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="Grouped EXACT quantile summary (A-surface statistics "
+    "family): p25/p50/p75/p95 of value per event_type via the exact "
+    "interpolating percentile aggregate — verified bit-compatible with "
+    "DuckDB's quantile_cont (both type-7 linear interpolation; the "
+    "oracle is a value check, not a tolerance). One aggregate, one "
+    "shuffle keyed by the (small) group domain. The exact form is the "
+    "oracle-grade twin of the approx_percentile invariant query: use "
+    "this when the group cardinality is bounded, the sketch when it "
+    "is not.",
+)
+def a35_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    arr = "array(" + ", ".join(f"{q}D" for q in _QUANTS) + ")"
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(f"percentile(value, {arr})").alias("__qs"),
+        )
+        .select(
+            "event_type",
+            "n",
+            *[
+                F.round(F.element_at("__qs", i + 1), 6).alias(f"p{int(q * 100)}")
+                for i, q in enumerate(_QUANTS)
+            ],
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "a36_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1
+    ),
+    mu AS (SELECT AVG(cnt) AS mu FROM hourly),
+    cusum AS (
+      SELECT h, SUM(cnt - mu) OVER (ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM hourly CROSS JOIN mu
+    )
+    SELECT h AS peak_hour, ROUND(s, 6) AS peak_s,
+      CAST((SELECT COUNT(*) FROM hourly) AS BIGINT) AS n_hours
+    FROM cusum ORDER BY ROUND(abs(s), 6) DESC, h LIMIT 1
+    """,
+    description="CUSUM changepoint detection (A-surface time-series "
+    "family, beside autocorrelation/seasonal anomalies): cumulative "
+    "sum of hourly-count deviations from the global mean, peak |S_t| "
+    "locates the level shift. Same reduce-then-window shape as "
+    "a30_autocorr — the aggregate collapses the data to one row per "
+    "hour BEFORE the global-order cumulative window, so the single-"
+    "partition stage is bounded by the time span, never the data "
+    "volume; the mean is a 1-row broadcast. Rounded-|S| ordering with "
+    "an hour tie-break pins the argmax deterministically.",
+)
+def a36_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    from pyspark.sql import Window as W
+
+    # mu and n_hours as UNBOUNDED windows over the same 720-row series
+    # the cumulative window already sorts: separate 1-row aggregates
+    # would make `hourly` a 3-consumer frame and replay the scan +
+    # aggregate per branch (measured 3 hash exchanges); this form has
+    # exactly one.
+    whole = W.partitionBy()
+    w = W.orderBy("h").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cusum = hourly.select(
+        "h",
+        F.sum(F.col("cnt") - F.avg("cnt").over(whole)).over(w).alias("s"),
+        F.count(F.lit(1)).over(whole).cast("long").alias("n_hours"),
+    )
+    return (
+        cusum.select(
+            F.col("h").alias("peak_hour"),
+            F.round("s", 6).alias("peak_s"),
+            "n_hours",
+        )
+        .orderBy(F.round(F.abs(F.col("peak_s")), 6).desc(), "peak_hour")
+        .limit(1)
+    )

@@ -147,6 +147,8 @@ EXTENDED = [
     "w11_regex_sequence",
     "m17_bootstrap_ci",
     "a34_funnel_timing",
+    "a35_grouped_quantiles",
+    "a36_cusum_changepoint",
 ]
 
 

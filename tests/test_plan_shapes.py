@@ -561,3 +561,16 @@ def test_funnel_timing_chained_broadcasts(spark):
     # each stage's min-ts table broadcasts back onto the next filter
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_grouped_quantiles_one_shuffle(spark):
+    plan = plan_of(spark, "a35_grouped_quantiles")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_cusum_window_runs_on_reduced_series(spark):
+    plan = plan_of(spark, "a36_cusum_changepoint")
+    # same reduce-then-window contract as autocorr
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" in plan
