@@ -29,6 +29,7 @@ from accident_prediction_montreal_spark.plans import wave6  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import privacy  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave7_streaming  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave8  # noqa: F401,E402
+from accident_prediction_montreal_spark.plans import wave9  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #
@@ -186,6 +187,8 @@ _TAIL_HEAD = [
     "a34_funnel_timing",
     "a35_grouped_quantiles",
     "a36_cusum_changepoint",
+    "sim_kmeans_lloyd",
+    "dedup_semantic",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",
