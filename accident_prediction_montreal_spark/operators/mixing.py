@@ -294,3 +294,59 @@ def weighted_sample_topk(
         .filter(F.col("sample_rank") <= k)
         .drop("__wkey")
     )
+
+
+def epoch_schedule(
+    docs: DataFrame,
+    domain_col: str = "source",
+    unit_col: str = "n_chars",
+    budget_frac: float = 1.5,
+    temperature: float = 0.5,
+    max_epochs: float = 2.0,
+) -> DataFrame:
+    """Per-domain epoch/repeat schedule for a fixed training budget — the
+    up-sampling complement to :func:`temperature_mix_rates` (whose rates
+    cap at 1.0, i.e. pure down-sampling).
+
+    Given a token/char budget of ``budget_frac`` × corpus units and
+    temperature-weighted target shares p_τ ∝ share^τ, each domain's
+    epoch count is ``min(max_epochs, budget·p_τ / units_d)`` — the
+    data-recipe table a multi-epoch pretraining run consumes (how many
+    times each domain is repeated, what the realized unit count is, and
+    the deficit left by the repetition cap).
+
+    All scale-relevant work is one groupBy over the corpus producing
+    |domains| rows; shares use the same DECIMAL-exact normalizer as
+    temperature_mix_rates so the table is engine-reproducible.
+    """
+    stats = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(unit_col).cast("long").alias("units"),
+    )
+    everything = Window.partitionBy()
+    total = F.sum("units").over(everything).cast("double")
+    p_share = F.col("units").cast("double") / total
+    if temperature == 0.5:
+        raw = F.sqrt(p_share)  # IEEE-exact, engine-independent
+    else:
+        raw = F.pow(p_share, F.lit(float(temperature)))
+    weighted = stats.withColumn("pw", F.round(raw, 12).cast("decimal(20,12)"))
+    denom = F.sum("pw").over(everything).cast("double")
+    p_tau = F.col("pw").cast("double") / denom
+    budget = F.lit(float(budget_frac)) * F.sum("units").over(everything).cast(
+        "double"
+    )
+    target = budget * p_tau
+    epochs = F.least(
+        F.lit(float(max_epochs)), target / F.col("units").cast("double")
+    )
+    realized = epochs * F.col("units").cast("double")
+    return weighted.select(
+        "domain",
+        "n_docs",
+        "units",
+        p_tau.alias("p_tau"),
+        epochs.alias("epochs"),
+        realized.alias("realized_units"),
+        (target - realized).alias("deficit_units"),
+    )

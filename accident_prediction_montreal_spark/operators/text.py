@@ -371,3 +371,71 @@ def vocab_coverage(
     return per_doc.filter(
         F.col("n_in_vocab") * 100 >= F.lit(min_coverage_pct) * F.col("n_tokens")
     )
+
+
+# --- Hashing-trick quality classifier ----------------------------------------
+
+_QC_MOD = 1_000_003  # per-token polynomial hash modulus (matches rolling_hash)
+_QC_WMUL = 2_654_435_761  # Knuth multiplicative constant -> bucket weights
+_QC_WMOD = 2001  # milli-weights span [-1000, 1000]
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """FastText-style linear quality scorer via the hashing trick — the
+    model-based document filter of a pretraining pipeline (quality
+    classifier stage), expressed entirely in JVM column math.
+
+    Each token hashes through the corpus-standard 31-polynomial
+    (``rolling_hash`` convention) into one of ``n_buckets`` feature
+    buckets; the bucket's weight is a fixed integer milli-weight derived
+    from a Knuth multiplicative mix, so the "trained model" is a pure
+    function — no weight table to broadcast, nothing to look up. The
+    document score is the exact INTEGER sum of milli-weights (a
+    sequential fold over the token array — order-independent because
+    integer addition is associative), so ``score_milli`` is bit-equal in
+    any engine; the sigmoid probability is the only float and is stable
+    to far beyond the 6 rounded decimals.
+
+    Scale shape: one map pass, zero shuffles, no UDF, no explode — the
+    per-token fold runs inside a single projection. A real trained
+    model swaps the weight function for a broadcast array lookup; the
+    plan shape is unchanged.
+    """
+    toks = tokenize(F.col(text_col))
+
+    def tok_hash(t: Column) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t)),
+                lambda i: F.ascii(t.substr(i, F.lit(1))).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda h, c: (h * 31 + c) % _QC_MOD,
+        )
+
+    def tok_weight(t: Column) -> Column:
+        bucket = tok_hash(t) % n_buckets
+        return (bucket * _QC_WMUL) % _QC_WMOD - 1000
+
+    score = F.aggregate(
+        F.transform(toks, tok_weight),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    n_tokens = F.size(toks).cast("long")
+    margin = F.col("score_milli").cast("double") / (
+        F.lit(1000.0) * F.greatest(F.col("n_tokens"), F.lit(1))
+    )
+    return (
+        df.select(id_col, n_tokens.alias("n_tokens"), score.alias("score_milli"))
+        .withColumn(
+            "prob",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6) + 0.0,
+        )
+        .withColumn("keep", (F.col("score_milli") >= 0).cast("long"))
+    )

@@ -189,6 +189,8 @@ _TAIL_HEAD = [
     "a36_cusum_changepoint",
     "sim_kmeans_lloyd",
     "dedup_semantic",
+    "llm_epoch_schedule",
+    "text_quality_classifier",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

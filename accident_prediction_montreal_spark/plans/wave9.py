@@ -186,3 +186,115 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dup_id", "keep_id", "cell")
         .orderBy("dup_id")
     )
+
+
+@register(
+    "llm_epoch_schedule",
+    oracle="""
+    WITH d AS (
+      SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS units
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(units) AS DOUBLE) AS total FROM d),
+    w AS (
+      SELECT domain, n_docs, units,
+        CAST(ROUND(sqrt(CAST(units AS DOUBLE) / total), 12)
+             AS DECIMAL(20,12)) AS pw
+      FROM d, t
+    ),
+    n AS (
+      SELECT domain, n_docs, units,
+        CAST(pw AS DOUBLE) / CAST(SUM(pw) OVER () AS DOUBLE) AS p_tau
+      FROM w
+    ),
+    s AS (
+      SELECT domain, n_docs, units, p_tau,
+        (1.5 * (SELECT total FROM t)) * p_tau AS target,
+        LEAST(2.0, ((1.5 * (SELECT total FROM t)) * p_tau)
+                   / CAST(units AS DOUBLE)) AS epochs
+      FROM n
+    )
+    SELECT domain, n_docs, units,
+      ROUND(p_tau, 6) + 0.0 AS p_tau,
+      ROUND(epochs, 6) + 0.0 AS epochs,
+      ROUND(epochs * CAST(units AS DOUBLE), 2) + 0.0 AS realized_units,
+      ROUND(target - epochs * CAST(units AS DOUBLE), 2) + 0.0 AS deficit_units
+    FROM s ORDER BY domain
+    """,
+    description="Per-domain epoch/repeat schedule for a 1.5x-corpus training "
+    "budget (the UP-sampling complement to llm_temperature_mix, whose "
+    "Bernoulli rates cap at 1 epoch): temperature-weighted target "
+    "shares p_tau ~ share^0.5 over char units, epochs = min(2.0, "
+    "budget*p_tau/units) — small domains hit the repetition cap and "
+    "surface a deficit, large domains train under one epoch. The whole "
+    "table is one map-side-combined groupBy producing |domains| rows; "
+    "shares reuse the mixing module's DECIMAL-exact normalizer "
+    "(operators/mixing.py::epoch_schedule), so every column is engine-"
+    "reproducible to the rounded decimal.",
+)
+def llm_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.mixing import epoch_schedule
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = epoch_schedule(
+        docs, budget_frac=1.5, temperature=0.5, max_epochs=2.0
+    )
+    return out.select(
+        "domain",
+        "n_docs",
+        "units",
+        (F.round("p_tau", 6) + 0.0).alias("p_tau"),
+        (F.round("epochs", 6) + 0.0).alias("epochs"),
+        (F.round("realized_units", 2) + 0.0).alias("realized_units"),
+        (F.round("deficit_units", 2) + 0.0).alias("deficit_units"),
+    ).orderBy("domain")
+
+
+_SQL_QC_TOKENS = (
+    "CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
+)
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_QC_TOKENS} AS w FROM documents),
+    per AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(w, t ->
+            ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, length(t) + 1),
+                               i -> CAST(ascii(t[i]) AS BIGINT))),
+              (h, c) -> (h * 31 + c) % 1000003) % 64)
+             * 2654435761) % 2001 - 1000)),
+          (a, b) -> a + b) AS BIGINT) AS score_milli
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, score_milli,
+      ROUND(1.0 / (1.0 + exp(-(CAST(score_milli AS DOUBLE)
+            / (1000.0 * GREATEST(n_tokens, 1))))), 6) + 0.0 AS prob,
+      CAST(score_milli >= 0 AS BIGINT) AS keep
+    FROM per
+    """,
+    description="Hashing-trick linear quality classifier (the fastText-style "
+    "model-based filter stage of a pretraining pipeline, §2.14): each "
+    "token 31-poly-hashes (rolling_hash convention) into 64 feature "
+    "buckets whose integer milli-weights come from a Knuth "
+    "multiplicative mix — the 'model' is a pure function, so there is "
+    "no weight table to broadcast and the document score is an EXACT "
+    "integer fold (bit-equal in any engine); sigmoid(prob) is the only "
+    "float, rounded to 6. One map pass, zero shuffles, no UDF, no "
+    "explode (operators/text.py::quality_classifier); a trained model "
+    "swaps the weight function for a broadcast lookup with the same "
+    "plan shape.",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.text import (
+        quality_classifier,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_classifier(docs)

@@ -1,0 +1,120 @@
+"""Wave-9 operators: Lloyd k-means vs a NumPy reference, semantic-dedup
+planted-copy recovery, epoch-schedule accounting invariants, and the
+hashing-trick quality classifier vs a Python reimplementation."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.operators.kmeans import (
+    assign_cells,
+    lloyd_kmeans,
+    update_centroids,
+)
+from accident_prediction_montreal_spark.operators.mixing import epoch_schedule
+from accident_prediction_montreal_spark.operators.text import quality_classifier
+
+
+def _toy_vectors(n=40, dim=5, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randn(n, dim).round(3)
+
+
+def _np_lloyd(x, k, n_iter):
+    """Reference Lloyd: seeds = first k rows, argmin ties -> lowest cell,
+    9-decimal-rounded means between rounds (mirrors the operator)."""
+    cents = {i: x[i].copy() for i in range(k)}
+    assign = None
+    for it in range(n_iter):
+        cells = sorted(cents)
+        d2 = np.stack([((x - cents[c]) ** 2).sum(axis=1) for c in cells], axis=1)
+        assign = np.array([cells[j] for j in d2.argmin(axis=1)])
+        if it < n_iter - 1:
+            cents = {
+                c: np.round(x[assign == c].mean(axis=0), 9)
+                for c in set(assign.tolist())
+            }
+    return assign
+
+
+def test_lloyd_kmeans_matches_numpy(spark):
+    x = _toy_vectors()
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id LONG, vec ARRAY<DOUBLE>",
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in lloyd_kmeans(df, k=4, n_iter=2).collect()
+    }
+    want = _np_lloyd(x, k=4, n_iter=2)
+    assert got == {i: int(c) for i, c in enumerate(want)}
+
+
+def test_assign_cells_tie_breaks_to_lowest_cell(spark):
+    # Two identical centroids: every point is equidistant -> cell 0 wins.
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.0, -1.0])], "vec_id LONG, vec ARRAY<DOUBLE>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [5.0, 5.0]), (1, [5.0, 5.0])], "cell LONG, cvec ARRAY<DOUBLE>"
+    )
+    rows = assign_cells(vecs, cents).collect()
+    assert {r["cell"] for r in rows} == {0}
+
+
+def test_update_centroids_exact_mean(spark):
+    assigned = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [10.0, 0.0])],
+        "cell LONG, vec ARRAY<DOUBLE>",
+    )
+    got = {r["cell"]: r["cvec"] for r in update_centroids(assigned).collect()}
+    assert got[0] == [2.0, 4.0]
+    assert got[1] == [10.0, 0.0]
+
+
+def test_epoch_schedule_accounting(spark):
+    # One huge and two small domains: small ones hit the 2-epoch cap and
+    # carry a deficit; the big one trains under 1 epoch with none.
+    rows = [("big", 1000)] * 10 + [("s1", 50)] * 2 + [("s2", 30)] * 2
+    docs = spark.createDataFrame(rows, ["source", "n_chars"])
+    out = {r["domain"]: r for r in epoch_schedule(docs).collect()}
+    assert set(out) == {"big", "s1", "s2"}
+    for r in out.values():
+        assert 0.0 < r["epochs"] <= 2.0
+        assert math.isclose(r["realized_units"], r["epochs"] * r["units"])
+    assert out["s1"]["epochs"] == 2.0 and out["s1"]["deficit_units"] > 0
+    assert out["s2"]["epochs"] == 2.0 and out["s2"]["deficit_units"] > 0
+    assert out["big"]["epochs"] < 2.0  # uncapped
+    assert abs(out["big"]["deficit_units"]) < 1e-6
+
+
+def _py_score(text):
+    toks = text.strip().lower().split()
+    score = 0
+    for t in toks:
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % 1_000_003
+        score += (h % 64) * 2_654_435_761 % 2001 - 1000
+    return len(toks), score
+
+
+def test_quality_classifier_matches_python(spark):
+    texts = ["the quick brown fox", "spark spark spark", "", "a b c d e f"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in quality_classifier(docs).collect()}
+    for i, t in enumerate(texts):
+        n, s = _py_score(t)
+        assert got[i]["n_tokens"] == n
+        assert got[i]["score_milli"] == s
+        assert got[i]["keep"] == (1 if s >= 0 else 0)
+        margin = s / (1000.0 * max(n, 1))
+        assert math.isclose(
+            got[i]["prob"], round(1.0 / (1.0 + math.exp(-margin)), 6), abs_tol=1e-9
+        )
