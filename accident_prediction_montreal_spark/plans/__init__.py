@@ -191,6 +191,7 @@ _TAIL_HEAD = [
     "dedup_semantic",
     "llm_epoch_schedule",
     "text_quality_classifier",
+    "llm_curation_pipeline",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

@@ -157,7 +157,8 @@ _SEM_PLANT = 20  # vec_id < 20 get an identical planted copy at id+100000
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from accident_prediction_montreal_spark.functions.vectors import (
-        cosine_similarity,
+        dot_product,
+        l2_norm,
     )
     from accident_prediction_montreal_spark.operators.kmeans import assign_cells
 
@@ -171,15 +172,27 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = base.filter(F.col("vec_id") < _K).select(
         F.col("vec_id").alias("cell"), F.col("vec").alias("cvec")
     )
-    assigned = assign_cells(corpus, seeds).select("vec_id", "vec", "cell")
+    # Norms are computed ONCE per row before the self-join — the pair
+    # stage folds only the cross dot product (same bits as the oracle's
+    # per-pair sqrt: sqrt(dot(v,v)) is a pure function of the row).
+    assigned = assign_cells(corpus, seeds).select(
+        "vec_id", "vec", "cell", l2_norm("vec").alias("nrm")
+    )
     a = assigned.select(
-        F.col("cell"), F.col("vec_id").alias("keep_cand"), F.col("vec").alias("va")
+        F.col("cell"),
+        F.col("vec_id").alias("keep_cand"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = assigned.select(
-        F.col("cell"), F.col("vec_id").alias("dup_id"), F.col("vec").alias("vb")
+        F.col("cell"),
+        F.col("vec_id").alias("dup_id"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(b, "cell").filter(F.col("keep_cand") < F.col("dup_id"))
-    hits = pairs.filter(cosine_similarity("va", "vb") >= F.lit(_SEM_THRESH))
+    cos = dot_product("va", "vb") / (F.col("na") * F.col("nb"))
+    hits = pairs.filter(cos >= F.lit(_SEM_THRESH))
     return (
         hits.groupBy("dup_id", "cell")
         .agg(F.min("keep_cand").alias("keep_id"))
@@ -298,3 +311,200 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return quality_classifier(docs)
+
+
+@register(
+    "llm_curation_pipeline",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text, source, n_chars
+      FROM documents WHERE doc_id < {_SEM_PLANT}
+    ),
+    toks AS (
+      SELECT doc_id, source, n_chars,
+        CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+      FROM corpus
+    ),
+    qc AS (
+      SELECT doc_id, source, n_chars,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(w, t ->
+            ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, length(t) + 1),
+                               i -> CAST(ascii(t[i]) AS BIGINT))),
+              (h, c) -> (h * 31 + c) % 1000003) % 64)
+             * 2654435761) % 2001 - 1000)),
+          (a, b) -> a + b) AS BIGINT) AS score_milli
+      FROM toks
+    ),
+    kept AS (SELECT doc_id, source, n_chars FROM qc WHERE score_milli >= 0),
+    v AS ({_SQL_V}),
+    kv AS (
+      SELECT k.doc_id, e.vec FROM kept k
+      JOIN v e ON e.vec_id = k.doc_id % 100000
+    ),
+    c0 AS (SELECT vec_id AS cell, vec AS cvec FROM v WHERE vec_id < {_K}),
+    d1 AS (
+      SELECT kv.doc_id, kv.vec, c.cell,
+        list_dot_product(kv.vec, kv.vec)
+        - 2.0 * list_dot_product(kv.vec, c.cvec)
+        + list_dot_product(c.cvec, c.cvec) AS d2
+      FROM kv CROSS JOIN c0 c
+    ),
+    a1 AS (
+      SELECT doc_id, vec, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY d2 ASC, cell ASC) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.doc_id AS dup_id
+      FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.doc_id < b.doc_id
+      WHERE list_dot_product(a.vec, b.vec)
+          / (sqrt(list_dot_product(a.vec, a.vec))
+             * sqrt(list_dot_product(b.vec, b.vec))) >= {_SEM_THRESH}
+    ),
+    surv AS (
+      SELECT k.* FROM kept k LEFT JOIN dups d ON k.doc_id = d.dup_id
+      WHERE d.dup_id IS NULL
+    ),
+    d AS (
+      SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS units
+      FROM surv GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(units) AS DOUBLE) AS total FROM d),
+    w AS (
+      SELECT domain, n_docs, units,
+        CAST(ROUND(sqrt(CAST(units AS DOUBLE) / total), 12)
+             AS DECIMAL(20,12)) AS pw
+      FROM d, t
+    ),
+    n AS (
+      SELECT domain, n_docs, units,
+        CAST(pw AS DOUBLE) / CAST(SUM(pw) OVER () AS DOUBLE) AS p_tau
+      FROM w
+    ),
+    s AS (
+      SELECT domain, n_docs, units, p_tau,
+        (1.5 * (SELECT total FROM t)) * p_tau AS target,
+        LEAST(2.0, ((1.5 * (SELECT total FROM t)) * p_tau)
+                   / CAST(units AS DOUBLE)) AS epochs
+      FROM n
+    ),
+    raw AS (
+      SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_raw
+      FROM corpus GROUP BY source
+    ),
+    kc AS (
+      SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY source
+    )
+    SELECT s.domain, raw.n_raw, kc.n_kept, s.n_docs, s.units,
+      ROUND(s.p_tau, 6) + 0.0 AS p_tau,
+      ROUND(s.epochs, 6) + 0.0 AS epochs,
+      ROUND(s.epochs * CAST(s.units AS DOUBLE), 2) + 0.0 AS realized_units,
+      ROUND(s.target - s.epochs * CAST(s.units AS DOUBLE), 2) + 0.0
+        AS deficit_units
+    FROM s JOIN raw USING (domain) JOIN kc USING (domain)
+    ORDER BY s.domain
+    """,
+    description="Model-based curation capstone — the THIRD pipeline composite "
+    "next to llm_pretrain_pipeline (heuristic filters + MinHash) and "
+    "apm_dataset_pipeline: hashed-linear QUALITY CLASSIFIER gate -> "
+    "SemDeDup SEMANTIC dedup over k-means cells (docs without an "
+    "embedding pass through — you cannot semantically dedup what you "
+    "cannot embed) -> per-domain EPOCH/REPEAT schedule for a 1.5x "
+    "budget, in ONE lazy plan with a full CTE oracle. Planted +100000 "
+    "document copies travel the whole pipeline: identical text scores "
+    "identically through the classifier, identical embeddings land in "
+    "the original's cell and die in the dedup stage, so the stage "
+    "counts (n_raw > n_kept >= n_docs) are structurally guaranteed. "
+    "Per stage the scale shape is the proven one: zero-shuffle "
+    "classifier map, broadcast argmin assignment, cell-bounded "
+    "pairwise, |domains|-row schedule.",
+)
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+    from accident_prediction_montreal_spark.operators.kmeans import assign_cells
+    from accident_prediction_montreal_spark.operators.mixing import epoch_schedule
+    from accident_prediction_montreal_spark.operators.text import (
+        quality_classifier,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    planted = docs.filter(F.col("doc_id") < _SEM_PLANT).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "source", "n_chars"
+    )
+    corpus = docs.unionByName(planted)
+
+    qc = quality_classifier(corpus)
+    kept = corpus.join(
+        qc.filter(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    kv = kept.select("doc_id").join(
+        emb, emb["vec_id"] == F.col("doc_id") % 100000
+    ).select("doc_id", "vec")
+    seeds = emb.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cell"), F.col("vec").alias("cvec")
+    )
+    assigned = assign_cells(kv, seeds, id_col="doc_id").select(
+        "doc_id", "vec", "cell", l2_norm("vec").alias("nrm")
+    )
+    a = assigned.select(
+        F.col("cell"),
+        F.col("doc_id").alias("keep_cand"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col("doc_id").alias("dup_id"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot_product("va", "vb") / (F.col("na") * F.col("nb"))
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("keep_cand") < F.col("dup_id"))
+        .filter(cos >= F.lit(_SEM_THRESH))
+        .select(F.col("dup_id").alias("doc_id"))
+        .distinct()
+    )
+    surv = kept.join(dups, "doc_id", "left_anti")
+
+    sched = epoch_schedule(surv)
+    raw_c = corpus.groupBy(F.col("source").alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw")
+    )
+    kept_c = kept.groupBy(F.col("source").alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    return (
+        sched.join(raw_c, "domain")
+        .join(kept_c, "domain")
+        .select(
+            "domain",
+            "n_raw",
+            "n_kept",
+            "n_docs",
+            "units",
+            (F.round("p_tau", 6) + 0.0).alias("p_tau"),
+            (F.round("epochs", 6) + 0.0).alias("epochs"),
+            (F.round("realized_units", 2) + 0.0).alias("realized_units"),
+            (F.round("deficit_units", 2) + 0.0).alias("deficit_units"),
+        )
+        .orderBy("domain")
+    )

@@ -149,6 +149,12 @@ EXTENDED = [
     "a34_funnel_timing",
     "a35_grouped_quantiles",
     "a36_cusum_changepoint",
+    # appended wave 9 (r7):
+    "sim_kmeans_lloyd",
+    "dedup_semantic",
+    "llm_epoch_schedule",
+    "text_quality_classifier",
+    "llm_curation_pipeline",
 ]
 
 

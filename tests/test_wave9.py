@@ -118,3 +118,19 @@ def test_quality_classifier_matches_python(spark):
         assert math.isclose(
             got[i]["prob"], round(1.0 / (1.0 + math.exp(-margin)), 6), abs_tol=1e-9
         )
+
+
+def test_curation_pipeline_stage_counts(spark):
+    from accident_prediction_montreal_spark.plans import REGISTRY
+
+    rows = REGISTRY["llm_curation_pipeline"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "curation pipeline produced no domains"
+    for r in rows:
+        # Monotone funnel per domain: raw >= quality-kept >= survivors.
+        assert r["n_raw"] >= r["n_kept"] >= r["n_docs"] > 0
+        assert 0.0 < r["epochs"] <= 2.0
+    # The planted +100000 copies must die in the semantic-dedup stage:
+    # every copy whose original passed quality shares its cell and cos~1.
+    assert sum(r["n_kept"] - r["n_docs"] for r in rows) > 0
