@@ -50,8 +50,8 @@ def asof_join(
     pre-dedup with a window if it isn't (equal-timestamp right rows have
     no defined winner otherwise).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     value_cols = value_cols or [
         c for c in right.columns if c not in by and c != ts_col
     ]
@@ -70,7 +70,7 @@ def asof_join(
             f"left={l_ts_dtype}, right={r_ts_dtype} — cast one side first"
         )
 
-    r_side, l_side = (0, 1) if direction == "backward" else (1, 0)
+    r_side, l_side = (1, 0) if direction == "forward" else (0, 1)
     right_tagged = right.select(
         *by,
         F.col(ts_col),
@@ -93,6 +93,51 @@ def asof_join(
     allrows = left_tagged.unionByName(
         right_tagged, allowMissingColumns=True
     )
+
+    if direction == "nearest":
+        # Pandas merge_asof(direction="nearest") semantics: the closer of
+        # the latest-at-or-before and earliest-after right rows, ties to
+        # the backward side. BOTH carries run over the SAME (ts, side,
+        # tie) sort — right rows sort before left at equal ts, so the
+        # forward frame [current, following] structurally excludes the
+        # equal-ts right row, which is fine: backward matches it at gap
+        # 0 and wins any tie. One shuffle, two window passes sharing the
+        # sort (Spark reuses the partitioning+ordering between them).
+        carried = [rts] + [f"{c}{suffix}" for c in value_cols]
+        base = Window.partitionBy(*by).orderBy(
+            F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tie").asc()
+        )
+        wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        out = allrows
+        for c in carried:
+            out = out.withColumn(f"__b_{c}", F.last(c, ignorenulls=True).over(wb))
+            out = out.withColumn(f"__f_{c}", F.first(c, ignorenulls=True).over(wf))
+        out = out.filter(F.col("__side") == F.lit(l_side))
+        gb = epoch_us(F.col(ts_col), l_ts_dtype) - epoch_us(
+            F.col(f"__b_{rts}"), r_ts_dtype
+        )
+        gf = epoch_us(F.col(f"__f_{rts}"), r_ts_dtype) - epoch_us(
+            F.col(ts_col), l_ts_dtype
+        )
+        choose_b = F.col(f"__b_{rts}").isNotNull() & (
+            F.col(f"__f_{rts}").isNull() | (gb <= gf)
+        )
+        for c in carried:
+            out = out.withColumn(
+                c,
+                F.when(choose_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")),
+            )
+        if tolerance_seconds is not None:
+            gap = F.when(choose_b, gb).otherwise(gf)
+            too_far = F.coalesce(
+                gap > tolerance_seconds * 1_000_000, F.lit(False)
+            )
+            for c in carried:
+                out = out.withColumn(
+                    c, F.when(too_far, F.lit(None)).otherwise(F.col(c))
+                )
+        return out.select(*left_cols, *carried)
 
     if direction == "backward":
         w = (

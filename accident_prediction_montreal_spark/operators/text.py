@@ -439,3 +439,56 @@ def quality_classifier(
         )
         .withColumn("keep", (F.col("score_milli") >= 0).cast("long"))
     )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model perplexity score (Wenzek et al. 2020
+    pattern): an add-1-smoothed unigram LM is fit on the corpus itself
+    and every document is scored by its average per-token negative
+    log-likelihood and perplexity — the third quality-filter modality
+    next to the heuristic signals (text_quality) and the hashed linear
+    classifier (quality_classifier).
+
+    Engine-reproducibility: per-token NLL is rounded to 9 decimals and
+    summed as DECIMAL(20,9), so the per-document total is exact and
+    order-independent; the only floats are ln/exp of identical doubles.
+
+    Scale shape: token counts are one map-side-combined groupBy; the
+    (N, V) normalizer is a 1-row broadcast; scoring joins tokens to the
+    |vocab|-row count table (hash join on the token — natural-language
+    skew concentrates on stopwords, which AQE's skew handling splits)
+    and reduces per document. Zero-token documents produce no explode
+    rows and are absent, like vocab_coverage.
+    """
+    toks = tokenize(F.col(text_col))
+    ex = df.select(id_col, F.explode(toks).alias("tok"))
+    cnt = ex.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    p = (F.col("c").cast("double") + F.lit(1.0)) / (
+        F.col("n").cast("double") + F.col("v").cast("double")
+    )
+    nll = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok", F.round(-F.log(p), 9).cast("decimal(20,9)").alias("q")
+    )
+    per = (
+        ex.join(nll, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("q").alias("s"),
+        )
+    )
+    avg = F.col("s").cast("double") / F.col("n_tokens")
+    return per.select(
+        id_col,
+        "n_tokens",
+        (F.round(avg, 6) + 0.0).alias("avg_nll"),
+        (F.round(F.exp(avg), 4) + 0.0).alias("ppl"),
+    )

@@ -192,6 +192,8 @@ _TAIL_HEAD = [
     "llm_epoch_schedule",
     "text_quality_classifier",
     "llm_curation_pipeline",
+    "text_lm_perplexity",
+    "j9_asof_nearest",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

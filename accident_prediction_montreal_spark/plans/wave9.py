@@ -508,3 +508,129 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+@register(
+    "text_lm_perplexity",
+    oracle="""
+    WITH toks AS (SELECT doc_id, {tokens} AS w FROM documents),
+    ex AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+    cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM ex GROUP BY tok),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+      FROM cnt
+    ),
+    nll AS (
+      SELECT tok,
+        CAST(ROUND(-ln((CAST(c AS DOUBLE) + 1.0)
+             / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))), 9)
+             AS DECIMAL(20,9)) AS q
+      FROM cnt, tot
+    ),
+    per AS (
+      SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(q) AS s
+      FROM ex e JOIN nll USING (tok) GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_tokens,
+      ROUND(CAST(s AS DOUBLE) / n_tokens, 6) + 0.0 AS avg_nll,
+      ROUND(exp(CAST(s AS DOUBLE) / n_tokens), 4) + 0.0 AS ppl
+    FROM per
+    """.replace("{tokens}", _SQL_QC_TOKENS),
+    description="CCNet-style unigram-LM perplexity filter (Wenzek et al. 2020 "
+    "pattern) — the third quality-filter modality next to the heuristic "
+    "signals and the hashed classifier: an add-1-smoothed unigram model "
+    "fit on the corpus scores each document's average per-token NLL and "
+    "perplexity. Per-token NLLs are 9-decimal-rounded and summed as "
+    "DECIMAL(20,9), so per-document totals are exact and order-"
+    "independent in any engine. Scale: counts are one map-side-combined "
+    "groupBy, the (N,V) normalizer a 1-row broadcast, scoring a hash "
+    "join on token (stopword skew -> AQE skew split) + one reduce "
+    "(operators/text.py::lm_perplexity).",
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.text import lm_perplexity
+
+    docs = load_table(spark, "documents", sf_dir)
+    return lm_perplexity(docs)
+
+
+@register(
+    "j9_asof_nearest",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    errors AS (
+      SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'
+    ),
+    bwd AS (
+      SELECT e.event_id, c.event_id AS cid, c.value AS cval, c.ts AS cts
+      FROM errors e
+      ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+    ),
+    fwd AS (
+      SELECT e.event_id, c.event_id AS cid, c.value AS cval, c.ts AS cts
+      FROM errors e
+      ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts <= c.ts
+    )
+    SELECT e.user_id, e.event_id,
+      CASE WHEN b.cts IS NOT NULL AND (f.cts IS NULL
+             OR (epoch_us(e.ts) - epoch_us(b.cts))
+                <= (epoch_us(f.cts) - epoch_us(e.ts)))
+           THEN b.cid ELSE f.cid END AS nearest_click_event_id,
+      ROUND(CASE WHEN b.cts IS NOT NULL AND (f.cts IS NULL
+             OR (epoch_us(e.ts) - epoch_us(b.cts))
+                <= (epoch_us(f.cts) - epoch_us(e.ts)))
+           THEN b.cval ELSE f.cval END, 6) AS nearest_click_value,
+      CASE WHEN b.cts IS NOT NULL AND (f.cts IS NULL
+             OR (epoch_us(e.ts) - epoch_us(b.cts))
+                <= (epoch_us(f.cts) - epoch_us(e.ts)))
+           THEN epoch_us(e.ts) - epoch_us(b.cts)
+           ELSE epoch_us(f.cts) - epoch_us(e.ts) END AS gap_us
+    FROM errors e
+    LEFT JOIN bwd b USING (event_id)
+    LEFT JOIN fwd f USING (event_id)
+    """,
+    description="NEAREST as-of join (pandas merge_asof direction='nearest' "
+    "semantics, completing J9's backward/forward/tolerance family): for "
+    "each error, the click minimizing |gap| per user, ties to the "
+    "backward side. One shuffle: both carries (last-non-null backward, "
+    "first-non-null forward) run over the SAME (ts, side, tie) sort and "
+    "the per-row chooser compares microsecond gaps "
+    "(operators/asof.py, direction='nearest'). Oracle composes DuckDB's "
+    "two native ASOF directions with the identical tie rule.",
+)
+def j9_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from accident_prediction_montreal_spark.operators.asof import asof_join
+    from accident_prediction_montreal_spark.sources.registry import epoch_us
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id"
+    )
+    out = asof_join(
+        errors, clicks, by=["user_id"], value_cols=["event_id", "value"],
+        direction="nearest",
+    )
+    dt = dict(out.dtypes)
+    gap = F.abs(
+        epoch_us(F.col("ts"), dt["ts"]) - epoch_us(F.col("ts_right"), dt["ts_right"])
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("event_id_right").alias("nearest_click_event_id"),
+        F.round("value_right", 6).alias("nearest_click_value"),
+        gap.cast("long").alias("gap_us"),
+    )

@@ -155,6 +155,8 @@ EXTENDED = [
     "llm_epoch_schedule",
     "text_quality_classifier",
     "llm_curation_pipeline",
+    "text_lm_perplexity",
+    "j9_asof_nearest",
 ]
 
 

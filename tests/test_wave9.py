@@ -134,3 +134,65 @@ def test_curation_pipeline_stage_counts(spark):
     # The planted +100000 copies must die in the semantic-dedup stage:
     # every copy whose original passed quality shares its cell and cos~1.
     assert sum(r["n_kept"] - r["n_docs"] for r in rows) > 0
+
+
+def test_lm_perplexity_rare_tokens_score_higher(spark):
+    from accident_prediction_montreal_spark.operators.text import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the the the the"),  # all high-frequency
+            (1, "the the the zyx"),  # one rare token
+            (2, ""),  # no tokens -> absent
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in lm_perplexity(docs).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[1]["avg_nll"] > rows[0]["avg_nll"]
+    assert rows[1]["ppl"] > rows[0]["ppl"]
+    # Hand-check doc 0: p(the) = (7+1)/(8+2) = 0.8 -> nll = -ln(0.8).
+    import math
+
+    assert abs(rows[0]["avg_nll"] - round(-math.log(0.8), 6)) < 2e-6
+
+
+def test_asof_nearest_picks_closer_side_and_tie_backward(spark):
+    from accident_prediction_montreal_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 205), (1, 400)], "k LONG, ts LONG"
+    ).select("k", F.timestamp_micros((F.col("ts") * 1_000_000)).alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 210, "b"), (1, 500, "c")], "k LONG, ts LONG, v STRING"
+    ).select(
+        "k", F.timestamp_micros((F.col("ts") * 1_000_000)).alias("ts"), "v"
+    )
+    out = {
+        int(r["ts"].timestamp()): r["v_right"]
+        for r in asof_join(
+            left, right, by=["k"], value_cols=["v"], direction="nearest"
+        ).collect()
+    }
+    assert out[100] == "a"  # 10 back vs 110 forward
+    assert out[205] == "b"  # 5 forward vs 115 back
+    assert out[400] == "c"  # 100 forward vs 190 back
+
+    # Tie: gaps equal -> backward wins.
+    left2 = spark.createDataFrame([(1, 200)], "k LONG, ts LONG").select(
+        "k", F.timestamp_micros((F.col("ts") * 1_000_000)).alias("ts")
+    )
+    right2 = spark.createDataFrame(
+        [(1, 150, "back"), (1, 250, "fwd")], "k LONG, ts LONG, v STRING"
+    ).select("k", F.timestamp_micros((F.col("ts") * 1_000_000)).alias("ts"), "v")
+    got = asof_join(
+        left2, right2, by=["k"], value_cols=["v"], direction="nearest"
+    ).collect()[0]["v_right"]
+    assert got == "back"
+
+    # Tolerance prunes a too-far nearest match.
+    pruned = asof_join(
+        left2, right2, by=["k"], value_cols=["v"], direction="nearest",
+        tolerance_seconds=10,
+    ).collect()[0]["v_right"]
+    assert pruned is None
