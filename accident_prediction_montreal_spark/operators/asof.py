@@ -71,28 +71,38 @@ def asof_join(
         )
 
     r_side, l_side = (1, 0) if direction == "forward" else (0, 1)
+    # The ENTIRE right payload (matched ts + every value column) rides in
+    # ONE struct, so the ignorenulls carry picks a single right row
+    # wholesale. Carrying each column independently would, when a right
+    # value column is NULL on the matched row, silently substitute that
+    # column's value from a *different* (farther) right row — pandas
+    # merge_asof returns the matched row's NULL, and so do we.
+    carried = [rts] + [f"{c}{suffix}" for c in value_cols]
     right_tagged = right.select(
         *by,
         F.col(ts_col),
         F.lit(r_side).alias("__side"),
         epoch_us(F.col(ts_col), r_ts_dtype).alias("__tie"),
-        F.col(ts_col).alias(rts),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.struct(
+            F.col(ts_col).alias(rts),
+            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        ).alias("__pay"),
     )
+    pay_dtype = dict(right_tagged.dtypes)["__pay"]
     left_cols = left.columns
     left_tagged = left.select(
         "*",
         F.lit(l_side).alias("__side"),
         epoch_us(F.col(ts_col), l_ts_dtype).alias("__tie"),
-        F.lit(None).cast(dict(right_tagged.dtypes)[rts]).alias(rts),
-        *[
-            F.lit(None).cast(dict(right_tagged.dtypes)[f"{c}{suffix}"]).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(pay_dtype).alias("__pay"),
     )
-    allrows = left_tagged.unionByName(
-        right_tagged, allowMissingColumns=True
+    allrows = left_tagged.unionByName(right_tagged, allowMissingColumns=True)
+
+    base = Window.partitionBy(*by).orderBy(
+        F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tie").asc()
     )
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     if direction == "nearest":
         # Pandas merge_asof(direction="nearest") semantics: the closer of
@@ -103,79 +113,61 @@ def asof_join(
         # equal-ts right row, which is fine: backward matches it at gap
         # 0 and wins any tie. One shuffle, two window passes sharing the
         # sort (Spark reuses the partitioning+ordering between them).
-        carried = [rts] + [f"{c}{suffix}" for c in value_cols]
-        base = Window.partitionBy(*by).orderBy(
-            F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tie").asc()
+        out = (
+            allrows.withColumn(
+                "__b", F.last("__pay", ignorenulls=True).over(wb)
+            )
+            .withColumn("__f", F.first("__pay", ignorenulls=True).over(wf))
+            .filter(F.col("__side") == F.lit(l_side))
         )
-        wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        out = allrows
-        for c in carried:
-            out = out.withColumn(f"__b_{c}", F.last(c, ignorenulls=True).over(wb))
-            out = out.withColumn(f"__f_{c}", F.first(c, ignorenulls=True).over(wf))
-        out = out.filter(F.col("__side") == F.lit(l_side))
         gb = epoch_us(F.col(ts_col), l_ts_dtype) - epoch_us(
-            F.col(f"__b_{rts}"), r_ts_dtype
+            F.col("__b")[rts], r_ts_dtype
         )
-        gf = epoch_us(F.col(f"__f_{rts}"), r_ts_dtype) - epoch_us(
+        gf = epoch_us(F.col("__f")[rts], r_ts_dtype) - epoch_us(
             F.col(ts_col), l_ts_dtype
         )
-        choose_b = F.col(f"__b_{rts}").isNotNull() & (
-            F.col(f"__f_{rts}").isNull() | (gb <= gf)
-        )
-        for c in carried:
-            out = out.withColumn(
-                c,
-                F.when(choose_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")),
-            )
-        if tolerance_seconds is not None:
-            gap = F.when(choose_b, gb).otherwise(gf)
-            too_far = F.coalesce(
-                gap > tolerance_seconds * 1_000_000, F.lit(False)
-            )
-            for c in carried:
-                out = out.withColumn(
-                    c, F.when(too_far, F.lit(None)).otherwise(F.col(c))
-                )
-        return out.select(*left_cols, *carried)
-
-    if direction == "backward":
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tie").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
-    else:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tie").asc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-    carried = [rts] + [f"{c}{suffix}" for c in value_cols]
-    out = allrows
-    for c in carried:
-        out = out.withColumn(c, carry(c))
-    out = out.filter(F.col("__side") == F.lit(l_side)).drop("__side", "__tie")
-
-    if tolerance_seconds is not None:
-        # Materialize the staleness flag BEFORE nulling anything: the loop
-        # overwrites rts first, and a flag recomputed from the nulled rts
-        # would stop firing for the remaining columns.
-        gap = (
-            epoch_us(F.col(ts_col), l_ts_dtype) - epoch_us(F.col(rts), r_ts_dtype)
-            if direction == "backward"
-            else epoch_us(F.col(rts), r_ts_dtype) - epoch_us(F.col(ts_col), l_ts_dtype)
+        choose_b = F.col("__b").isNotNull() & (
+            F.col("__f").isNull() | (gb <= gf)
         )
         out = out.withColumn(
-            "__too_old",
-            F.coalesce(gap > tolerance_seconds * 1_000_000, F.lit(False)),
+            "__m", F.when(choose_b, F.col("__b")).otherwise(F.col("__f"))
         )
-        for c in carried:
+        if tolerance_seconds is not None:
+            gap = F.when(choose_b, gb).otherwise(gf)
             out = out.withColumn(
-                c, F.when(F.col("__too_old"), F.lit(None)).otherwise(F.col(c))
+                "__m",
+                F.when(
+                    F.coalesce(gap > tolerance_seconds * 1_000_000, F.lit(False)),
+                    F.lit(None).cast(pay_dtype),
+                ).otherwise(F.col("__m")),
             )
-        out = out.drop("__too_old")
+        return out.select(
+            *left_cols, *[F.col("__m")[c].alias(c) for c in carried]
+        )
 
-    return out.select(*left_cols, *carried)
+    carry = (
+        F.last("__pay", ignorenulls=True).over(wb)
+        if direction == "backward"
+        else F.first("__pay", ignorenulls=True).over(wf)
+    )
+    out = allrows.withColumn("__m", carry).filter(
+        F.col("__side") == F.lit(l_side)
+    )
+
+    if tolerance_seconds is not None:
+        gap = (
+            epoch_us(F.col(ts_col), l_ts_dtype)
+            - epoch_us(F.col("__m")[rts], r_ts_dtype)
+            if direction == "backward"
+            else epoch_us(F.col("__m")[rts], r_ts_dtype)
+            - epoch_us(F.col(ts_col), l_ts_dtype)
+        )
+        out = out.withColumn(
+            "__m",
+            F.when(
+                F.coalesce(gap > tolerance_seconds * 1_000_000, F.lit(False)),
+                F.lit(None).cast(pay_dtype),
+            ).otherwise(F.col("__m")),
+        )
+
+    return out.select(*left_cols, *[F.col("__m")[c].alias(c) for c in carried])

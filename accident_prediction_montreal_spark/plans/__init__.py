@@ -33,90 +33,22 @@ from accident_prediction_montreal_spark.plans import wave9  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #
-# Round-7 ROTATION (verdict r6 #1): every query with ZERO driver
-# evidence rotates IN — the 22 r6 late additions that sat at tail-head
-# (all verified green locally at sf0.01 in r6 AND r7) — plus the two new
-# r7 capstones (st_pipeline_capstone, the streaming composition the r6
-# verdict asked for as #5; x12_backfill_evolution, the backfill x sink x
-# schema-evolution composition, ask #6).
+# Round-8 ROTATION (verdict r7 #2): 50 of the 77 registry queries that
+# have never had a driver CORRECTNESS row rotate IN — the wave-5..9
+# blocks (ER, graph, product analytics, scale-ops composites, the
+# k-means/SemDeDup/curation block, the remaining streaming queries) —
+# all verified green locally at sf0.01 (scripts/check_oracle.py, r7 and
+# again this round after edits). Queries MODIFIED this round (ppjoin
+# filters, a26 approx-ntile default, adaptive-K SemDeDup, 2-round Lloyd,
+# asof-nearest struct carry) are deliberately in-window so the driver
+# validates the new forms. The 27 still-unchecked queries head the tail
+# as the r9 rotate-in set.
 #
-# Rotated OUT — 24 multi/singly-green stalwarts whose operators remain
-# covered in-window: the TPC-H q2/q7/q11/q13-q22 block (12 queries, 1-2
-# greens each; join/agg/top-k shapes stay via q8/q9 + the apm capstone),
-# dedup_embedding_cosine + dedup_simhash + sim_embedding_stats (cosine/
-# simhash families pinned by dedup_minhash_pairs, sim_ann_* contracts),
-# text_repetition/_sequence_pack/_token_hash/_quality_deciles (text
-# family keeps text_pii_scrub + text_vocab_coverage in-window),
-# st_tumbling_window/st_sliding_window/st_sliding_stream (streaming
-# keeps 5 in-window incl. the new capstone), a_approx_percentile_
-# invariant (sketch family keeps a8_approx_distinct), and
-# x5_month_shard_backfill (subsumed by the incoming x12 composite).
+# Rotated OUT — the full r7 window (50/50 green in CORRECTNESS_r07);
+# every operator family it covered keeps in-window representation via
+# the incoming composites (er/curation/privacy pipelines, scd2/cdc/
+# bloom joins, streaming cdc-upsert/outer/heavy-hitters).
 _PRIORITY = [
-    # Flagship composites: batch (apm), streaming (NEW), ingestion (NEW).
-    "apm_dataset_pipeline",
-    "st_pipeline_capstone",
-    "x12_backfill_evolution",
-    "j8_knn_seam_polar",
-    "a6_idw_seam",
-    # TPC-H: the last two never-driver-checked shapes.
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    # r6 late additions, zero driver evidence until now.
-    "j10_range_join",
-    "st_stream_range_join",
-    "dedup_repeated_spans",
-    "text_vocab_coverage",
-    "a11_cohort_retention",
-    "a12_funnel_steps",
-    "a13_grouping_sets",
-    "f_udtf_json_kv",
-    "w7_range_frame",
-    "j12_nullsafe_join",
-    "p12_unpivot",
-    "mm_ppm_resize",
-    "mm_frame_sample",
-    "j9_asof_forward",
-    "j9_asof_tolerance",
-    "f_map_funcs",
-    "x8_partitioned_sink_roundtrip",
-    "x9_schema_evolution",
-    "x10_permissive_csv",
-    "x11_bucketed_join",
-    # LLM-pipeline keepers + the r6-upgraded contracts (2nd green each).
-    "llm_pretrain_pipeline",
-    "llm_decontaminate",
-    "llm_temperature_mix",
-    "dedup_minhash_pairs",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_ann_recall",
-    "text_pii_scrub",
-    # Multimodal codecs.
-    "mm_bmp_decode",
-    "mm_pgm_decode",
-    # Streaming keepers (capstone is slot 2).
-    "st_late_data_eviction",
-    "st_time_rollup",
-    "st_foreachbatch_sink",
-    "st_stream_static_join",
-    # ML surface + sampling contracts.
-    "m_calibration_bins",
-    "m_rf_pipeline_invariants",
-    "m2_random_undersampler",
-    "r2_seeded_sample",
-    "r3_random_split",
-    "r5_hash_split",
-    "a8_approx_distinct",
-    "f_pandas_grouped_agg",
-    # NEW r7: the compressed-raster codec (zlib PNG) takes the last slot.
-    "mm_png_decode",
-]
-
-# Positions 51+: the r7 rotated-out block first (most-recently-green,
-# natural future rotation candidates), then the r6-era tail.
-_TAIL_HEAD = [
-    # r7 late additions (zero driver evidence yet — the r8 rotate-in set,
-    # all verified green locally at sf0.01):
     "j13_scd2_join",
     "m12_oof_target_encode",
     "dedup_editdist",
@@ -151,21 +83,34 @@ _TAIL_HEAD = [
     "j16_interval_overlap",
     "x21_ann_pruned_layout",
     "g2_triangle_count",
-    "x22_dynamic_partition_overwrite",
-    "x23_global_index",
-    "a22_weighted_sample",
     "mm_audio_frames",
     "st_stream_stream_outer",
     "mm_gif_decode",
-    "a23_time_weighted_avg",
-    "a24_ohlc_bars",
     "sql_lateral_topk",
-    "f_array_hof",
     "a25_session_dynamic_gap",
     "a26_rfm_segmentation",
     "dedup_ppjoin",
     "a27_market_basket",
     "text_bm25",
+    "sim_kmeans_lloyd",
+    "dedup_semantic",
+    "llm_epoch_schedule",
+    "text_quality_classifier",
+    "llm_curation_pipeline",
+    "text_lm_perplexity",
+    "j9_asof_nearest",
+]
+
+# Positions 51+: the 27 remaining zero-evidence queries first (the r9
+# rotate-in set), then the rotated-out r7 window (most-recently-green),
+# then the r6-era tail.
+_TAIL_HEAD = [
+    "x22_dynamic_partition_overwrite",
+    "x23_global_index",
+    "a22_weighted_sample",
+    "a23_time_weighted_avg",
+    "a24_ohlc_bars",
+    "f_array_hof",
     "m15_psi_drift",
     "a28_seasonal_anomaly",
     "g3_label_propagation",
@@ -187,13 +132,56 @@ _TAIL_HEAD = [
     "a34_funnel_timing",
     "a35_grouped_quantiles",
     "a36_cusum_changepoint",
-    "sim_kmeans_lloyd",
-    "dedup_semantic",
-    "llm_epoch_schedule",
-    "text_quality_classifier",
-    "llm_curation_pipeline",
-    "text_lm_perplexity",
-    "j9_asof_nearest",
+    "apm_dataset_pipeline",
+    "st_pipeline_capstone",
+    "x12_backfill_evolution",
+    "j8_knn_seam_polar",
+    "a6_idw_seam",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "j10_range_join",
+    "st_stream_range_join",
+    "dedup_repeated_spans",
+    "text_vocab_coverage",
+    "a11_cohort_retention",
+    "a12_funnel_steps",
+    "a13_grouping_sets",
+    "f_udtf_json_kv",
+    "w7_range_frame",
+    "j12_nullsafe_join",
+    "p12_unpivot",
+    "mm_ppm_resize",
+    "mm_frame_sample",
+    "j9_asof_forward",
+    "j9_asof_tolerance",
+    "f_map_funcs",
+    "x8_partitioned_sink_roundtrip",
+    "x9_schema_evolution",
+    "x10_permissive_csv",
+    "x11_bucketed_join",
+    "llm_pretrain_pipeline",
+    "llm_decontaminate",
+    "llm_temperature_mix",
+    "dedup_minhash_pairs",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_recall",
+    "text_pii_scrub",
+    "mm_bmp_decode",
+    "mm_pgm_decode",
+    "st_late_data_eviction",
+    "st_time_rollup",
+    "st_foreachbatch_sink",
+    "st_stream_static_join",
+    "m_calibration_bins",
+    "m_rf_pipeline_invariants",
+    "m2_random_undersampler",
+    "r2_seeded_sample",
+    "r3_random_split",
+    "r5_hash_split",
+    "a8_approx_distinct",
+    "f_pandas_grouped_agg",
+    "mm_png_decode",
     "w5_running_sums",
     "tpch_q11_important_stock",
     "tpch_q7_volume_shipping",

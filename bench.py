@@ -216,7 +216,21 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     out = run_headline(spark, sf_dir, runs)
     out["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
-    print(json.dumps(out))
+    # The extended set (~90 queries) made the single stdout line so long
+    # the driver's capture truncated it mid-line (BENCH_r07 "parsed":
+    # null). stdout now carries ONLY the compact headline object; the
+    # extended timings go to a side file next to this script.
+    ext = {
+        "extended_queries": out.pop("extended_queries"),
+        "extended_total": out.pop("extended_total"),
+        "sf": out["sf"],
+    }
+    side = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_extended_latest.json"
+    )
+    with open(side, "w") as f:
+        json.dump(ext, f, indent=1)
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -38,6 +38,27 @@ def test_asof_tolerance(spark):
     assert tight["v_right"] is None  # match older than tolerance nulled
 
 
+def test_asof_null_value_on_matched_row(spark):
+    """A NULL value column on the matched right row must come back NULL
+    (pandas merge_asof semantics) — not a value carried from a farther
+    right row. Exercises the single-struct payload carry in every
+    direction."""
+    left = _df(spark, [(1, "2024-01-01 10:00:00", 1)], ["k", "ts_s", "lid"])
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 5.0, "old"),
+         (1, "2024-01-01 09:30:00", None, "match_b"),   # backward match
+         (1, "2024-01-01 10:30:00", None, "match_f"),   # forward match
+         (1, "2024-01-01 11:00:00", 9.0, "new")],
+        "k long, ts_s string, v double, tag string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v", "tag")
+    b = asof_join(left, right, by=["k"], direction="backward").first()
+    assert b["tag_right"] == "match_b" and b["v_right"] is None
+    f = asof_join(left, right, by=["k"], direction="forward").first()
+    assert f["tag_right"] == "match_f" and f["v_right"] is None
+    n = asof_join(left, right, by=["k"], direction="nearest").first()
+    assert n["tag_right"] == "match_b" and n["v_right"] is None
+
+
 class TestRangeJoin:
     """Bucketed point-in-interval join vs the naive theta-join twin."""
 
