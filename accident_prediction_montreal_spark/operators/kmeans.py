@@ -126,15 +126,21 @@ def lloyd_kmeans(
     """``n_iter`` Lloyd rounds from deterministic seeds; returns the final
     assignment (id, cell, d2).
 
-    Seeds = the ``k`` smallest-id vectors (cell = seed id). Each round:
-    assign (zero-shuffle map) then update (one K×dim-output shuffle);
-    the final round re-assigns against the last centroids. Cells that
-    lose every member simply drop out of the update (standard Lloyd
-    degeneracy; deterministic here, and mirrored by the oracle).
+    Seeds = the ``k`` smallest-id vectors (cell = seed id), selected by
+    RANK via orderBy(id).limit(k) — Spark plans this as
+    TakeOrderedAndProject (a per-partition top-k merge, no global sort),
+    and unlike ``filter(id < k)`` it yields exactly ``k`` seeds for
+    offset or sparse id spaces too. Each round: assign (zero-shuffle
+    map) then update (one K×dim-output shuffle); the final round
+    re-assigns against the last centroids. Cells that lose every member
+    simply drop out of the update (standard Lloyd degeneracy;
+    deterministic here, and mirrored by the oracle).
     """
     vecs = emb.select(id_col, vec_col)
-    cents = vecs.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+    cents = (
+        vecs.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
     )
     assigned = assign_cells(vecs, cents, id_col=id_col, vec_col=vec_col)
     for _ in range(n_iter - 1):

@@ -93,10 +93,10 @@ def _bfs_round(sql_prev: str) -> str:
     SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
     WHERE dist < {_BFS_INF} ORDER BY node
     """,
-    description="Single-source k-hop BFS (graph family, the search "
+    description=f"Single-source k-hop BFS (graph family, the search "
     "primitive beside g1 PageRank / g2 triangles / g3 label "
     "propagation): hop distance from the minimum-id seed over the "
-    "bucket-capped co-occurrence graph, {_BFS_ROUNDS} synchronous "
+    f"bucket-capped co-occurrence graph, {_BFS_ROUNDS} synchronous "
     "relaxation rounds — dist(v) <- min(dist(v), min over neighbors "
     "dist(u)+1), the Bellman-Ford step that at 100 TB is one "
     "neighbor-keyed join + one groupBy(node) min per round over a "

@@ -102,8 +102,8 @@ def _pois_case_sql(u: str) -> str:
       ROUND(SUM(w * cents) / (100.0 * SUM(w)), 6) AS boot_mean
     FROM weighted GROUP BY replicate ORDER BY replicate
     """,
-    description="Seeded POISSON BOOTSTRAP (M-surface uncertainty "
-    "quantification): {_B} bootstrap replicates of the global mean in "
+    description=f"Seeded POISSON BOOTSTRAP (M-surface uncertainty "
+    f"quantification): {_B} bootstrap replicates of the global mean in "
     "ONE pass — each row draws a Poisson(1) weight per replicate from "
     "the engine-portable LCG (inverse-CDF case ladder over literal "
     "thresholds, so the oracle replays every weight exactly), and the "
@@ -112,7 +112,7 @@ def _pois_case_sql(u: str) -> str:
     "partition. This is THE scalable bootstrap: resampling 100 TB by "
     "index is impossible, but Poissonized weights stream. Means are "
     "computed over integer cents (exact, order-independent) and "
-    "divided once at the end. The spread of the {_B} replicate means "
+    f"divided once at the end. The spread of the {_B} replicate means "
     "IS the standard-error estimate; the query releases the replicate "
     "table so any CI flavor can be taken downstream.",
 )

@@ -27,59 +27,75 @@ _SQL_D2 = (
 )
 
 
-@register(
-    "sim_kmeans_lloyd",
-    oracle=f"""
-    WITH v AS ({_SQL_V}),
-    c0 AS (SELECT vec_id AS cell, vec AS cvec FROM v WHERE vec_id < {_K}),
-    d1 AS (
+def _lloyd_oracle(rounds: int) -> str:
+    """Generate the literal n-round Lloyd oracle: each round is a
+    distance CTE + argmin CTE; every round but the last feeds a
+    DECIMAL-exact centroid-update CTE. Mirrors lloyd_kmeans term for
+    term (including the rank-based ORDER BY/LIMIT seeding)."""
+    parts = [
+        f"WITH v AS ({_SQL_V}),",
+        f"c0 AS (SELECT vec_id AS cell, vec AS cvec FROM v"
+        f" ORDER BY vec_id LIMIT {_K}),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS (
       SELECT v.vec_id, v.vec, c.cell, {_SQL_D2} AS d2
-      FROM v CROSS JOIN c0 c
+      FROM v CROSS JOIN c{r - 1} c
     ),
-    a1 AS (
-      SELECT vec_id, vec, cell FROM (
+    a{r} AS (
+      SELECT vec_id, vec, cell, d2 FROM (
         SELECT *, ROW_NUMBER() OVER (
           PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-        FROM d1) WHERE rn = 1
-    ),
-    ex AS (
+        FROM d{r}) WHERE rn = 1
+    ),"""
+        )
+        if r < rounds:
+            parts.append(
+                f"""ex{r} AS (
       SELECT cell, i AS dim, vec[i] AS val
-      FROM a1, range(1, 65) t(i)
+      FROM a{r}, range(1, 65) t(i)
     ),
-    mu AS (
+    mu{r} AS (
       SELECT cell, dim,
         ROUND(CAST(SUM(CAST(ROUND(val, 9) AS DECIMAL(24,9))) AS DOUBLE)
               / COUNT(*), 9) AS cval
-      FROM ex GROUP BY cell, dim
+      FROM ex{r} GROUP BY cell, dim
     ),
-    c1 AS (SELECT cell, list(cval ORDER BY dim) AS cvec FROM mu GROUP BY cell),
-    d2s AS (
-      SELECT v.vec_id, c.cell, {_SQL_D2} AS d2
-      FROM v CROSS JOIN c1 c
-    ),
-    a2 AS (
-      SELECT vec_id, cell, d2 FROM (
-        SELECT *, ROW_NUMBER() OVER (
-          PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-        FROM d2s) WHERE rn = 1
-    )
+    c{r} AS (SELECT cell, list(cval ORDER BY dim) AS cvec
+             FROM mu{r} GROUP BY cell),"""
+            )
+    body = "\n    ".join(parts).rstrip(",")
+    return f"""
+    {body}
     SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
       ROUND(CAST(SUM(CAST(ROUND(d2, 9) AS DECIMAL(28,9))) AS DOUBLE)
             / COUNT(*), 6) + 0.0 AS inertia
-    FROM a2 GROUP BY cell ORDER BY cell
-    """,
-    description="Distributed Lloyd k-means, 2 rounds, FULL literal value "
-    "oracle (the engine-checkable complement to MLlib's black-box KMeans "
-    "inside the IVF quantizer): deterministic seeds (vec_id < 8), "
+    FROM a{rounds} GROUP BY cell ORDER BY cell
+    """
+
+
+_LLOYD_ROUNDS = 3
+
+
+@register(
+    "sim_kmeans_lloyd",
+    oracle=_lloyd_oracle(_LLOYD_ROUNDS),
+    description=f"Distributed Lloyd k-means, {_LLOYD_ROUNDS} rounds, FULL "
+    "literal value oracle (the engine-checkable complement to MLlib's "
+    "black-box KMeans inside the IVF quantizer): deterministic rank-based "
+    f"seeds (the {_K} smallest-id vectors via TakeOrderedAndProject), "
     "bit-stable sequential-fold distances, DECIMAL-exact order-"
     "independent centroid means, (d2 ASC, cell ASC) argmin tie-break — "
-    "every step reproduced term-for-term by the oracle, so per-cell "
-    "membership counts AND inertia match to 6 decimals. Scale shape "
-    "(operators/kmeans.py): assignment is a zero-shuffle map pass "
-    "(centroids packed into one broadcast array-of-structs row, argmin "
-    "= array_min over transform — no explode, no window); the update is "
-    "the only shuffle per round and its reduce-side output is K*dim "
-    "rows regardless of corpus size.",
+    "every step reproduced term-for-term by the generated n-round "
+    "oracle, so per-cell membership counts AND inertia match to 6 "
+    "decimals across TWO refinement rounds (centroid-update convergence "
+    "is pinned, not just one step). Scale shape (operators/kmeans.py): "
+    "assignment is a zero-shuffle map pass (centroids packed into one "
+    "broadcast array-of-structs row, argmin = array_min over transform "
+    "— no explode, no window); the update is the only shuffle per round "
+    "and its reduce-side output is K*dim rows regardless of corpus "
+    "size.",
 )
 def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from accident_prediction_montreal_spark.operators.kmeans import lloyd_kmeans
@@ -87,7 +103,7 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    assigned = lloyd_kmeans(emb, k=_K, n_iter=2)
+    assigned = lloyd_kmeans(emb, k=_K, n_iter=_LLOYD_ROUNDS)
     return (
         assigned.groupBy("cell")
         .agg(
@@ -108,6 +124,35 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEM_THRESH = 0.999  # within-cell cosine at/above which the larger id is a dup
 _SEM_PLANT = 20  # vec_id < 20 get an identical planted copy at id+100000
 
+# SemDeDup cell count GROWS with the corpus: K = clamp(N/1024, 8, 4096),
+# so expected cell size stays ~1024 rows and the within-cell quadratic
+# pair stage stays linear in N overall instead of quadratic under a
+# fixed K. Computed IN-PLAN (1-row agg, broadcast onto the seed filter —
+# no driver collect); the oracle mirrors it as a scalar subquery.
+_SQL_ADAPTIVE_K = "(SELECT GREATEST(8, LEAST(4096, COUNT(*) // 1024)) FROM {src})"
+
+
+def _adaptive_k_col(n: F.Column) -> F.Column:
+    return F.greatest(
+        F.lit(8).cast("long"),
+        F.least(F.lit(4096).cast("long"), F.floor(n / F.lit(1024)).cast("long")),
+    )
+
+
+def _adaptive_seeds(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """The K smallest-id vectors as (cell, cvec), K adaptive in count(emb).
+
+    The fixture id space is dense 0-based (TESTDATA.md contract), so
+    ``id < K`` is exactly rank-K seeding here and stays SQL-mirrorable;
+    the general rank-based form lives in operators/kmeans.py.
+    """
+    kdf = emb.agg(_adaptive_k_col(F.count(F.lit(1))).alias("__k"))
+    return (
+        emb.crossJoin(F.broadcast(kdf))
+        .filter(F.col(id_col) < F.col("__k"))
+        .select(F.col(id_col).alias("cell"), F.col("vec").alias("cvec"))
+    )
+
 
 @register(
     "dedup_semantic",
@@ -118,7 +163,8 @@ _SEM_PLANT = 20  # vec_id < 20 get an identical planted copy at id+100000
       UNION ALL
       SELECT vec_id + 100000 AS vec_id, vec FROM base WHERE vec_id < {_SEM_PLANT}
     ),
-    c0 AS (SELECT vec_id AS cell, vec AS cvec FROM base WHERE vec_id < {_K}),
+    c0 AS (SELECT vec_id AS cell, vec AS cvec FROM base
+           WHERE vec_id < {_SQL_ADAPTIVE_K.format(src="base")}),
     d1 AS (
       SELECT v.vec_id, v.vec, c.cell, {_SQL_D2} AS d2
       FROM corpus v CROSS JOIN c0 c
@@ -150,10 +196,12 @@ _SEM_PLANT = 20  # vec_id < 20 get an identical planted copy at id+100000
     "known dups that cross no cell boundary — copies always share "
     "their original's cell because their distances are bit-equal. The "
     "cell bound is the scale story: pairwise work is quadratic only "
-    "within a cell, and cells shrink as K grows with the corpus — the "
-    "all-pairs join never forms. Value oracle replays assignment and "
-    "pairing term-for-term (bit-identical fold dot products both "
-    "engines).",
+    "within a cell, and K is ADAPTIVE — clamp(N/1024, 8, 4096), computed "
+    "in-plan from a broadcast 1-row count (no driver collect) — so "
+    "expected cell size stays ~1024 rows and total pair work stays "
+    "linear in N; the all-pairs join never forms. Value oracle replays "
+    "assignment, the adaptive K (scalar subquery) and pairing term-for-"
+    "term (bit-identical fold dot products both engines).",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from accident_prediction_montreal_spark.functions.vectors import (
@@ -169,9 +217,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"), "vec"
     )
     corpus = base.unionByName(planted)
-    seeds = base.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("cell"), F.col("vec").alias("cvec")
-    )
+    seeds = _adaptive_seeds(base)
     # Norms are computed ONCE per row before the self-join — the pair
     # stage folds only the cross dot product (same bits as the oracle's
     # per-pair sqrt: sqrt(dot(v,v)) is a pure function of the row).
@@ -346,7 +392,8 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT k.doc_id, e.vec FROM kept k
       JOIN v e ON e.vec_id = k.doc_id % 100000
     ),
-    c0 AS (SELECT vec_id AS cell, vec AS cvec FROM v WHERE vec_id < {_K}),
+    c0 AS (SELECT vec_id AS cell, vec AS cvec FROM v
+           WHERE vec_id < {_SQL_ADAPTIVE_K.format(src="v")}),
     d1 AS (
       SELECT kv.doc_id, kv.vec, c.cell,
         list_dot_product(kv.vec, kv.vec)
@@ -424,8 +471,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the original's cell and die in the dedup stage, so the stage "
     "counts (n_raw > n_kept >= n_docs) are structurally guaranteed. "
     "Per stage the scale shape is the proven one: zero-shuffle "
-    "classifier map, broadcast argmin assignment, cell-bounded "
-    "pairwise, |domains|-row schedule.",
+    "classifier map, broadcast argmin assignment with ADAPTIVE K = "
+    "clamp(N/1024, 8, 4096) (in-plan 1-row count, no driver collect), "
+    "cell-bounded pairwise, |domains|-row schedule.",
 )
 def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from accident_prediction_montreal_spark.functions.vectors import (
@@ -457,9 +505,7 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kv = kept.select("doc_id").join(
         emb, emb["vec_id"] == F.col("doc_id") % 100000
     ).select("doc_id", "vec")
-    seeds = emb.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("cell"), F.col("vec").alias("cvec")
-    )
+    seeds = _adaptive_seeds(emb)
     assigned = assign_cells(kv, seeds, id_col="doc_id").select(
         "doc_id", "vec", "cell", l2_norm("vec").alias("nrm")
     )
