@@ -32,6 +32,7 @@ def _dist_and_rank(
     left_coords: tuple[str, str],
     right_coords: tuple[str, str],
     k: int,
+    a_bound_col: str | None = None,
 ) -> DataFrame:
     """Rank candidates per left point, keep top-k, attach exact meters.
 
@@ -64,12 +65,25 @@ def _dist_and_rank(
         F.lit(2.0 * _EARTH_RADIUS_M)
         * F.atan2(F.sqrt(F.col("_hav_a")), F.sqrt(1 - F.col("_hav_a")))
     )
+    out = joined.withColumn("_hav_a", a)
+    if a_bound_col is not None:
+        # Per-left-point candidate prefilter: when the caller knows an
+        # UPPER bound on the true k-th distance (as a haversine-argument
+        # bound), pairs beyond it cannot be in the top-k and are dropped
+        # BEFORE the ranking window — the window's shuffle+sort is the
+        # dominant cost of an exhaustive pass (measured ~0.5 s per
+        # million rows vs ~0.05 s/M for the pair enumeration itself).
+        # NULL bound = no information = keep every pair.
+        out = out.filter(
+            F.col(a_bound_col).isNull() | (F.col("_hav_a") <= F.col(a_bound_col))
+        )
     return (
-        joined.withColumn("_hav_a", a)
-        .withColumn("knn_rank", F.row_number().over(order))
+        out.withColumn("knn_rank", F.row_number().over(order))
         .filter(F.col("knn_rank") <= k)
         .withColumn("distance_m", dist)
-        .drop("_hav_a", "_l_coslat", "_r_coslat")
+        .drop("_hav_a", "_l_coslat", "_r_coslat", *(
+            [a_bound_col] if a_bound_col else []
+        ))
     )
 
 
@@ -82,6 +96,7 @@ def knn_join(
     left_coords: tuple[str, str] = ("lat", "lon"),
     right_coords: tuple[str, str] = ("rlat", "rlon"),
     max_broadcast_rows: int | None = 1_000_000,
+    a_bound_col: str | None = None,
 ) -> DataFrame:
     """Reference-faithful kNN join: crossJoin + haversine + windowed top-k.
 
@@ -95,6 +110,12 @@ def knn_join(
     it exceeds the cap, pointing at ``knn_join_grid`` — the cost is one
     cheap count of the SMALL side, never a scan of ``left``. Pass
     ``None`` to opt out (verification twins at fixture scale).
+
+    ``a_bound_col`` (optional, a column on ``left``): per-point upper
+    bound on the haversine ARGUMENT of the true k-th neighbor — pairs
+    above it are pruned before the ranking window (see _dist_and_rank);
+    NULL means unbounded. Used by knn_join_grid_exact's residue
+    fallback, where the grid proof round supplies the bound.
     """
     if max_broadcast_rows is not None:
         n_right = right.count()
@@ -107,7 +128,10 @@ def knn_join(
     lcos = left.withColumn("_l_coslat", F.cos(F.radians(F.col(left_coords[0]))))
     rcos = right.withColumn("_r_coslat", F.cos(F.radians(F.col(right_coords[0]))))
     joined = lcos.crossJoin(F.broadcast(rcos))
-    return _dist_and_rank(joined, left_id, right_id, left_coords, right_coords, k)
+    return _dist_and_rank(
+        joined, left_id, right_id, left_coords, right_coords, k,
+        a_bound_col=a_bound_col,
+    )
 
 
 def estimate_cell_deg(
@@ -161,14 +185,28 @@ def _density_scan(
     row = pts.agg(
         F.percentile_approx(lat, F.array(F.lit(0.01), F.lit(0.99)), 10000).alias("qlat"),
         F.percentile_approx(lon, F.array(F.lit(0.01), F.lit(0.99)), 10000).alias("qlon"),
+        # Same quantiles in the [0, 360) longitude representation: a
+        # point set straddling the antimeridian spans nearly 360° in
+        # [-180, 180] but its true extent in [0, 360) — taking the
+        # smaller of the two extents keeps the bounding box (and hence
+        # the cell size) honest for seam-straddling data, where the
+        # naive box overestimated the area ~1000x and produced cells so
+        # large the grid join degenerated toward the cross join.
+        F.percentile_approx(
+            F.pmod(F.col(lon) + F.lit(360.0), F.lit(360.0)),
+            F.array(F.lit(0.01), F.lit(0.99)),
+            10000,
+        ).alias("qlon_wrapped"),
         F.count(F.lit(1)).alias("n"),
     ).first()
     n = int(row["n"])
     if n == 0:
         return 1e-9 * 1e-9, 0
-    area = max(row["qlat"][1] - row["qlat"][0], 1e-9) * max(
-        row["qlon"][1] - row["qlon"][0], 1e-9
+    lon_extent = min(
+        row["qlon"][1] - row["qlon"][0],
+        row["qlon_wrapped"][1] - row["qlon_wrapped"][0],
     )
+    area = max(row["qlat"][1] - row["qlat"][0], 1e-9) * max(lon_extent, 1e-9)
     return float(area), n
 
 
@@ -230,23 +268,51 @@ def knn_join_grid(
     null ``right_id``/``distance_m`` (rank 1), making coverage holes
     visible in-band instead of requiring an anti-join to re-discover
     them. The public contract is the inner join.
+
+    The ANTIMERIDIAN is covered by SHADOW replication (when
+    ``seam_shadows_active``): right points within 3·cell_deg of lon ±180
+    get one extra copy whose CELL INDICES are computed from lon ∓ 360 —
+    coordinates stay raw (the haversine's sin² of half-angle differences
+    is wrap-correct as-is), so a seam-straddling pair lands in the same
+    cell block like any other pair. Interior data sees the exact same
+    tiling as without shadows (no anchor shift), and a shadow can never
+    double-join: its cell_j is ~360/cell_deg >= 6 cells away from the
+    true copy's.
     """
-    left_cells = _with_cell(
-        left.withColumn("_l_coslat", F.cos(F.radians(F.col(left_coords[0])))),
-        left_coords[0],
-        left_coords[1],
-        cell_deg,
-    )
+    lcos = left.withColumn("_l_coslat", F.cos(F.radians(F.col(left_coords[0]))))
+    # cos(lat) computed once per point, BEFORE the 9x cell replication
+    rcos = right.withColumn("_r_coslat", F.cos(F.radians(F.col(right_coords[0]))))
+    left_cells = _with_cell(lcos, left_coords[0], left_coords[1], cell_deg)
     right_cells = _with_neighbor_cells(
-        # cos(lat) computed once per point, BEFORE the 9x cell replication
-        right.withColumn("_r_coslat", F.cos(F.radians(F.col(right_coords[0])))),
-        right_coords[0],
-        right_coords[1],
-        cell_deg,
+        rcos, right_coords[0], right_coords[1], cell_deg
     )
+    if seam_shadows_active(cell_deg):
+        rlon = F.col(right_coords[1])
+        shadow_src = rcos.filter(
+            F.abs(rlon) > F.lit(180.0 - 3.0 * cell_deg)
+        ).withColumn(
+            "__lon_cellview",
+            F.when(rlon > 0, rlon - F.lit(360.0)).otherwise(rlon + F.lit(360.0)),
+        )
+        shadows = _with_neighbor_cells(
+            shadow_src, right_coords[0], "__lon_cellview", cell_deg
+        ).drop("__lon_cellview")
+        right_cells = right_cells.unionByName(shadows)
     joined = left_cells.join(right_cells, ["cell_i", "cell_j"], _how)
     out = _dist_and_rank(joined, left_id, right_id, left_coords, right_coords, k)
     return out.drop("cell_i", "cell_j")
+
+
+def seam_shadows_active(cell_deg: float) -> bool:
+    """Whether knn_join_grid covers the antimeridian via shadow copies.
+
+    Two floors gate it: the ±360° shadow must land ≥3 cells from its
+    true copy (no self-join block overlap), and the exactness proof's
+    small-angle lon-coverage bound degrades by more than its 5%
+    curvature margin past ~60° cells (d >= b·(1 − g²/24), g in radians:
+    1 − (π/3)²/24 ≈ 0.954) — giant escalation cells therefore run
+    without shadows and the proof falls back to seam REFUSAL there."""
+    return cell_deg <= 60.0
 
 
 # meters per degree of latitude (R * pi / 180); longitude shrinks by cos(lat).
@@ -298,15 +364,16 @@ def knn_join_grid_exact(
     proving costs no extra shuffle; each escalation round touches only
     the points the previous round could not prove. Degree-grid caveats
     and how the proof closes them: cells degrade near the poles
-    (``worst_cos`` goes to 0, so polar points never prove) and do NOT
-    wrap at the antimeridian — a seam-adjacent left point could find k
-    same-side candidates that pass the distance bound while a nearer
-    cross-seam neighbor sits in a far-away cell, so any point whose 3x3
-    block touches lon ±180 is explicitly refused proof
-    (|lon| > 180 − 2·cell_deg → unproven). Both classes escalate and,
-    if still unproven, land in the exhaustive fallback, which is
-    geometry-agnostic — the EXACT guarantee therefore holds for global
-    extents, not just city-scale data.
+    (``worst_cos`` goes to 0, so polar points never prove); the
+    ANTIMERIDIAN is handled constructively — seam-band right points get
+    ±360° shadow copies for cell assignment (seam_shadows_active), so
+    seam-straddling points prove like any others; only under giant
+    shadow-less escalation cells does the proof fall back to refusing
+    seam-adjacent points (|lon| > 180 − 2·cell_deg → unproven).
+    Unproven classes escalate and, if still unproven, land in the
+    exhaustive fallback, which is geometry-agnostic — the EXACT
+    guarantee therefore holds for global extents, not just city-scale
+    data.
 
     ``verify`` controls eagerness. The default ``'eager'`` runs the
     proof/escalation loop, which triggers a few small Spark actions per
@@ -353,6 +420,7 @@ def knn_join_grid_exact(
 
     remaining = left
     residue: DataFrame | None = None
+    residue_bounds: DataFrame | None = None
     resolved_chunks: list[DataFrame] = []
     persisted: list[DataFrame] = []
     out_cols = None
@@ -383,39 +451,79 @@ def knn_join_grid_exact(
         worst_cos = F.cos(
             F.radians(F.least(F.abs(F.col(left_coords[0])) + F.lit(cell_deg), F.lit(90.0)))
         )
-        # Longitude cells do not wrap at ±180: a seam-adjacent point's
-        # nearest neighbor may sit across the seam in a cell the 3x3
-        # block never touches, so the distance bound alone would FALSELY
-        # prove it. Refuse proof whenever the block could touch the seam.
-        seam_safe = F.abs(F.col(left_coords[1])) <= F.lit(180.0 - 2.0 * cell_deg)
+        # With seam shadows active (the normal regime — any cell up to
+        # 60°) the 3x3 block covers the antimeridian like any other
+        # longitude, so seam-straddling data proves normally. Only when
+        # the grid ran WITHOUT shadows (giant escalated cells) can a
+        # seam-adjacent point's nearest neighbor hide across the seam in
+        # a far-away cell — refuse proof there.
+        if seam_shadows_active(cell_deg):
+            seam_safe = F.lit(True)
+        else:
+            seam_safe = (
+                F.abs(F.col(left_coords[1])) <= F.lit(180.0 - 2.0 * cell_deg)
+            )
         # coalesce: an empty-block point's only row has null distance_m,
         # making the bound comparison null — it must count as UNPROVEN
         # (null would silently drop it from BOTH the proven and the
         # not-proven filter).
+        nk = F.max("knn_rank").over(per_left)
+        dk = F.max("distance_m").over(per_left)
         proven = F.coalesce(
             seam_safe
-            & (F.max("knn_rank").over(per_left) == k)
-            & (
-                F.max("distance_m").over(per_left)
-                <= F.lit(cell_deg * _M_PER_DEG * margin) * worst_cos
-            ),
+            & (nk == k)
+            & (dk <= F.lit(cell_deg * _M_PER_DEG * margin) * worst_cos),
             F.lit(False),
         )
-        flagged = cand.withColumn("_proven", proven).persist()
+        flagged = (
+            cand.withColumn("_nk", nk)
+            .withColumn("_dk", dk)
+            .withColumn("_proven", proven)
+            .persist()
+        )
         persisted.append(flagged)
         # Null-candidate rows are never proven, so the resolved output
         # stays free of them.
-        resolved_chunks.append(flagged.filter(F.col("_proven")).drop("_proven"))
+        resolved_chunks.append(
+            flagged.filter(F.col("_proven")).drop("_proven", "_nk", "_dk")
+        )
         # Exactly one rank-1 row exists per left point (outer join), and
         # _proven is constant within a point — so the convergence scalar
         # is a plain filtered count on the cached candidates: ONE action
         # per round (the same agg also reads the worst unproven k-th
         # candidate distance, used below to size the next cell).
-        bad_firsts = flagged.filter((F.col("knn_rank") == 1) & ~F.col("_proven"))
+        #
+        # An unproven point that DID find k candidates knows an upper
+        # bound on its true k-th distance — its current k-th candidate
+        # distance — converted here to a haversine-ARGUMENT bound
+        # (a = sin²(d/2R), the strictly increasing ranking key) that the
+        # exhaustive fallback uses to drop non-contender pairs before
+        # the ranking window. The 1e-9 relative slack absorbs the
+        # atan2→sin² roundtrip ulp; oversizing only adds candidates.
+        a_bound = F.when(
+            F.col("_nk") == k,
+            F.pow(
+                F.sin(
+                    F.col("_dk") * F.lit((1.0 + 1e-9) / (2.0 * _EARTH_RADIUS_M))
+                ),
+                2,
+            ),
+        )
+        bad_firsts = flagged.filter(
+            (F.col("knn_rank") == 1) & ~F.col("_proven")
+        ).select(F.col(left_id), a_bound.alias("_a_bound"))
         conv = flagged.agg(
             F.sum(
                 F.when((F.col("knn_rank") == 1) & ~F.col("_proven"), 1).otherwise(0)
             ).alias("n_bad"),
+            F.sum(
+                F.when(
+                    (F.col("knn_rank") == 1)
+                    & ~F.col("_proven")
+                    & (F.col("_nk") != k),
+                    1,
+                ).otherwise(0)
+            ).alias("n_bad_nobound"),
             F.max(
                 F.when(
                     ~F.col("_proven") & (F.col("knn_rank") == k), F.col("distance_m")
@@ -426,6 +534,7 @@ def knn_join_grid_exact(
             ).alias("max_bad_lat"),
         ).first()
         n_bad, max_dk = int(conv["n_bad"] or 0), conv["max_dk"]
+        n_bad_nobound = int(conv["n_bad_nobound"] or 0)
         max_bad_lat = conv["max_bad_lat"]
         if n_bad == 0:
             remaining = None
@@ -433,26 +542,41 @@ def knn_join_grid_exact(
         remaining = remaining.join(
             bad_firsts.select(left_id), left_id, "left_semi"
         )
-        # Short-circuit: finish the residue with the exhaustive broadcast
-        # join when that is genuinely cheaper than another grid round —
-        # NOT just "small enough in absolute terms". The comparison is in
-        # candidate pairs: exhaustive costs n_bad × |right|; a grid round
-        # costs ~n_bad × occ_next (expected 3x3-block occupancy at the
-        # grown cell, from the density scan) plus fixed per-round
-        # overhead. A 20M-pair "budget" measured 10s at 10x scale where
-        # the grid round was 1.6M pairs — 6x the work for one saved
-        # round. ``fallback_budget_pairs`` (2M) remains the floor that
-        # amortizes the fixed overhead when the residue is truly tiny;
-        # when the density is unknown (caller-supplied cell_deg) the
-        # floor is the only criterion. At cluster scale a huge right
-        # side fails the broadcast cap and escalation proceeds as before.
+        residue_bounds = bad_firsts
+        # Short-circuit: finish the residue with the (bound-prefiltered)
+        # exhaustive broadcast join when that is genuinely cheaper than
+        # another grid round. Cost model from sandbox measurements,
+        # order-of-magnitude stable: the pair ENUMERATION (broadcast
+        # nested loop + haversine) streams ~20M pairs/s, while rows that
+        # reach the ranking WINDOW cost ~10x that (shuffle+sort). With
+        # the per-point _a_bound prefilter, only ~occupancy-many rows
+        # per bounded point reach the window; points with NO bound (<k
+        # candidates found) put all |right| rows through it. A grid
+        # round costs ~0.5 s fixed (join+window+action machinery) plus
+        # its own occupancy-sized window — and typically still needs a
+        # fallback after it. ``fallback_budget_pairs`` (2M) remains the
+        # unconditional floor for tiny residues; when density is
+        # unknown (caller-supplied cell_deg) the floor is the only
+        # criterion. At cluster scale a huge right side fails the
+        # broadcast cap and escalation proceeds as before.
         if n_right is None:
             n_right = right.count()
-        budget = fallback_budget_pairs
-        if area is not None:
-            occ_next = 9.0 * (cell_deg * growth) ** 2 * 0.96 * n_right / area
-            budget = max(budget, int(3.0 * n_bad * min(occ_next, float(n_right))))
-        if n_right <= 1_000_000 and n_bad * n_right <= budget:
+        exhaust_now = n_bad * n_right <= fallback_budget_pairs
+        if not exhaust_now and area is not None:
+            occ_cur = min(
+                9.0 * cell_deg**2 * 0.96 * n_right / area, float(n_right)
+            )
+            occ_next = min(
+                9.0 * (cell_deg * growth) ** 2 * 0.96 * n_right / area,
+                float(n_right),
+            )
+            exhaust_win_rows = (
+                n_bad_nobound * n_right + (n_bad - n_bad_nobound) * occ_cur
+            )
+            exhaust_cost = n_bad * n_right / 20e6 + exhaust_win_rows / 2e6
+            grid_cost = 0.5 + n_bad * occ_next / 2e6
+            exhaust_now = exhaust_cost <= grid_cost
+        if n_right <= 1_000_000 and exhaust_now:
             residue = remaining
             remaining = None
             break
@@ -486,11 +610,19 @@ def knn_join_grid_exact(
     if residue is not None:
         # Exhaustive join for the residue. Correct at any geometry; the
         # residue is tiny by construction (short-circuit bound or
-        # max_rounds of proof failures).
+        # max_rounds of proof failures). The per-point _a_bound from the
+        # last proof round (k-th-candidate distance, an upper bound on
+        # the true k-th) prunes the ranking window's input — the true
+        # top-k all sit at or under the bound, so the prefiltered result
+        # is identical to the unfiltered one.
+        bound_col = None
+        if residue_bounds is not None:
+            residue = residue.join(F.broadcast(residue_bounds), left_id)
+            bound_col = "_a_bound"
         resolved_chunks.append(
             knn_join(
                 residue, right, k, left_id, right_id, left_coords, right_coords,
-                max_broadcast_rows=None,
+                max_broadcast_rows=None, a_bound_col=bound_col,
             ).select(*out_cols)
         )
     out = resolved_chunks[0]
