@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from accident_prediction_montreal_spark import cachereg
 from accident_prediction_montreal_spark.operators.text import tokenize
 
 
@@ -525,28 +526,41 @@ def ppjoin_pairs(
     candidate join.
 
     Plan shape (the 100-TB story): one token-keyed aggregate for document
-    frequencies, one window per doc for the frequency ranking, a
-    token-keyed bucket join over PREFIX tokens only — with the PPJoin
-    length filter (t·max ≤ min) AND the PPJoin POSITIONAL filter
-    applied before a pair is ever emitted — then exact verification of
-    the deduped candidates against the full shingle-hash arrays via
-    array_intersect. The positional filter is the "P": a shared token
-    at (frequency-order) positions p_a, p_b can start an overlap of at
-    most 1 + min(|a|−p_a, |b|−p_b) common tokens, so an emission whose
-    bound falls below the required overlap α = t·(|a|+|b|)/(1+t) is
-    pruned; a qualifying pair always survives through its FIRST shared
-    token (no earlier commons exist there, so the bound is exact) and
-    the cross-bucket dropDuplicates keeps any surviving emission.
-    Measured 2.6× candidate reduction on the dense-vocabulary corpus.
-    Candidate volume is bounded by prefix bucket sizes — rare-token
-    buckets by construction — never by raw token frequency; no
-    all-pairs stage exists anywhere.
+    frequencies, one window per doc for the frequency ranking (tokenized
+    docs and the ranked prefix each persist once — four branches read
+    them), then a whole-stage-codegen'd SELF EQUI-JOIN of the prefix
+    postings on the token with the PPJoin length filter (t·max ≤ min)
+    AND the PPJoin POSITIONAL filter in the join's streamed filter, and
+    exact verification of the deduped candidates against the full
+    shingle-hash arrays via array_intersect. The positional filter is
+    the "P": a shared token at (frequency-order) positions p_a, p_b can
+    start an overlap of at most 1 + min(|a|−p_a, |b|−p_b) common
+    tokens, so an emission whose bound falls below the required overlap
+    α = t·(|a|+|b|)/(1+t) is pruned; a qualifying pair always survives
+    through its FIRST shared token (no earlier commons exist there, so
+    the bound is exact) and the cross-bucket dropDuplicates keeps any
+    surviving emission. Candidate volume is bounded by prefix bucket
+    sizes — rare-token buckets by construction — never by raw token
+    frequency; no all-pairs stage exists anywhere. On the deliberately
+    dense stress corpus (10x replication, mean token df ~75) the
+    filters cut 35M raw emissions to 9.6M and wall time is
+    candidate-bound: ~6.6M distinct candidates verify in ~0.5 µs each.
     """
     t = min_jaccard
-    docs = df.select(
-        F.col(id_col).alias("doc"),
-        word_shingle_hashes(text_col, n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    docs = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            word_shingle_hashes(text_col, n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        # Tokenize+hash ONCE: four branches read the shingle arrays
+        # (frequency build, prefix build, and both verification sides) —
+        # unpersisted, the tokenization pass re-ran per branch and was
+        # ~40% of sf1 wall time. cachereg bounds the leak to one
+        # generation per session (see module docstring).
+        .persist()
+    )
+    # (registered with cachereg together with the prefix below)
 
     post = docs.select("doc", F.size("sh").alias("len"), F.explode("sh").alias("h"))
     freq = post.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
@@ -558,45 +572,49 @@ def ppjoin_pairs(
         .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= prefix_len)
         .select("doc", "len", F.col("__r").alias("pos"), "h")
+        # Both sides of the candidate self-join read the prefix — without
+        # the persist, the freq join + ranking window ran twice.
+        .persist()
     )
-    buckets = (
-        pref.groupBy("h")
-        .agg(F.collect_list(F.struct("doc", "len", "pos")).alias("ms"))
-        .filter(F.size("ms") >= 2)
+    cachereg.register("dedup.ppjoin_pairs", docs, pref)
+    # Candidate generation is a plain SELF EQUI-JOIN of the prefix
+    # postings on the token — whole-stage-codegen'd, with both PPJoin
+    # filters applied in the join's streamed filter. (An earlier form
+    # collected each bucket into an array and enumerated combos with
+    # nested TRANSFORM lambdas — higher-order functions are interpreted
+    # per element, and at 35M raw combos that interpretation dominated
+    # the whole query: the join form is ~3x faster end-to-end at sf1.)
+    pa = pref.select(
+        F.col("doc").alias("id_a"),
+        F.col("len").alias("len_a"),
+        F.col("pos").alias("pos_a"),
+        "h",
     )
-
-    def pair(x: Column, y: Column) -> Column:
-        return F.struct(
-            F.least(x["doc"], y["doc"]).alias("id_a"),
-            F.greatest(x["doc"], y["doc"]).alias("id_b"),
-            F.least(x["len"], y["len"]).alias("len_min"),
-            F.greatest(x["len"], y["len"]).alias("len_max"),
-            (
-                F.least(x["len"] - x["pos"], y["len"] - y["pos"]) + 1
-            ).alias("ubound"),
-            (x["len"] + y["len"]).alias("len_sum"),
-        )
-
-    ms = F.col("ms")
-    combos = F.flatten(
-        # two-param lambda ON PURPOSE: pyspark passes the element index
-        F.transform(
-            ms,
-            lambda x, i: F.transform(F.slice(ms, i + 2, F.size(ms)), lambda y: pair(x, y)),
-        )
+    pb = pref.select(
+        F.col("doc").alias("id_b"),
+        F.col("len").alias("len_b"),
+        F.col("pos").alias("pos_b"),
+        "h",
     )
     cand = (
-        buckets.select(F.explode(combos).alias("p"))
-        .select("p.id_a", "p.id_b", "p.len_min", "p.len_max", "p.ubound", "p.len_sum")
+        pa.join(pb, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
         # PPJoin length filter: J >= t forces t*max(|a|,|b|) <= min(|a|,|b|)
-        .filter(F.col("len_min") >= F.lit(t) * F.col("len_max"))
-        # PPJoin positional filter: this emission can witness at most
-        # `ubound` common tokens; a qualifying pair needs α — the 1e-9
-        # slack only ever KEEPS a float-boundary pair (verification is
-        # exact), it can never drop one.
         .filter(
-            F.col("ubound") + F.lit(1e-9)
-            >= F.lit(t / (1.0 + t)) * F.col("len_sum")
+            F.least("len_a", "len_b")
+            >= F.lit(t) * F.greatest("len_a", "len_b")
+        )
+        # PPJoin positional filter: an emission through a token at
+        # (frequency-order) positions p_a, p_b can witness at most
+        # 1 + min(|a|−p_a, |b|−p_b) common tokens; a qualifying pair
+        # needs α = t·(|a|+|b|)/(1+t) — the 1e-9 slack only ever KEEPS
+        # a float-boundary pair (verification is exact), never drops one.
+        .filter(
+            F.least(
+                F.col("len_a") - F.col("pos_a"), F.col("len_b") - F.col("pos_b")
+            )
+            + F.lit(1.0 + 1e-9)
+            >= F.lit(t / (1.0 + t)) * (F.col("len_a") + F.col("len_b"))
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
