@@ -1414,6 +1414,83 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sized AS (
       SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+      CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+      TRUE AS edges_monotone, TRUE AS bins_within_edges,
+      TRUE AS counts_match
+    FROM sized
+    """,
+    description="Quality-score decile binning, the 100-TB default: documents "
+    "bin against approx_percentile DECILE EDGES (10/20/…/90th, accuracy "
+    "10000) broadcast as one row — a per-row bin assignment with NO "
+    "global single-partition ntile sort anywhere in the plan (the "
+    "r7-flagged scale killer; the exact-ntile form survives as "
+    "text_quality_deciles_exact). Sketch edges are engine-specific, so "
+    "the oracle checks INVARIANTS valid for ANY edge set plus exact "
+    "corpus aggregates: doc count and global min/max token counts "
+    "(value-exact both engines), edge monotonicity, every bin's "
+    "[min,max] inside its half-open edge interval, and bin counts "
+    "summing to the doc count.",
+)
+def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    ).persist()
+    cachereg.register("plans.text_quality_deciles", docs)
+    qs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    edges = docs.agg(F.percentile_approx("n_tokens", qs, 10000).alias("__e"))
+    v = F.col("n_tokens").cast("double")
+    b = F.lit(1) + F.size(F.filter(F.col("__e"), lambda x: v > x))
+    per_bin = (
+        docs.crossJoin(F.broadcast(edges))
+        .select(v.alias("v"), b.alias("bin"), F.col("__e").alias("edges"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+            F.first("edges").alias("edges"),
+        )
+    )
+    lo = F.when(F.col("bin") > 1, F.try_element_at("edges", F.col("bin") - 1))
+    hi = F.try_element_at("edges", F.col("bin"))
+    within = F.coalesce(F.col("vmin") > lo, F.lit(True)) & F.coalesce(
+        F.col("vmax") <= hi, F.lit(True)
+    )
+    mono = F.aggregate(
+        F.zip_with(
+            F.slice("edges", 1, 8), F.slice("edges", 2, 8), lambda a_, b_: a_ <= b_
+        ),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    )
+    summary = per_bin.groupBy().agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.min("vmin").cast("long").alias("min_tokens"),
+        F.max("vmax").cast("long").alias("max_tokens"),
+        F.bool_and(mono).alias("edges_monotone"),
+        F.bool_and(within).alias("bins_within_edges"),
+    )
+    totals = docs.groupBy().agg(F.count(F.lit(1)).cast("long").alias("__direct"))
+    return summary.crossJoin(F.broadcast(totals)).select(
+        "n_docs",
+        "min_tokens",
+        "max_tokens",
+        "edges_monotone",
+        "bins_within_edges",
+        (F.col("n_docs") == F.col("__direct")).alias("counts_match"),
+    )
+
+
+@register(
+    "text_quality_deciles_exact",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens FROM documents
     ),
     tiled AS (
       SELECT doc_id, n_tokens,
@@ -1425,14 +1502,14 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
     FROM tiled GROUP BY decile
     """,
-    description="Quality-score decile binning (curriculum bucketing): ntile(10) "
-    "over (score, id) — the unique tie-break makes tiling deterministic "
-    "across engines — then per-decile stats. NB: exact global ntile is a "
-    "single-partition sort, the exactness price; the 100-TB path bins "
-    "against approx_percentile edges instead (a10_percentiles family), "
-    "trading exact decile boundaries for full parallelism.",
+    description="Quality-score decile binning, EXACT-ntile parity twin of "
+    "text_quality_deciles: ntile(10) over (score, id) — the unique "
+    "tie-break makes tiling deterministic across engines — then "
+    "per-decile stats. The global ntile is a single-partition sort BY "
+    "CHOICE, the exactness price; the registered default bins against "
+    "approx_percentile edges with full parallelism.",
 )
-def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_quality_deciles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from accident_prediction_montreal_spark.operators.text import token_count
 
     docs = load_table(spark, "documents", sf_dir).select(

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from accident_prediction_montreal_spark import cachereg
 from accident_prediction_montreal_spark.operators import quality as Q
 from accident_prediction_montreal_spark.operators.bloomjoin import bloom_semi_join
 from accident_prediction_montreal_spark.operators.cdc import cdc_apply, latest_change_per_key
@@ -1579,42 +1580,14 @@ def a25_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "a26_rfm_segmentation",
-    oracle="""
-    WITH anchor AS (SELECT MAX(ts) AS amax FROM events),
-    u AS (
-      SELECT user_id,
-        date_diff('second', MAX(ts), (SELECT amax FROM anchor)) AS recency_s,
-        CAST(COUNT(*) AS BIGINT) AS frequency,
-        CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
-          AS monetary
-      FROM events GROUP BY user_id
-    )
-    SELECT user_id, CAST(recency_s AS BIGINT) AS recency_s, frequency, monetary,
-      CAST(NTILE(5) OVER (ORDER BY recency_s ASC, user_id) AS INT) AS r_q,
-      CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_q,
-      CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_q
-    FROM u
-    """,
-    description="RFM SEGMENTATION (A-surface, product-analytics family with "
-    "cohort/funnel/attribution): per-user recency (seconds before the "
-    "corpus max-ts anchor — a 1-row broadcast, never a driver collect), "
-    "frequency, decimal-exact monetary, then quintile scores via three "
-    "NTILE windows with full tie-break total orders (metric, user_id — "
-    "cross-engine-deterministic tiles, the w9 discipline). The ranked "
-    "set is the USER AGGREGATE (|users| << |events|), so the global "
-    "windows sort metadata-sized data — at a scale where even the "
-    "aggregate is huge, the quintile boundaries would come from "
-    "approx_percentile instead (a8/a10 family); the raw-event side "
-    "stays one map-side-combined aggregate either way.",
-)
-def a26_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+def _rfm_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (recency_s, frequency, monetary) aggregate — shared by the
+    approx-edge default and the exact-ntile parity twin. One map-side-
+    combined aggregate over events; the anchor is a 1-row broadcast,
+    never a driver collect."""
     ev = load_table(spark, "events", sf_dir)
     anchor = ev.agg(F.max("ts").alias("amax"))
-    u = (
+    return (
         ev.groupBy("user_id")
         .agg(
             F.max("ts").alias("last_ts"),
@@ -1631,6 +1604,159 @@ def a26_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
+
+
+_RFM_USERS_SQL = """
+    WITH anchor AS (SELECT MAX(ts) AS amax FROM events),
+    u AS (
+      SELECT user_id,
+        date_diff('second', MAX(ts), (SELECT amax FROM anchor)) AS recency_s,
+        CAST(COUNT(*) AS BIGINT) AS frequency,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+          AS monetary
+      FROM events GROUP BY user_id
+    )"""
+
+
+@register(
+    "a26_rfm_segmentation",
+    oracle=f"""
+    {_RFM_USERS_SQL}
+    SELECT metric,
+      CAST(n_users AS BIGINT) AS n_users,
+      value_min, value_max,
+      TRUE AS edges_monotone, TRUE AS bins_within_edges,
+      TRUE AS counts_match
+    FROM (
+      SELECT 'frequency' AS metric, COUNT(*) AS n_users,
+        CAST(MIN(frequency) AS DOUBLE) AS value_min,
+        CAST(MAX(frequency) AS DOUBLE) AS value_max FROM u
+      UNION ALL
+      SELECT 'monetary', COUNT(*), MIN(monetary), MAX(monetary) FROM u
+      UNION ALL
+      SELECT 'recency_s', COUNT(*), CAST(MIN(recency_s) AS DOUBLE),
+        CAST(MAX(recency_s) AS DOUBLE) FROM u
+    ) ORDER BY metric
+    """,
+    description="RFM SEGMENTATION, the 100-TB default: per-user recency/"
+    "frequency/decimal-exact monetary from one map-side-combined "
+    "aggregate, then QUINTILE BINNING AGAINST approx_percentile EDGES "
+    "(20/40/60/80th, accuracy 10000) — a 1-row broadcast of the edge "
+    "arrays and a per-row bin assignment, so NO global single-partition "
+    "ntile sort exists anywhere in the plan (the r7-flagged scale "
+    "killer; the exact-ntile form survives as the "
+    "a26_rfm_segmentation_exact parity twin). Because sketch edges are "
+    "engine-specific, the oracle checks INVARIANTS that hold for ANY "
+    "valid edge set plus exact per-metric aggregates: user count and "
+    "global min/max (value-exact both engines), edge monotonicity, "
+    "every bin's [min,max] inside its half-open edge interval, and bin "
+    "counts summing to the user count.",
+)
+def a26_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _rfm_users(spark, sf_dir).persist()
+    cachereg.register("plans.a26_rfm", u)
+    qs = F.array(F.lit(0.2), F.lit(0.4), F.lit(0.6), F.lit(0.8))
+    edges = u.agg(
+        *[
+            F.percentile_approx(m, qs, 10000).alias(f"__e_{m}")
+            for m in ("recency_s", "frequency", "monetary")
+        ]
+    )
+    binned = u.crossJoin(F.broadcast(edges))
+    rows = []
+    for m in ("recency_s", "frequency", "monetary"):
+        e = F.col(f"__e_{m}")
+        v = F.col(m).cast("double")
+        # bin b = 1 + #edges strictly below v  =>  every member satisfies
+        # e[b-1] < v <= e[b] (e[0] = -inf, e[5] = +inf): the invariant
+        # the oracle pins.
+        b = F.lit(1) + F.size(F.filter(e, lambda x: v > x))
+        per_bin = (
+            binned.select(
+                F.lit(m).alias("metric"),
+                v.alias("v"),
+                b.alias("bin"),
+                e.alias("edges"),
+            )
+            .groupBy("metric", "bin")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("v").alias("vmin"),
+                F.max("v").alias("vmax"),
+                F.first("edges").alias("edges"),
+            )
+        )
+        # try_element_at + the bin>1 guard: bin 1 has no lower edge and
+        # bin 5 no upper edge (index 5 on a 4-edge array) — both must be
+        # NULL, not an ANSI index error.
+        lo = F.when(F.col("bin") > 1, F.try_element_at("edges", F.col("bin") - 1))
+        hi = F.try_element_at("edges", F.col("bin"))
+        within = F.coalesce(F.col("vmin") > lo, F.lit(True)) & F.coalesce(
+            F.col("vmax") <= hi, F.lit(True)
+        )
+        mono = F.aggregate(
+            F.zip_with(
+                F.slice("edges", 1, 3),
+                F.slice("edges", 2, 3),
+                lambda a_, b_: a_ <= b_,
+            ),
+            F.lit(True),
+            lambda acc, x: acc & x,
+        )
+        rows.append(
+            per_bin.groupBy("metric").agg(
+                F.sum("n").cast("long").alias("n_users"),
+                F.min("vmin").alias("value_min"),
+                F.max("vmax").alias("value_max"),
+                F.bool_and(mono).alias("edges_monotone"),
+                F.bool_and(within).alias("bins_within_edges"),
+                F.lit(True).alias("counts_match"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    # counts_match: Σ per-bin n must equal the direct user count — the
+    # lit(True) above is replaced by the real comparison via a join
+    # against the unbinned aggregate.
+    totals = u.groupBy().agg(F.count(F.lit(1)).cast("long").alias("__direct"))
+    return (
+        out.crossJoin(F.broadcast(totals))
+        .select(
+            "metric",
+            "n_users",
+            "value_min",
+            "value_max",
+            "edges_monotone",
+            "bins_within_edges",
+            (F.col("n_users") == F.col("__direct")).alias("counts_match"),
+        )
+        .orderBy("metric")
+    )
+
+
+@register(
+    "a26_rfm_segmentation_exact",
+    oracle=f"""
+    {_RFM_USERS_SQL}
+    SELECT user_id, CAST(recency_s AS BIGINT) AS recency_s, frequency, monetary,
+      CAST(NTILE(5) OVER (ORDER BY recency_s ASC, user_id) AS INT) AS r_q,
+      CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_q,
+      CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_q
+    FROM u
+    """,
+    description="RFM segmentation, EXACT-ntile parity twin of "
+    "a26_rfm_segmentation: quintile scores via three NTILE windows with "
+    "full tie-break total orders (metric, user_id — cross-engine-"
+    "deterministic tiles, the w9 discipline). The global windows are "
+    "single-partition BY CHOICE — the exactness price, affordable while "
+    "the ranked set is the user AGGREGATE (|users| << |events|); the "
+    "registered default bins against approx_percentile edges instead.",
+)
+def a26_rfm_segmentation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    u = _rfm_users(spark, sf_dir)
     return u.select(
         "user_id",
         "recency_s",

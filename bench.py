@@ -157,6 +157,9 @@ EXTENDED = [
     "llm_curation_pipeline",
     "text_lm_perplexity",
     "j9_asof_nearest",
+    # appended r8 (exact-ntile parity twins of the new approx defaults):
+    "a26_rfm_segmentation_exact",
+    "text_quality_deciles_exact",
 ]
 
 
