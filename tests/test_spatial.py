@@ -429,3 +429,22 @@ def test_idw_radius_antimeridian_wrap(spark):
     got = out[0]["temp"]
     assert got != _pytest.approx(10.0, abs=1e-6)
     assert 10.0 < got < 100.0
+
+
+def test_knn_grid_plain_finds_cross_seam_neighbor_via_shadows(spark):
+    """The PLAIN grid join (no proof, no fallback) must surface a
+    cross-antimeridian neighbor directly: seam-band right points get
+    ±360° shadow copies for cell assignment, so the seam-straddling
+    pair shares a cell block like any other pair."""
+    left = spark.createDataFrame(
+        [(1, 0.0, 179.95), (2, 0.0, -179.95)], ["id", "lat", "lon"]
+    )
+    right = spark.createDataFrame(
+        [(1000, 0.0, -179.98), (2000, 0.0, 179.97)], ["rid", "rlat", "rlon"]
+    )
+    got = {
+        (r["id"], r["rid"])
+        for r in knn_join_grid(left, right, k=2, cell_deg=0.1).collect()
+    }
+    # every cross-seam pair is within 0.1°-ish and must be a candidate
+    assert got == {(1, 1000), (1, 2000), (2, 1000), (2, 2000)}

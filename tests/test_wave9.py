@@ -196,3 +196,22 @@ def test_asof_nearest_picks_closer_side_and_tie_backward(spark):
         tolerance_seconds=10,
     ).collect()[0]["v_right"]
     assert pruned is None
+
+
+def test_lloyd_kmeans_rank_seeding_with_offset_ids(spark):
+    """Seeds are the k smallest-id vectors BY RANK: offset/sparse id
+    spaces must still yield exactly k seeds (filter(id < k) silently
+    produced zero)."""
+    x = _toy_vectors()
+    df = spark.createDataFrame(
+        [(1000 + 7 * i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id LONG, vec ARRAY<DOUBLE>",
+    )
+    rows = lloyd_kmeans(df, k=4, n_iter=2).collect()
+    assert len(rows) == len(x)
+    assert all(r["cell"] is not None for r in rows)
+    # cell labels are the seed ids = the 4 smallest vec_ids
+    assert {r["cell"] for r in rows} <= {1000, 1007, 1014, 1021}
+    want = _np_lloyd(x, k=4, n_iter=2)
+    got = {r["vec_id"]: r["cell"] for r in rows}
+    assert got == {1000 + 7 * i: 1000 + 7 * int(c) for i, c in enumerate(want)}
