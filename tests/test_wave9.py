@@ -215,3 +215,48 @@ def test_lloyd_kmeans_rank_seeding_with_offset_ids(spark):
     want = _np_lloyd(x, k=4, n_iter=2)
     got = {r["vec_id"]: r["cell"] for r in rows}
     assert got == {1000 + 7 * i: 1000 + 7 * int(c) for i, c in enumerate(want)}
+
+
+def test_cell_cosine_pairs_matches_exact_join(spark):
+    """The vectorized per-cell matmul pair stage returns exactly the
+    above-threshold pairs the fold-exact join form produces (toy set:
+    thresholds far from any fp summation-order hazard)."""
+    from accident_prediction_montreal_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+    from accident_prediction_montreal_spark.operators.similarity import (
+        cell_cosine_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, 0, [1.0, 0.0, 0.0]),
+        (1, 0, [1.0, 0.0, 0.0]),      # exact dup of 0
+        (2, 0, [0.999, 0.01, 0.0]),   # near 0/1 (cos ~0.99995)
+        (3, 0, [0.0, 1.0, 0.0]),      # orthogonal
+        (4, 1, [1.0, 0.0, 0.0]),      # same dir as 0 but OTHER cell
+        (5, 1, [0.5, 0.5, 0.0]),
+        (6, 1, [0.5, 0.5, 1e-9]),     # near dup of 5
+        (7, 2, [0.0, 0.0, 0.0]),      # zero vector: matches nothing
+        (8, 2, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, cell LONG, vec ARRAY<DOUBLE>")
+    t = 0.999
+    got = {
+        (r["cell"], r["id_a"], r["id_b"])
+        for r in cell_cosine_pairs(df, t).collect()
+    }
+    a = df.select("cell", F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
+    b = df.select("cell", F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    cos = dot_product("va", "vb") / (l2_norm("va") * l2_norm("vb"))
+    want = {
+        (r["cell"], r["id_a"], r["id_b"])
+        for r in a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= t)
+        .collect()
+    }
+    assert got == want
+    assert (0, 0, 1) in got and (1, 5, 6) in got
+    assert not any(7 in (x[1], x[2]) for x in got)  # zero vector inert
