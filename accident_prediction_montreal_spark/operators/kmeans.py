@@ -40,25 +40,36 @@ from pyspark.sql import functions as F
 from accident_prediction_montreal_spark.functions.vectors import dot_product
 
 
-def _sq_dist(vec: Column, cvec: Column, dvv: Column) -> Column:
-    """‖v‖² − 2·v·c + ‖c‖², with ‖v‖² precomputed per row.
+def _sq_dist(vec: Column, cvec: Column, dvv: Column, dcc: Column) -> Column:
+    """‖v‖² − 2·v·c + ‖c‖², with BOTH norms precomputed: ‖v‖² once per
+    row, ‖c‖² once per centroid (inside pack_centroids — recomputing it
+    per (row, centroid) doubled the interpreted fold work; the VALUE is
+    identical, so the oracle's per-pair list_dot_product(c,c) still
+    matches bit-for-bit).
 
     The expression shape (left-to-right: dvv − 2·dot(v,c) + dot(c,c))
     is mirrored term-for-term in the SQL oracle so the IEEE result is
     bit-identical in both engines.
     """
-    return dvv - F.lit(2.0) * dot_product(vec, cvec) + dot_product(cvec, cvec)
+    return dvv - F.lit(2.0) * dot_product(vec, cvec) + dcc
 
 
 def pack_centroids(centroids: DataFrame) -> DataFrame:
-    """(cell, cvec) rows → ONE row holding array<struct<cell, cvec>>.
+    """(cell, cvec) rows → ONE row holding array<struct<cell, cvec, dcc>>
+    with ``dcc`` = ‖c‖² folded once per centroid.
 
     This is what makes assignment shuffle-free: the packed row is
     broadcast-cross-joined onto the corpus and the argmin runs per-row
     inside a single projection.
     """
     return centroids.agg(
-        F.collect_list(F.struct(F.col("cell"), F.col("cvec"))).alias("__cents")
+        F.collect_list(
+            F.struct(
+                F.col("cell"),
+                F.col("cvec"),
+                dot_product("cvec", "cvec").alias("dcc"),
+            )
+        ).alias("__cents")
     )
 
 
@@ -79,7 +90,9 @@ def assign_cells(
         F.transform(
             F.col("__cents"),
             lambda c: F.struct(
-                _sq_dist(F.col(vec_col), c["cvec"], F.col("__dvv")).alias("d2"),
+                _sq_dist(
+                    F.col(vec_col), c["cvec"], F.col("__dvv"), c["dcc"]
+                ).alias("d2"),
                 c["cell"].alias("cell"),
             ),
         )
