@@ -283,21 +283,47 @@ def knn_join_grid(
     # cos(lat) computed once per point, BEFORE the 9x cell replication
     rcos = right.withColumn("_r_coslat", F.cos(F.radians(F.col(right_coords[0]))))
     left_cells = _with_cell(lcos, left_coords[0], left_coords[1], cell_deg)
-    right_cells = _with_neighbor_cells(
-        rcos, right_coords[0], right_coords[1], cell_deg
-    )
+
+    # Right-side replication in ONE pass: every point explodes into its
+    # 3x3 block; seam-band points (within 3·cell_deg of lon ±180) ALSO
+    # emit the 3x3 block of their ±360°-shifted longitude — a per-row
+    # conditional concat, not a second scan/union branch (a union form
+    # re-read the whole right side and cost ~15% on the grid-heavy apm
+    # pipeline whose data never touches the seam).
+    rlat, rlon = F.col(right_coords[0]), F.col(right_coords[1])
+    bi = F.floor(rlat / cell_deg).cast("long")
+    bj = F.floor(rlon / cell_deg).cast("long")
+
+    def block(i0: Column, j0: Column) -> list[Column]:
+        return [
+            F.struct((i0 + a).alias("ci"), (j0 + b).alias("cj"))
+            for a in (-1, 0, 1)
+            for b in (-1, 0, 1)
+        ]
+
+    cells = F.array(*block(bi, bj))
     if seam_shadows_active(cell_deg):
-        rlon = F.col(right_coords[1])
-        shadow_src = rcos.filter(
-            F.abs(rlon) > F.lit(180.0 - 3.0 * cell_deg)
-        ).withColumn(
-            "__lon_cellview",
-            F.when(rlon > 0, rlon - F.lit(360.0)).otherwise(rlon + F.lit(360.0)),
+        shifted = F.when(rlon > 0, rlon - F.lit(360.0)).otherwise(
+            rlon + F.lit(360.0)
         )
-        shadows = _with_neighbor_cells(
-            shadow_src, right_coords[0], "__lon_cellview", cell_deg
-        ).drop("__lon_cellview")
-        right_cells = right_cells.unionByName(shadows)
+        bj_shadow = F.floor(shifted / cell_deg).cast("long")
+        empty = F.array().cast("array<struct<ci:bigint,cj:bigint>>")
+        cells = F.concat(
+            cells,
+            F.when(
+                F.abs(rlon) > F.lit(180.0 - 3.0 * cell_deg),
+                F.array(*block(bi, bj_shadow)),
+            ).otherwise(empty),
+        )
+    base = rcos.columns
+    right_cells = (
+        rcos.withColumn("__cell", F.explode(cells))
+        .select(
+            *base,
+            F.col("__cell.ci").alias("cell_i"),
+            F.col("__cell.cj").alias("cell_j"),
+        )
+    )
     joined = left_cells.join(right_cells, ["cell_i", "cell_j"], _how)
     out = _dist_and_rank(joined, left_id, right_id, left_coords, right_coords, k)
     return out.drop("cell_i", "cell_j")
