@@ -271,6 +271,20 @@ def encode_pgm_p5(pixels, width: int, height: int) -> bytes:
     return b"P5\n%d %d\n255\n" % (width, height) + arr.tobytes()
 
 
+def decode_pgm_raster(payload: bytes):
+    """REAL PGM (P5) decode returning the raw raster: (width, height,
+    uint8 ndarray of length width*height). Shared by the stats decode
+    below and the perceptual-hash path (plans/wave10.py), which needs
+    pixels, not aggregates."""
+    import numpy as np
+
+    width, height, pos = _parse_pnm_header(payload, b"P5", "PGM (P5)")
+    raster = payload[pos : pos + width * height]
+    if len(raster) != width * height:
+        raise ValueError("truncated PGM raster")
+    return width, height, np.frombuffer(raster, dtype=np.uint8)
+
+
 def decode_pgm(payload: bytes) -> dict:
     """REAL PGM (P5) grayscale decode — the single-channel sibling of
     ``decode_ppm`` (same ASCII header grammar, 1 byte/pixel raster).

@@ -30,6 +30,7 @@ from accident_prediction_montreal_spark.plans import privacy  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave7_streaming  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave8  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave9  # noqa: F401,E402
+from accident_prediction_montreal_spark.plans import wave10  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #

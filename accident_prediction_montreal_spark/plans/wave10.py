@@ -1,0 +1,277 @@
+"""Wave-10 queries (r8): source-surface and pipeline widening —
+JSON-lines ingestion with PERMISSIVE corrupt-record capture, a BPE
+merge-candidate step (the tokenizer-training primitive), and
+perceptual image dedup (average-hash over REAL decoded rasters — the
+multimodal twin of the text dedup family). All value-oracle-backed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.plans.registry import register
+from accident_prediction_montreal_spark.plans.relational_extra import _scratch
+from accident_prediction_montreal_spark.sources.registry import load_table
+
+_SQL_TOKS = (
+    "CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
+)
+
+
+@register(
+    "s13_jsonl_roundtrip",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+      CAST(0 AS BIGINT) AS n_corrupt
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT '__corrupt__', 0, 0, 2
+    ORDER BY source
+    """,
+    description="JSON-LINES source roundtrip (S-surface widening beyond the "
+    "reference's CSV/Parquet/KML): documents write as JSONL (nested "
+    "meta struct exercises the object encoder), a planted shard with "
+    "two malformed lines joins the directory, and the read-back uses an "
+    "EXPLICIT schema + PERMISSIVE mode with columnNameOfCorruptRecord — "
+    "malformed lines surface as rows with only the corrupt column set "
+    "(counted under a sentinel source), never as a job failure, and "
+    "schema enforcement means NO inference scan. Scale notes: JSONL is "
+    "splittable (line-oriented), the explicit schema prunes to the read "
+    "columns, and the aggregate is one map-side-combined groupBy. "
+    "Oracle: the parquet-side aggregate plus the planted corrupt-line "
+    "constant.",
+)
+def s13_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import types as T
+
+    base, _ = _scratch("jsonl", sf_dir)
+    out_dir = os.path.join(base, "docs")
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.struct(F.col("source"), F.col("n_chars")).alias("meta"),
+    )
+    docs.write.mode("overwrite").json(out_dir)
+    # Two malformed lines in their own shard: one truncated object, one
+    # non-JSON junk. PERMISSIVE must land both in the corrupt column.
+    with open(os.path.join(out_dir, "part-corrupt.json"), "w") as f:
+        f.write('{"doc_id": 1, "meta": {"source": "trunc"\nnot json at all\n')
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("source", T.StringType()),
+                        T.StructField("n_chars", T.LongType()),
+                    ]
+                ),
+            ),
+            T.StructField("_bad", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(out_dir)
+    )
+    return (
+        back.select(
+            F.when(F.col("_bad").isNotNull(), F.lit("__corrupt__"))
+            .otherwise(F.col("meta.source"))
+            .alias("source"),
+            F.when(F.col("_bad").isNull(), F.col("meta.n_chars"))
+            .otherwise(F.lit(0))
+            .alias("n_chars"),
+            F.col("_bad").isNotNull().cast("long").alias("corrupt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.lit(1) - F.col("corrupt")).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+            F.sum("corrupt").cast("long").alias("n_corrupt"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_bpe_merges",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKS}) AS t FROM documents
+    ),
+    vocab AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY t),
+    bigrams AS (
+      SELECT substring(t, i, 2) AS pair, freq FROM (
+        SELECT t, freq, unnest(range(1, length(t))) AS i
+        FROM vocab WHERE length(t) >= 2
+      )
+    ),
+    counts AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM bigrams GROUP BY pair
+    )
+    SELECT pair, n, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT pair, n,
+        ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS rnk
+      FROM counts
+    ) WHERE rnk <= 20 ORDER BY rnk
+    """,
+    description="BPE MERGE-CANDIDATE step (the tokenizer-TRAINING primitive "
+    "next to the tokenizer-APPLICATION ops text_token_hash/"
+    "text_sequence_pack): the top-20 most frequent adjacent character "
+    "pairs over the corpus, weighted by word frequency — exactly the "
+    "statistic byte-pair encoding greedily merges each round. The scale "
+    "shape is the real BPE one: pair counting runs over the DISTINCT "
+    "word table (vocab-bounded, built by one map-side-combined groupBy "
+    "over the corpus) times word length — NOT over raw corpus "
+    "characters — so a 100-TB corpus pays corpus-size only for the "
+    "vocab build, and the merge statistics are |vocab|-scale. "
+    "Deterministic (n DESC, pair ASC) tie-break; iterating = re-running "
+    "with the merged symbol substituted, each round one job.",
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from accident_prediction_montreal_spark.operators.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .filter(F.length("t") >= 2)
+    )
+    bigrams = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.col("t").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    counts = bigrams.groupBy("pair").agg(F.sum("freq").cast("long").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .orderBy("rnk")
+    )
+
+
+@register(
+    "mm_image_dedup",
+    oracle="""
+    WITH fams AS (
+      SELECT doc_id, doc_id % 251 AS fam FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, fam, 8 + fam % 9 AS w, 5 + fam % 7 AS h FROM fams
+    ),
+    samp AS (
+      SELECT doc_id, fam, w, h, s,
+        CAST((fam * 7 + (((s // 8) * h // 8) * w + ((s % 8) * w // 8)) * 13)
+             % 256 AS DOUBLE) AS val
+      FROM dims, range(0, 64) r(s)
+    ),
+    means AS (SELECT doc_id, AVG(val) AS m FROM samp GROUP BY doc_id),
+    hashed AS (
+      SELECT s.doc_id,
+        string_agg(CASE WHEN s.val > m.m THEN '1' ELSE '0' END, ''
+                   ORDER BY s.s) AS ahash
+      FROM samp s JOIN means m USING (doc_id)
+      GROUP BY s.doc_id
+    ),
+    px AS (
+      SELECT doc_id, CAST(SUM((fam * 7 + p * 13) % 256) AS BIGINT)
+        AS raster_sum
+      FROM (SELECT doc_id, fam, unnest(range(0, w * h)) AS p FROM dims)
+      GROUP BY doc_id
+    ),
+    per AS (
+      SELECT h.doc_id AS media_id, h.ahash, px.raster_sum
+      FROM hashed h JOIN px ON px.doc_id = h.doc_id
+    )
+    SELECT media_id, ahash, raster_sum,
+      CAST(COUNT(*) OVER (PARTITION BY ahash, raster_sum) AS BIGINT)
+        AS n_members,
+      CAST(MIN(media_id) OVER (PARTITION BY ahash, raster_sum) AS BIGINT)
+        AS canonical_id
+    FROM per ORDER BY media_id
+    """,
+    description="PERCEPTUAL IMAGE DEDUP (the multimodal member of the dedup "
+    "family, §2.14): every document synthesizes a REAL binary PGM whose "
+    "raster repeats per doc_id % 251 family (planted visual duplicates "
+    "across different ids), the REAL decoder parses it back "
+    "(operators/multimodal.py::decode_pgm), and a 64-bit AVERAGE HASH "
+    "(aHash: nearest-neighbor 8x8 downsample, threshold at the sample "
+    "mean, emitted as a 64-char bit string — no signed-overflow "
+    "ambiguity) buckets the corpus; an exact raster checksum verifies "
+    "each bucket so a perceptual collision can never merge distinct "
+    "images. Scale: hashing is one Arrow-batched map pass; grouping is "
+    "an equi-aggregation on (ahash, checksum) — the visual analogue of "
+    "dedup_exact's digest groupBy, with the same no-all-pairs "
+    "guarantee. Oracle replays the closed-form raster, the integer "
+    "downsample arithmetic and the exact mean threshold (integer "
+    "samples / 64 is exact in binary) term-for-term.",
+)
+def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark.operators.multimodal import (
+        decode_pgm_raster,
+        encode_pgm_p5,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("ahash", T.StringType()),
+            T.StructField("raster_sum", T.LongType()),
+        ]
+    )
+
+    def hash_batches(batches):
+        for pdf in batches:
+            ids, hashes, sums = [], [], []
+            for d in pdf["doc_id"]:
+                fam = int(d) % 251
+                w, h = 8 + fam % 9, 5 + fam % 7
+                p = np.arange(w * h, dtype=np.int64)
+                payload = encode_pgm_p5((fam * 7 + p * 13) % 256, w, h)
+                # REAL decode back to the raster, then aHash it.
+                width, height, gray = decode_pgm_raster(payload)
+                g = gray.reshape(height, width)
+                ys = (np.arange(8) * height) // 8
+                xs = (np.arange(8) * width) // 8
+                samples = g[np.ix_(ys, xs)].astype(np.float64).ravel()
+                bits = samples > samples.mean()
+                ids.append(int(d))
+                hashes.append("".join("1" if b else "0" for b in bits))
+                sums.append(int(gray.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "ahash": hashes, "raster_sum": sums}
+            )
+
+    from pyspark.sql import Window
+
+    per = docs.mapInPandas(hash_batches, schema=out_schema)
+    grp = Window.partitionBy("ahash", "raster_sum")
+    return per.select(
+        "media_id",
+        "ahash",
+        "raster_sum",
+        F.count(F.lit(1)).over(grp).cast("long").alias("n_members"),
+        F.min("media_id").over(grp).cast("long").alias("canonical_id"),
+    ).orderBy("media_id")

@@ -160,6 +160,10 @@ EXTENDED = [
     # appended r8 (exact-ntile parity twins of the new approx defaults):
     "a26_rfm_segmentation_exact",
     "text_quality_deciles_exact",
+    # appended wave 10 (r8):
+    "s13_jsonl_roundtrip",
+    "text_bpe_merges",
+    "mm_image_dedup",
 ]
 
 

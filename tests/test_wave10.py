@@ -1,0 +1,67 @@
+"""Wave-10: JSONL roundtrip corrupt capture, BPE merge step, image dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_jsonl_corrupt_lines_captured(spark):
+    from accident_prediction_montreal_spark.plans import REGISTRY
+
+    rows = {
+        r["source"]: r
+        for r in REGISTRY["s13_jsonl_roundtrip"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows["__corrupt__"]["n_corrupt"] == 2
+    assert rows["__corrupt__"]["n_docs"] == 0
+    real = [r for s, r in rows.items() if s != "__corrupt__"]
+    assert sum(r["n_docs"] for r in real) > 0
+    assert all(r["n_corrupt"] == 0 for r in real)
+
+
+def test_bpe_merges_counts_by_word_frequency(spark):
+    from accident_prediction_montreal_spark.operators.text import tokenize
+
+    # "abab" x3 + "ab" x2: pair "ab" appears 2*3 + 1*2 = 8, "ba" 3.
+    docs = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "abab ab")], "doc_id LONG, text STRING"
+    )
+    vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("t") >= 2)
+    )
+    pairs = (
+        vocab.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - 1),
+                    lambda i: F.col("t").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+    )
+    got = {r["pair"]: r["n"] for r in pairs.collect()}
+    assert got == {"ab": 8, "ba": 3}
+
+
+def test_image_dedup_groups_families(spark):
+    from accident_prediction_montreal_spark.plans import REGISTRY
+
+    out = REGISTRY["mm_image_dedup"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_id = {r["media_id"]: r for r in out}
+    # doc_id and doc_id+251 share a family -> same hash+checksum group
+    fam_mates = [(i, i + 251) for i in range(3) if i + 251 in by_id]
+    assert fam_mates, "fixture too small for family check"
+    for a, b in fam_mates:
+        assert by_id[a]["ahash"] == by_id[b]["ahash"]
+        assert by_id[a]["canonical_id"] == by_id[b]["canonical_id"] == a
+        assert by_id[a]["n_members"] >= 2
+    # different families must not share a (hash, checksum) group
+    assert by_id[0]["canonical_id"] != by_id[1]["canonical_id"]
