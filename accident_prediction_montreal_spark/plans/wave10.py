@@ -275,3 +275,75 @@ def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(grp).cast("long").alias("n_members"),
         F.min("media_id").over(grp).cast("long").alias("canonical_id"),
     ).orderBy("media_id")
+
+
+@register(
+    "llm_dataset_card",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, n_chars,
+        len({_SQL_TOKS}) AS n_tokens,
+        CASE WHEN trim(text) = '' THEN 1 ELSE 0 END AS is_empty
+      FROM documents
+    ),
+    card AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+        CAST(SUM(n_tokens) AS BIGINT) AS tokens_sum,
+        CAST(SUM(is_empty) AS BIGINT) AS n_empty,
+        ROUND(SUM(n_chars) / CAST(COUNT(*) AS DOUBLE), 4) + 0.0
+          AS mean_chars,
+        CAST(0 AS BIGINT) AS is_total
+      FROM per GROUP BY source
+      UNION ALL
+      SELECT '__all__', COUNT(*), SUM(n_chars), SUM(n_tokens),
+        SUM(is_empty), ROUND(SUM(n_chars) / CAST(COUNT(*) AS DOUBLE), 4)
+        + 0.0, 1
+      FROM per
+    )
+    SELECT * FROM card ORDER BY is_total, source
+    """,
+    description="DATASET CARD (the release-notes aggregate every corpus "
+    "ships with): per-source document/char/token/empty-doc counts and "
+    "mean length plus the corpus total, in ONE pass via ROLLUP(source) "
+    "— one Expand + one map-side-combined shuffle, not one scan per "
+    "grain (the same hypertable shape as st_time_rollup, applied to "
+    "the documents table). Token counts reuse the engine's whitespace "
+    "tokenizer; empty docs counted under the same trim convention. "
+    "GROUPING() distinguishes the total row portably.",
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source",
+        "n_chars",
+        token_count(F.col("text")).alias("n_tokens"),
+        (F.trim(F.col("text")) == "").cast("long").alias("is_empty"),
+    )
+    return (
+        docs.rollup("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+            F.sum("n_tokens").cast("long").alias("tokens_sum"),
+            F.sum("is_empty").cast("long").alias("n_empty"),
+            (
+                F.round(
+                    F.sum("n_chars") / F.count(F.lit(1)).cast("double"), 4
+                )
+                + 0.0
+            ).alias("mean_chars"),
+            F.grouping("source").cast("long").alias("is_total"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("__all__")).alias("source"),
+            "n_docs",
+            "chars_sum",
+            "tokens_sum",
+            "n_empty",
+            "mean_chars",
+            "is_total",
+        )
+        .orderBy("is_total", "source")
+    )

@@ -164,6 +164,7 @@ EXTENDED = [
     "s13_jsonl_roundtrip",
     "text_bpe_merges",
     "mm_image_dedup",
+    "llm_dataset_card",
 ]
 
 

@@ -65,3 +65,14 @@ def test_image_dedup_groups_families(spark):
         assert by_id[a]["n_members"] >= 2
     # different families must not share a (hash, checksum) group
     assert by_id[0]["canonical_id"] != by_id[1]["canonical_id"]
+
+
+def test_dataset_card_total_row(spark):
+    from accident_prediction_montreal_spark.plans import REGISTRY
+
+    rows = REGISTRY["llm_dataset_card"].fn(spark, "/root/testdata/sf0.001").collect()
+    total = [r for r in rows if r["is_total"] == 1]
+    per = [r for r in rows if r["is_total"] == 0]
+    assert len(total) == 1 and total[0]["source"] == "__all__"
+    assert total[0]["n_docs"] == sum(r["n_docs"] for r in per)
+    assert total[0]["tokens_sum"] == sum(r["tokens_sum"] for r in per)
