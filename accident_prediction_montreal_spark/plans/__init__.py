@@ -40,7 +40,7 @@ from accident_prediction_montreal_spark.plans import wave10  # noqa: F401,E402
 # k-means/SemDeDup/curation block, the remaining streaming queries) —
 # all verified green locally at sf0.01 (scripts/check_oracle.py, r7 and
 # again this round after edits). Queries MODIFIED this round (ppjoin
-# filters, a26 approx-ntile default, adaptive-K SemDeDup, 2-round Lloyd,
+# filters, a26 approx-ntile default, adaptive-K SemDeDup, 3-round Lloyd,
 # asof-nearest struct carry) are deliberately in-window so the driver
 # validates the new forms. The 27 still-unchecked queries head the tail
 # as the r9 rotate-in set.
@@ -106,6 +106,14 @@ _PRIORITY = [
 # rotate-in set), then the rotated-out r7 window (most-recently-green),
 # then the r6-era tail.
 _TAIL_HEAD = [
+    # r8 additions with zero driver evidence (r9 rotate-in set, part 1):
+    "s13_jsonl_roundtrip",
+    "text_bpe_merges",
+    "mm_image_dedup",
+    "llm_dataset_card",
+    "a26_rfm_segmentation_exact",
+    "text_quality_deciles_exact",
+    # r7 additions still unchecked (r9 rotate-in set, part 2):
     "x22_dynamic_partition_overwrite",
     "x23_global_index",
     "a22_weighted_sample",
