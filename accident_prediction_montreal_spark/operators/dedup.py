@@ -237,6 +237,96 @@ def minhash_dedup_pairs(
     return pairs.filter(F.col("est_jaccard") >= min_est_jaccard)
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc, sig, band_id, band_hash) — the LSH band index rows for a
+    corpus: one row per (document, band). This IS the at-rest dedup
+    index a continuously-ingesting pipeline maintains (partition by
+    band_id, bucket by band_hash when persisting)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n)
+    return sigs.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(F.slice("sig", b * rows + 1, rows)).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc", "sig", "band.band_id", "band.band_hash")
+
+
+def minhash_incremental_pairs(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: new-batch documents that collide
+    with an EXISTING corpus — the continuous-ingestion shape, where each
+    arriving batch is checked against the historical index and only
+    accepted rows join it.
+
+    Candidates come from an equi-join of the new batch's band rows
+    against the corpus band index on (band_id, band_hash) — cost scales
+    with |new batch| x collision rate, NEVER with |corpus|² and never
+    with new-vs-new pairs (in-batch duplicates are the ordinary
+    minhash_dedup_pairs pass, run separately if wanted). Returns
+    (new_id, corpus_id, est_jaccard) for est >= threshold; the est is
+    the full-signature agreement fraction computed once per distinct
+    colliding pair. At production scale the corpus side is the
+    PERSISTED index (banded_signatures written partitioned by band_id),
+    so the join prunes to the new batch's band partitions.
+    """
+    new_b = banded_signatures(
+        new_batch, id_col, text_col, num_hashes, bands, shingle_n
+    ).select(
+        F.col("doc").alias("new_id"),
+        F.col("sig").alias("__nsig"),
+        "band_id",
+        "band_hash",
+    )
+    idx = banded_signatures(
+        corpus, id_col, text_col, num_hashes, bands, shingle_n
+    ).select(
+        F.col("doc").alias("corpus_id"),
+        F.col("sig").alias("__csig"),
+        "band_id",
+        "band_hash",
+    )
+    n_eq = F.size(
+        F.filter(
+            F.zip_with("__nsig", "__csig", lambda p, q: (p == q).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        new_b.join(idx, ["band_id", "band_hash"])
+        .select("new_id", "corpus_id", "__nsig", "__csig")
+        .dropDuplicates(["new_id", "corpus_id"])
+        .select(
+            "new_id",
+            "corpus_id",
+            (n_eq / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
 def simhash(text: Column | str, bits: int = 62) -> Column:
     """SimHash of the token multiset as a non-negative long (≤ 62 bits).
 

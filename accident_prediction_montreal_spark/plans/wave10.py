@@ -347,3 +347,100 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_total", "source")
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    SELECT 'incr_planted_dups_found_est_1' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'incr_novel_docs_clean', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'incr_sides_correct', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'incr_est_jaccard_in_range', CAST(1 AS BIGINT)
+    """,
+    description="INCREMENTAL near-dup detection — the continuous-ingestion "
+    "shape every production corpus runs: a NEW BATCH is checked against "
+    "the EXISTING corpus's LSH band index "
+    "(operators/dedup.py::minhash_incremental_pairs), so candidate cost "
+    "scales with |batch| x collision rate — never |corpus|^2, never "
+    "new-vs-new (in-batch dups are the ordinary self-pass). At rest the "
+    "index is banded_signatures persisted partitioned by band_id, so "
+    "each arriving batch's probe prunes to its band partitions. "
+    "Contracts (xxhash64 signatures have no ANSI oracle, so literal-1 "
+    "checks like the minhash family): every planted exact copy of a "
+    "corpus doc (re-ids'd at +200000) surfaces against its original at "
+    "est_jaccard exactly 1.0; synthesized NOVEL batch docs (unique "
+    "token streams) surface nothing; every emitted pair has new_id from "
+    "the batch and corpus_id from the corpus; est respects the 0.5 "
+    "threshold.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark import cachereg
+    from accident_prediction_montreal_spark.operators.dedup import (
+        minhash_incremental_pairs,
+    )
+    from accident_prediction_montreal_spark.operators.text import tokenize
+    from accident_prediction_montreal_spark.plans.registry import chk_row as _chk
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    dup_src = docs.filter(
+        (F.col("doc_id") % 13 == 0) & (F.size(tokenize(F.col("text"))) >= 3)
+    )
+    planted = dup_src.select((F.col("doc_id") + 200_000).alias("doc_id"), "text")
+    novel = docs.filter(F.col("doc_id") % 13 == 1).select(
+        (F.col("doc_id") + 200_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"zq{i}x"), F.col("doc_id").cast("string"))
+                for i in range(6)
+            ],
+        ).alias("text"),
+    )
+    new_batch = planted.unionByName(novel)
+    pairs = minhash_incremental_pairs(
+        new_batch, docs, min_est_jaccard=0.5
+    ).persist()
+    cachereg.register("plans.dedup_incremental", pairs)
+
+    expected = dup_src.select(
+        (F.col("doc_id") + 200_000).alias("new_id"),
+        F.col("doc_id").alias("corpus_id"),
+    )
+    missing = expected.join(
+        pairs.filter(F.col("est_jaccard") == 1.0),
+        ["new_id", "corpus_id"],
+        "left_anti",
+    )
+    planted_ok = missing.agg(F.count(F.lit(1)).alias("n")).select(
+        *_chk("incr_planted_dups_found_est_1", F.col("n") == 0)
+    )
+    novel_hits = pairs.join(
+        novel.select(F.col("doc_id").alias("new_id")), "new_id", "left_semi"
+    )
+    novel_ok = novel_hits.agg(F.count(F.lit(1)).alias("n")).select(
+        *_chk("incr_novel_docs_clean", F.col("n") == 0)
+    )
+    stray = (
+        pairs.select(F.col("new_id").alias("k"))
+        .join(new_batch.select(F.col("doc_id").alias("k")), "k", "left_anti")
+        .unionByName(
+            pairs.select(F.col("corpus_id").alias("k")).join(
+                docs.select(F.col("doc_id").alias("k")), "k", "left_anti"
+            )
+        )
+    )
+    sides_ok = stray.agg(F.count(F.lit(1)).alias("n")).select(
+        *_chk("incr_sides_correct", F.col("n") == 0)
+    )
+    rng_ok = pairs.agg(
+        F.min(
+            (
+                (F.col("est_jaccard") >= 0.5) & (F.col("est_jaccard") <= 1.0)
+            ).cast("long")
+        ).alias("r")
+    ).select(
+        *_chk("incr_est_jaccard_in_range", F.coalesce(F.col("r") == 1, F.lit(True)))
+    )
+    return (
+        planted_ok.unionByName(novel_ok).unionByName(sides_ok).unionByName(rng_ok)
+    )

@@ -165,6 +165,7 @@ EXTENDED = [
     "text_bpe_merges",
     "mm_image_dedup",
     "llm_dataset_card",
+    "dedup_incremental",
 ]
 
 

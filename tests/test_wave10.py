@@ -76,3 +76,31 @@ def test_dataset_card_total_row(spark):
     assert len(total) == 1 and total[0]["source"] == "__all__"
     assert total[0]["n_docs"] == sum(r["n_docs"] for r in per)
     assert total[0]["tokens_sum"] == sum(r["tokens_sum"] for r in per)
+
+
+def test_incremental_minhash_shapes(spark):
+    """minhash_incremental_pairs joins new-batch bands against the corpus
+    index only: planted copy found at est 1.0, novel doc clean, no
+    corpus-vs-corpus pair ever emitted."""
+    from accident_prediction_montreal_spark.operators.dedup import (
+        minhash_incremental_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven"),
+         (3, "alpha beta gamma delta epsilon zeta")],  # corpus-internal dup
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),   # copy of 1 and 3
+         (101, "totally novel words qqq www eee rrr")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in minhash_incremental_pairs(batch, corpus).collect()
+    }
+    assert got.get((100, 1)) == 1.0 and got.get((100, 3)) == 1.0
+    assert all(k[0] in (100, 101) for k in got)   # never corpus-vs-corpus
+    assert not any(k[0] == 101 for k in got)      # novel doc clean
