@@ -237,6 +237,29 @@ def minhash_dedup_pairs(
     return pairs.filter(F.col("est_jaccard") >= min_est_jaccard)
 
 
+def minhash_signature_hashed(
+    text: Column | str, num_hashes: int = 32, n: int = 3
+) -> Column:
+    """MAP-ONLY column form of minhash_signatures_df's signature: the
+    same values (min over 64-bit shingle hashes h of xxhash64(h, i)) as
+    a pure per-row expression — no groupBy, so it runs under STREAMING
+    semantics (a streaming aggregation would demand a watermark). Use
+    on the small/streaming side; the batch aggregate form stays the
+    right choice for full-corpus builds (see minhash_signatures_df's
+    codegen note)."""
+
+    def family(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    def body(th: Column) -> Column:
+        sig = F.array(
+            *[F.array_min(F.transform(th, family(i))) for i in range(num_hashes)]
+        )
+        return F.when(F.size(th) > 0, sig)
+
+    return _bind_once(word_shingle_hashes(text, n), body)
+
+
 def banded_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

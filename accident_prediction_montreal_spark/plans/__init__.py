@@ -112,6 +112,7 @@ _TAIL_HEAD = [
     "mm_image_dedup",
     "llm_dataset_card",
     "dedup_incremental",
+    "st_incremental_dedup",
     "a26_rfm_segmentation_exact",
     "text_quality_deciles_exact",
     # r7 additions still unchecked (r9 rotate-in set, part 2):

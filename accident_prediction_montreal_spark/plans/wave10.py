@@ -2,7 +2,10 @@
 JSON-lines ingestion with PERMISSIVE corrupt-record capture, a BPE
 merge-candidate step (the tokenizer-training primitive), and
 perceptual image dedup (average-hash over REAL decoded rasters — the
-multimodal twin of the text dedup family). All value-oracle-backed.
+multimodal twin of the text dedup family), the dataset-card rollup,
+and incremental batch/stream dedup against an existing corpus index.
+All oracle-backed (value oracles where ANSI-expressible, literal-1
+contract checks for the xxhash-based incremental pair sets).
 """
 
 from __future__ import annotations
@@ -444,3 +447,147 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         planted_ok.unionByName(novel_ok).unionByName(sides_ok).unionByName(rng_ok)
     )
+
+
+@register(
+    "st_incremental_dedup",
+    oracle="""
+    SELECT 'st_incr_planted_found' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'st_incr_novel_clean', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'st_incr_matches_batch_twin', CAST(1 AS BIGINT)
+    """,
+    description="STREAMING incremental dedup — dedup_incremental's arrival "
+    "shape: the new batch arrives as a file STREAM "
+    "(maxFilesPerTrigger=1, so micro-batches genuinely interleave) and "
+    "each micro-batch's LSH band rows probe the STATIC corpus band "
+    "index via a stream-static equi-join on (band_id, band_hash) — the "
+    "production topology where the index is at rest (partitioned by "
+    "band_id) and ingestion streams. The banding expressions "
+    "(tokenize -> shingle-hash -> 32-family min -> band xxhash) are "
+    "pure column math, so the SAME operator code runs under streaming "
+    "semantics unchanged. Contracts (no ANSI oracle for xxhash): "
+    "planted exact copies of corpus docs all surface, synthesized "
+    "novel docs never do, and the streamed pair set EQUALS the batch "
+    "operator's pair set exactly (streaming adds arrival semantics, "
+    "not different answers).",
+)
+def st_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark import cachereg
+    from accident_prediction_montreal_spark.operators.dedup import (
+        banded_signatures,
+        minhash_incremental_pairs,
+        minhash_signature_hashed,
+    )
+    from accident_prediction_montreal_spark.operators.text import tokenize
+    from accident_prediction_montreal_spark.plans.llm_ops import _run_to_memory_sink
+    from accident_prediction_montreal_spark.plans.registry import chk_row as _chk
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    dup_src = docs.filter(
+        (F.col("doc_id") % 13 == 0) & (F.size(tokenize(F.col("text"))) >= 3)
+    )
+    planted = dup_src.select((F.col("doc_id") + 200_000).alias("doc_id"), "text")
+    novel = docs.filter(F.col("doc_id") % 13 == 1).select(
+        (F.col("doc_id") + 200_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"zq{i}x"), F.col("doc_id").cast("string"))
+                for i in range(6)
+            ],
+        ).alias("text"),
+    )
+    new_batch = planted.unionByName(novel)
+
+    # The batch lands as 3 parquet files; maxFilesPerTrigger=1 makes the
+    # probe run across 3 genuine micro-batches.
+    base, _ = _scratch("stincr", sf_dir)
+    fix_dir = os.path.join(base, "batch")
+    new_batch.repartition(3).write.mode("overwrite").parquet(fix_dir)
+
+    idx = banded_signatures(docs).select(
+        F.col("doc").alias("corpus_id"), "band_id", "band_hash"
+    ).persist()
+    cachereg.register("plans.st_incremental_dedup", idx)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fix_dir)
+    )
+    # Map-only signature form on the stream side: the batch builder's
+    # groupBy would be a streaming aggregation (watermark demanded in
+    # append mode); the column expression computes the SAME values.
+    rows_per_band = 32 // 8
+    stream_bands = (
+        stream.select(
+            F.col("doc_id").alias("new_id"),
+            minhash_signature_hashed(F.col("text")).alias("sig"),
+        )
+        .filter(F.col("sig").isNotNull())
+        .select(
+            "new_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda b: F.struct(
+                        b.alias("band_id"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("band"),
+        )
+        .select("new_id", "band.band_id", "band.band_hash")
+    )
+    # Raw band collisions stream out; the per-pair dedup happens on the
+    # sink table (a stateful stream-side dropDuplicates would need a
+    # watermark in append mode and buys nothing here — a pair's
+    # duplicates all come from band multiplicity, not arrival order).
+    probed = stream_bands.join(idx, ["band_id", "band_hash"]).select(
+        "new_id", "corpus_id"
+    )
+    streamed = (
+        _run_to_memory_sink(spark, probed, "append")
+        .dropDuplicates(["new_id", "corpus_id"])
+        .persist()
+    )
+
+    expected = dup_src.select(
+        (F.col("doc_id") + 200_000).alias("new_id"),
+        F.col("doc_id").alias("corpus_id"),
+    )
+    missing = expected.join(streamed, ["new_id", "corpus_id"], "left_anti")
+    planted_ok = missing.agg(F.count(F.lit(1)).alias("n")).select(
+        *_chk("st_incr_planted_found", F.col("n") == 0)
+    )
+    novel_hits = streamed.join(
+        novel.select(F.col("doc_id").alias("new_id")), "new_id", "left_semi"
+    )
+    novel_ok = novel_hits.agg(F.count(F.lit(1)).alias("n")).select(
+        *_chk("st_incr_novel_clean", F.col("n") == 0)
+    )
+    # Band-collision candidates from the batch twin (threshold 0 keeps
+    # every collision so the sets are comparable pre-scoring).
+    twin = (
+        minhash_incremental_pairs(new_batch, docs, min_est_jaccard=0.0)
+        .select("new_id", "corpus_id")
+    )
+    diff = streamed.join(twin, ["new_id", "corpus_id"], "left_anti").unionByName(
+        twin.join(streamed, ["new_id", "corpus_id"], "left_anti")
+    )
+    twin_ok = diff.agg(F.count(F.lit(1)).alias("n")).select(
+        *_chk("st_incr_matches_batch_twin", F.col("n") == 0)
+    )
+    return planted_ok.unionByName(novel_ok).unionByName(twin_ok)

@@ -166,6 +166,7 @@ EXTENDED = [
     "mm_image_dedup",
     "llm_dataset_card",
     "dedup_incremental",
+    "st_incremental_dedup",
 ]
 
 
