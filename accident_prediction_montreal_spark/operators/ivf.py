@@ -32,6 +32,7 @@ def build_ivf_index(
     sample_fraction: float = 1.0,
     seed: int = 42,
     literal_cells_max: int = 64,
+    max_iter: int = 20,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit centroids and assign every corpus vector to its cell.
 
@@ -56,7 +57,10 @@ def build_ivf_index(
         if sample_fraction >= 1.0
         else vecs.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
     )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="cell_id").fit(fit_on)
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter,
+        featuresCol="__v", predictionCol="cell_id",
+    ).fit(fit_on)
     centroids = model.clusterCenters()
     spark = corpus.sparkSession
     cent_df = spark.createDataFrame(

@@ -1117,7 +1117,12 @@ def x21_ann_pruned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from accident_prediction_montreal_spark.plans.registry import chk_row
 
     emb = load_table(spark, "embeddings", sf_dir)
-    assigned, centroids = build_ivf_index(emb, n_cells=16)
+    # Coarse quantizers train on a SAMPLE (standard IVF practice — the
+    # layout contracts below are invariant to centroid quality): the
+    # full-corpus MLlib fit was half this query's sf1 wall time.
+    assigned, centroids = build_ivf_index(
+        emb, n_cells=16, sample_fraction=0.25, max_iter=5
+    )
     out_dir, _ = _scratch("ivfpart", sf_dir)
     (
         assigned.select("vec_id", "embedding", "cell_id")
