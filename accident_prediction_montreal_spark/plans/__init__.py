@@ -113,6 +113,7 @@ _TAIL_HEAD = [
     "llm_dataset_card",
     "dedup_incremental",
     "st_incremental_dedup",
+    "m18_isotonic_calibration",
     "a26_rfm_segmentation_exact",
     "text_quality_deciles_exact",
     # r7 additions still unchecked (r9 rotate-in set, part 2):

@@ -591,3 +591,93 @@ def st_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         *_chk("st_incr_matches_batch_twin", F.col("n") == 0)
     )
     return planted_ok.unionByName(novel_ok).unionByName(twin_ok)
+
+
+@register(
+    "m18_isotonic_calibration",
+    oracle="""
+    WITH scored AS (
+      SELECT ((o_orderkey * 2654435761) % 1001) / 1000.0 AS prob,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+      FROM orders
+    ),
+    bins AS (
+      SELECT CAST(LEAST(FLOOR(prob * 10), 9) AS INT) AS bin,
+        CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ),
+    iv AS (
+      SELECT j.bin AS j, k.bin AS k,
+        SUM(e.pos) / CAST(SUM(e.n) AS DOUBLE) AS a
+      FROM bins j JOIN bins k ON j.bin <= k.bin
+      JOIN bins e ON e.bin BETWEEN j.bin AND k.bin
+      GROUP BY j.bin, k.bin
+    ),
+    mins AS (
+      SELECT b.bin, iv.j, MIN(iv.a) AS m
+      FROM bins b JOIN iv ON iv.j <= b.bin AND iv.k >= b.bin
+      GROUP BY b.bin, iv.j
+    ),
+    fit AS (SELECT bin, MAX(m) AS iso FROM mins GROUP BY bin)
+    SELECT b.bin, b.n,
+      ROUND(b.pos / CAST(b.n AS DOUBLE), 6) AS frac_pos,
+      ROUND(f.iso, 6) AS iso_prob
+    FROM bins b JOIN fit f USING (bin) ORDER BY b.bin
+    """,
+    description="ISOTONIC CALIBRATION over the reliability bins — the "
+    "monotone-map companion to m_calibration_bins (and the engine-"
+    "checkable complement to MLlib's black-box IsotonicRegression): the "
+    "weighted isotonic fit comes from the EXACT minimax closed form "
+    "iso(i) = max over j<=i of min over k>=i of (pos[j..k] / n[j..k]) — "
+    "equivalent to pool-adjacent-violators but expressed as two nested "
+    "aggregations over interval sums of EXACT integers, so both engines "
+    "compute identical doubles and the oracle checks the fitted values "
+    "literally. Scale: the raw pass is the same one map-side-combined "
+    "aggregation as the bins query; everything after operates on the "
+    "10-row bin table (55 intervals, 100 (i,j) cells) — distributed "
+    "joins over metadata-sized frames, no collect, O(B^3) only in the "
+    "BIN count, never in rows.",
+)
+def m18_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    bins = (
+        orders.select(
+            (((F.col("o_orderkey") * 2654435761) % 1001) / 1000.0).alias("prob"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        )
+        .select(
+            F.least(F.floor(F.col("prob") * 10), F.lit(9)).cast("int").alias("bin"),
+            "label",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("pos"),
+        )
+    )
+    j = bins.select(F.col("bin").alias("j"))
+    k = bins.select(F.col("bin").alias("k"))
+    e = bins.select(F.col("bin").alias("e"), "n", "pos")
+    iv = (
+        j.join(k, F.col("j") <= F.col("k"))
+        .join(e, (F.col("e") >= F.col("j")) & (F.col("e") <= F.col("k")))
+        .groupBy("j", "k")
+        .agg((F.sum("pos") / F.sum("n").cast("double")).alias("a"))
+    )
+    b = bins.select(F.col("bin"), "n", "pos")
+    mins = (
+        b.join(iv, (F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin")))
+        .groupBy("bin", "j")
+        .agg(F.min("a").alias("m"))
+    )
+    fit = mins.groupBy("bin").agg(F.max("m").alias("iso"))
+    return (
+        b.join(fit, "bin")
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("pos") / F.col("n").cast("double"), 6).alias("frac_pos"),
+            F.round("iso", 6).alias("iso_prob"),
+        )
+        .orderBy("bin")
+    )

@@ -167,6 +167,7 @@ EXTENDED = [
     "llm_dataset_card",
     "dedup_incremental",
     "st_incremental_dedup",
+    "m18_isotonic_calibration",
 ]
 
 

@@ -104,3 +104,21 @@ def test_incremental_minhash_shapes(spark):
     assert got.get((100, 1)) == 1.0 and got.get((100, 3)) == 1.0
     assert all(k[0] in (100, 101) for k in got)   # never corpus-vs-corpus
     assert not any(k[0] == 101 for k in got)      # novel doc clean
+
+
+def test_isotonic_fit_is_monotone_and_mass_preserving(spark):
+    from accident_prediction_montreal_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["m18_isotonic_calibration"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["bin"],
+    )
+    iso = [r["iso_prob"] for r in rows]
+    assert iso == sorted(iso)  # monotone non-decreasing
+    # weighted mean preserved (PAV property), up to rounding
+    n_tot = sum(r["n"] for r in rows)
+    raw = sum(r["n"] * r["frac_pos"] for r in rows) / n_tot
+    fit = sum(r["n"] * r["iso_prob"] for r in rows) / n_tot
+    assert abs(raw - fit) < 1e-4
