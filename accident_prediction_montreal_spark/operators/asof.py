@@ -88,7 +88,11 @@ def asof_join(
             *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
         ).alias("__pay"),
     )
-    pay_dtype = dict(right_tagged.dtypes)["__pay"]
+    # Null literal for the left side comes from the schema OBJECT, not the
+    # dtypes() DDL string — the string embeds value-column NAMES, and a name
+    # containing DDL metacharacters (space, comma, ':', '<') would make the
+    # cast unparseable.
+    pay_dtype = right_tagged.schema["__pay"].dataType
     left_cols = left.columns
     left_tagged = left.select(
         "*",

@@ -260,6 +260,28 @@ def minhash_signature_hashed(
     return _bind_once(word_shingle_hashes(text, n), body)
 
 
+def band_explode(sig: Column | str, num_hashes: int = 32, bands: int = 8) -> Column:
+    """The LSH banding expression shared by EVERY band producer: explode a
+    minhash signature array into ``bands`` structs of (band_id, band_hash),
+    hashing each contiguous ``num_hashes/bands`` slice with xxhash64.
+
+    A single definition matters for correctness, not style: an index built
+    by :func:`banded_signatures` and a probe built elsewhere (e.g. the
+    streaming side of incremental dedup) MUST band identically or every
+    band stops colliding — silently, since empty joins look like "no dups".
+    """
+    rows = num_hashes // bands
+    return F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_id"),
+                F.xxhash64(F.slice(sig, b * rows + 1, rows)).alias("band_hash"),
+            ),
+        )
+    )
+
+
 def banded_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -272,20 +294,11 @@ def banded_signatures(
     corpus: one row per (document, band). This IS the at-rest dedup
     index a continuously-ingesting pipeline maintains (partition by
     band_id, bucket by band_hash when persisting)."""
-    rows = num_hashes // bands
     sigs = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n)
     return sigs.select(
         "doc",
         "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(F.slice("sig", b * rows + 1, rows)).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
+        band_explode("sig", num_hashes, bands).alias("band"),
     ).select("doc", "sig", "band.band_id", "band.band_hash")
 
 

@@ -194,9 +194,19 @@ def cell_cosine_pairs(
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
-    out_schema = (
-        f"{cell_col} long, id_a long, id_b long"
+    # Output types mirror the INPUT schema (cell and id columns pass
+    # through unchanged), so callers with int/string cells or non-long
+    # ids get back exactly what they put in — no hardcoded-long Arrow
+    # mismatch or silent truncation.
+    in_fields = {f.name: f.dataType for f in assigned.schema.fields}
+    out_schema = T.StructType(
+        [
+            T.StructField(cell_col, in_fields[cell_col]),
+            T.StructField("id_a", in_fields[id_col]),
+            T.StructField("id_b", in_fields[id_col]),
+        ]
     )
 
     def pairs_of(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -215,13 +225,13 @@ def cell_cosine_pairs(
             keep = (ii + s) < jj  # upper triangle only, id_a < id_b
             a_out.append(ids[(ii + s)[keep]])
             b_out.append(ids[jj[keep]])
-        a_cat = np.concatenate(a_out) if a_out else np.array([], dtype=np.int64)
-        b_cat = np.concatenate(b_out) if b_out else np.array([], dtype=np.int64)
+        a_cat = np.concatenate(a_out) if a_out else ids[:0]
+        b_cat = np.concatenate(b_out) if b_out else ids[:0]
         return pd.DataFrame(
             {
-                cell_col: np.full(len(a_cat), pdf[cell_col].iloc[0], dtype=np.int64),
-                "id_a": a_cat.astype(np.int64),
-                "id_b": b_cat.astype(np.int64),
+                cell_col: pdf[cell_col].iloc[:1].repeat(len(a_cat)).to_numpy(),
+                "id_a": a_cat,
+                "id_b": b_cat,
             }
         )
 

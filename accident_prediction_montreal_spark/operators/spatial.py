@@ -217,31 +217,6 @@ def _with_cell(df: DataFrame, lat: str, lon: str, cell_deg: float) -> DataFrame:
     ).withColumn("cell_j", F.floor(F.col(lon) / cell_deg).cast("long"))
 
 
-def _with_neighbor_cells(df: DataFrame, lat: str, lon: str, cell_deg: float) -> DataFrame:
-    """Replicate each row into its cell AND the 8 neighbors (3x3 block) —
-    the replicated side of every grid-bucketed spatial join here. Compute
-    per-point columns (cos(lat), norms, …) BEFORE calling: they then cost
-    one evaluation instead of nine."""
-    base = df.columns
-    offsets = F.array(
-        *[
-            F.struct(F.lit(a).alias("di"), F.lit(b).alias("dj"))
-            for a in (-1, 0, 1)
-            for b in (-1, 0, 1)
-        ]
-    )
-    return (
-        df.withColumn("base_i", F.floor(F.col(lat) / cell_deg).cast("long"))
-        .withColumn("base_j", F.floor(F.col(lon) / cell_deg).cast("long"))
-        .withColumn("off", F.explode(offsets))
-        .select(
-            *base,
-            (F.col("base_i") + F.col("off.di")).alias("cell_i"),
-            (F.col("base_j") + F.col("off.dj")).alias("cell_j"),
-        )
-    )
-
-
 def knn_join_grid(
     left: DataFrame,
     right: DataFrame,

@@ -478,6 +478,7 @@ def st_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from accident_prediction_montreal_spark import cachereg
     from accident_prediction_montreal_spark.operators.dedup import (
+        band_explode,
         banded_signatures,
         minhash_incremental_pairs,
         minhash_signature_hashed,
@@ -527,28 +528,16 @@ def st_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Map-only signature form on the stream side: the batch builder's
     # groupBy would be a streaming aggregation (watermark demanded in
-    # append mode); the column expression computes the SAME values.
-    rows_per_band = 32 // 8
+    # append mode); the column expression computes the SAME values, and
+    # the banding layout comes from the SAME band_explode helper the
+    # corpus index used — the two sides cannot drift apart.
     stream_bands = (
         stream.select(
             F.col("doc_id").alias("new_id"),
             minhash_signature_hashed(F.col("text")).alias("sig"),
         )
         .filter(F.col("sig").isNotNull())
-        .select(
-            "new_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(7)),
-                    lambda b: F.struct(
-                        b.alias("band_id"),
-                        F.xxhash64(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                        ).alias("band_hash"),
-                    ),
-                )
-            ).alias("band"),
-        )
+        .select("new_id", band_explode("sig").alias("band"))
         .select("new_id", "band.band_id", "band.band_hash")
     )
     # Raw band collisions stream out; the per-pair dedup happens on the
