@@ -690,9 +690,17 @@ def ppjoin_pairs(
 
     post = docs.select("doc", F.size("sh").alias("len"), F.explode("sh").alias("h"))
     freq = post.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    # Rank each doc's tokens by the global (df, h) order; keep the prefix.
+    # Rank each doc's tokens by the global (df, h) order; keep the PROBE
+    # prefix |x| − ⌈t·|x|⌉ + 1. The −1e-9 inside ceil only ever LENGTHENS
+    # a prefix at a float boundary (e.g. a t whose binary rounding lands
+    # above the rational value) — over-indexing is redundant work,
+    # under-indexing would be unsound.
     w = Window.partitionBy("doc").orderBy("df", "h")
-    prefix_len = F.col("len") - F.ceil(F.lit(t) * F.col("len")).cast("int") + 1
+    prefix_len = (
+        F.col("len")
+        - F.ceil(F.lit(t) * F.col("len") - F.lit(1e-9)).cast("int")
+        + 1
+    )
     pref = (
         post.join(freq, "h")
         .withColumn("__r", F.row_number().over(w))
@@ -710,6 +718,19 @@ def ppjoin_pairs(
     # nested TRANSFORM lambdas — higher-order functions are interpreted
     # per element, and at 35M raw combos that interpretation dominated
     # the whole query: the join form is ~3x faster end-to-end at sf1.)
+    #
+    # Both join inputs are the SAME projection shape of the persisted
+    # prefix — Catalyst then REUSES one shuffle exchange for both sides.
+    # (Tried and reverted, r9: the canonical PPJoin asymmetric INDEXING
+    # PREFIX — index the length-ordered shorter side by only its
+    # |x|−⌈2t/(1+t)·|x|⌉+1 mid-prefix — cut raw emissions 35M → 23M on
+    # the 10× stress corpus but made wall time WORSE at both scales: the
+    # differing side filters broke the ReusedExchange, and the distinct-
+    # candidate set barely moved (6.9955M either way) because witness
+    # tokens on this corpus already sit in early prefix positions. The
+    # accumulated-overlap pair filter (count shared prefix tokens + tail
+    # bound) pruned exactly 0 of the 7M candidates for the same reason.
+    # Full numbers in PERF.md r9.)
     pa = pref.select(
         F.col("doc").alias("id_a"),
         F.col("len").alias("len_a"),
@@ -728,7 +749,7 @@ def ppjoin_pairs(
         # PPJoin length filter: J >= t forces t*max(|a|,|b|) <= min(|a|,|b|)
         .filter(
             F.least("len_a", "len_b")
-            >= F.lit(t) * F.greatest("len_a", "len_b")
+            >= F.lit(t) * F.greatest("len_a", "len_b") - F.lit(1e-9)
         )
         # PPJoin positional filter: an emission through a token at
         # (frequency-order) positions p_a, p_b can witness at most
@@ -750,6 +771,11 @@ def ppjoin_pairs(
     b = docs.select(F.col("doc").alias("id_b"), F.col("sh").alias("__shb"))
     inter = F.size(F.array_intersect("__sha", "__shb"))
     union = F.size("__sha") + F.size("__shb") - inter
+    # (Tried and reverted, r9: F.broadcast on both doc sides cut the
+    # isolated verify stage 4.1 s → 1.5 s at stress scale by keeping the
+    # array payloads out of the shuffle, but end-to-end it was a wash at
+    # sf1 — local[32] overlaps the shuffle with upstream stages — and the
+    # row-count probe action needed to gate it regressed sf0.1 ~2×.)
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
