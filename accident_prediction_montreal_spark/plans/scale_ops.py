@@ -1587,19 +1587,25 @@ def a25_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rfm_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user (recency_s, frequency, monetary) aggregate — shared by the
-    approx-edge default and the exact-ntile parity twin. One map-side-
-    combined aggregate over events; the anchor is a 1-row broadcast,
-    never a driver collect."""
+    approx-edge default and the exact-ntile parity twin. ONE map-side-
+    combined aggregate over events; the anchor (global max ts) is then an
+    aggregate of the PERSISTED per-user rows — |users| ≪ |events| — so
+    events is scanned exactly once and the anchor is still a 1-row
+    broadcast, never a driver collect."""
     ev = load_table(spark, "events", sf_dir)
-    anchor = ev.agg(F.max("ts").alias("amax"))
-    return (
+    base = (
         ev.groupBy("user_id")
         .agg(
             F.max("ts").alias("last_ts"),
             F.count(F.lit(1)).cast("long").alias("frequency"),
             F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("monetary"),
         )
-        .crossJoin(F.broadcast(anchor))
+        .persist()
+    )
+    cachereg.register("plans.a26_rfm_base", base)
+    anchor = base.agg(F.max("last_ts").alias("amax"))
+    return (
+        base.crossJoin(F.broadcast(anchor))
         .select(
             "user_id",
             (F.unix_timestamp("amax") - F.unix_timestamp("last_ts"))
@@ -1661,69 +1667,63 @@ def a26_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = _rfm_users(spark, sf_dir).persist()
     cachereg.register("plans.a26_rfm", u)
     qs = F.array(F.lit(0.2), F.lit(0.4), F.lit(0.6), F.lit(0.8))
-    edges = u.agg(
-        *[
-            F.percentile_approx(m, qs, 10000).alias(f"__e_{m}")
-            for m in ("recency_s", "frequency", "monetary")
-        ]
+    # MELT to (metric, v) rows, then ONE percentile_approx aggregation
+    # keyed by metric and ONE bin/invariant pipeline over the melted
+    # rows. The r8 form built three per-metric union branches that each
+    # re-evaluated the (unpersisted) edge-sketch subtree — 3 full
+    # accuracy-10000 sketch passes where one suffices (r8 verdict #4).
+    melted = u.select(
+        F.expr(
+            "stack(3, 'recency_s', CAST(recency_s AS DOUBLE),"
+            " 'frequency', CAST(frequency AS DOUBLE),"
+            " 'monetary', monetary) AS (metric, v)"
+        )
     )
-    binned = u.crossJoin(F.broadcast(edges))
-    rows = []
-    for m in ("recency_s", "frequency", "monetary"):
-        e = F.col(f"__e_{m}")
-        v = F.col(m).cast("double")
-        # bin b = 1 + #edges strictly below v  =>  every member satisfies
-        # e[b-1] < v <= e[b] (e[0] = -inf, e[5] = +inf): the invariant
-        # the oracle pins.
-        b = F.lit(1) + F.size(F.filter(e, lambda x: v > x))
-        per_bin = (
-            binned.select(
-                F.lit(m).alias("metric"),
-                v.alias("v"),
-                b.alias("bin"),
-                e.alias("edges"),
-            )
-            .groupBy("metric", "bin")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min("v").alias("vmin"),
-                F.max("v").alias("vmax"),
-                F.first("edges").alias("edges"),
-            )
+    edges_m = melted.groupBy("metric").agg(
+        F.percentile_approx("v", qs, 10000).alias("edges")
+    )
+    e, v = F.col("edges"), F.col("v")
+    # bin b = 1 + #edges strictly below v  =>  every member satisfies
+    # e[b-1] < v <= e[b] (e[0] = -inf, e[5] = +inf): the invariant
+    # the oracle pins.
+    b = F.lit(1) + F.size(F.filter(e, lambda x: v > x))
+    per_bin = (
+        melted.join(F.broadcast(edges_m), "metric")
+        .select("metric", "v", b.alias("bin"), "edges")
+        .groupBy("metric", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+            F.first("edges").alias("edges"),
         )
-        # try_element_at + the bin>1 guard: bin 1 has no lower edge and
-        # bin 5 no upper edge (index 5 on a 4-edge array) — both must be
-        # NULL, not an ANSI index error.
-        lo = F.when(F.col("bin") > 1, F.try_element_at("edges", F.col("bin") - 1))
-        hi = F.try_element_at("edges", F.col("bin"))
-        within = F.coalesce(F.col("vmin") > lo, F.lit(True)) & F.coalesce(
-            F.col("vmax") <= hi, F.lit(True)
-        )
-        mono = F.aggregate(
-            F.zip_with(
-                F.slice("edges", 1, 3),
-                F.slice("edges", 2, 3),
-                lambda a_, b_: a_ <= b_,
-            ),
-            F.lit(True),
-            lambda acc, x: acc & x,
-        )
-        rows.append(
-            per_bin.groupBy("metric").agg(
-                F.sum("n").cast("long").alias("n_users"),
-                F.min("vmin").alias("value_min"),
-                F.max("vmax").alias("value_max"),
-                F.bool_and(mono).alias("edges_monotone"),
-                F.bool_and(within).alias("bins_within_edges"),
-                F.lit(True).alias("counts_match"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    # counts_match: Σ per-bin n must equal the direct user count — the
-    # lit(True) above is replaced by the real comparison via a join
-    # against the unbinned aggregate.
+    )
+    # try_element_at + the bin>1 guard: bin 1 has no lower edge and
+    # bin 5 no upper edge (index 5 on a 4-edge array) — both must be
+    # NULL, not an ANSI index error.
+    lo = F.when(F.col("bin") > 1, F.try_element_at("edges", F.col("bin") - 1))
+    hi = F.try_element_at("edges", F.col("bin"))
+    within = F.coalesce(F.col("vmin") > lo, F.lit(True)) & F.coalesce(
+        F.col("vmax") <= hi, F.lit(True)
+    )
+    mono = F.aggregate(
+        F.zip_with(
+            F.slice("edges", 1, 3),
+            F.slice("edges", 2, 3),
+            lambda a_, b_: a_ <= b_,
+        ),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    )
+    out = per_bin.groupBy("metric").agg(
+        F.sum("n").cast("long").alias("n_users"),
+        F.min("vmin").alias("value_min"),
+        F.max("vmax").alias("value_max"),
+        F.bool_and(mono).alias("edges_monotone"),
+        F.bool_and(within).alias("bins_within_edges"),
+    )
+    # counts_match: Σ per-bin n must equal the direct user count, via a
+    # broadcast join against the unbinned aggregate.
     totals = u.groupBy().agg(F.count(F.lit(1)).cast("long").alias("__direct"))
     return (
         out.crossJoin(F.broadcast(totals))
