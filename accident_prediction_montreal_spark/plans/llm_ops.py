@@ -1746,18 +1746,25 @@ def _run_to_memory_sink(
 ) -> DataFrame:
     """Execute a streaming plan to completion (availableNow) into a memory
     sink; return the sink table. The table name is unique per invocation
-    so repeated runs in one session never collide."""
+    so repeated runs in one session never collide. State partitions are
+    pinned small for the duration (see session.state_partitions: the
+    per-micro-batch state-store commit count is the fixed cost that
+    dominates these finite fixtures — 31 s → ~3 s for the stream-stream
+    outer join under a vanilla 200-partition session)."""
     import uuid
 
+    from accident_prediction_montreal_spark.session import state_partitions
+
     name = "st_an_" + uuid.uuid4().hex[:8]
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with state_partitions(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
 
 
@@ -3154,14 +3161,17 @@ def st_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched = batch_df.join(F.broadcast(dim), "user_id", "left")
         enriched.write.mode("overwrite").partitionBy("tier").parquet(out_dir)
 
-    (
-        sessions.writeStream.foreachBatch(write_batch)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    from accident_prediction_montreal_spark.session import state_partitions
+
+    with state_partitions(spark):
+        (
+            sessions.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
     back = spark.read.parquet(out_dir).filter(F.col("tier").isin(0, 2, 4))
     return back.groupBy(F.col("tier").cast("long").alias("tier")).agg(

@@ -675,14 +675,17 @@ def st_cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # merge-on-read: the sink is an append-only version log
         batch_df.write.mode("append").parquet(log_dir)
 
-    (
-        versions.writeStream.foreachBatch(append_batch)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    from accident_prediction_montreal_spark.session import state_partitions
+
+    with state_partitions(spark):
+        (
+            versions.writeStream.foreachBatch(append_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
     log = spark.read.parquet(log_dir)
     latest = latest_change_per_key(
