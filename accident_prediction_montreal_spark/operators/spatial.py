@@ -65,6 +65,18 @@ def _dist_and_rank(
         F.lit(2.0 * _EARTH_RADIUS_M)
         * F.atan2(F.sqrt(F.col("_hav_a")), F.sqrt(1 - F.col("_hav_a")))
     )
+    if a_bound_col is not None:
+        # Latitude-only PRE-cut ahead of the full argument: a is the sum
+        # of the lat term and a non-negative lon term, so
+        # sin²(Δφ/2) > bound already disqualifies the pair — evaluated
+        # first (one sin vs the full 4-trig expression), it lets
+        # whole-stage codegen skip the cos-product work for the vast
+        # majority of a bounded exhaustive pass (the bound is typically
+        # a few km against a degrees-wide latitude spread).
+        lat_a = F.pow(F.sin(F.radians(lat2 - lat1) / 2), 2)
+        joined = joined.filter(
+            F.col(a_bound_col).isNull() | (lat_a <= F.col(a_bound_col))
+        )
     out = joined.withColumn("_hav_a", a)
     if a_bound_col is not None:
         # Per-left-point candidate prefilter: when the caller knows an
@@ -560,27 +572,6 @@ def knn_join_grid_exact(
         # unknown (caller-supplied cell_deg) the floor is the only
         # criterion. At cluster scale a huge right side fails the
         # broadcast cap and escalation proceeds as before.
-        if n_right is None:
-            n_right = right.count()
-        exhaust_now = n_bad * n_right <= fallback_budget_pairs
-        if not exhaust_now and area is not None:
-            occ_cur = min(
-                9.0 * cell_deg**2 * 0.96 * n_right / area, float(n_right)
-            )
-            occ_next = min(
-                9.0 * (cell_deg * growth) ** 2 * 0.96 * n_right / area,
-                float(n_right),
-            )
-            exhaust_win_rows = (
-                n_bad_nobound * n_right + (n_bad - n_bad_nobound) * occ_cur
-            )
-            exhaust_cost = n_bad * n_right / 20e6 + exhaust_win_rows / 2e6
-            grid_cost = 0.5 + n_bad * occ_next / 2e6
-            exhaust_now = exhaust_cost <= grid_cost
-        if n_right <= 1_000_000 and exhaust_now:
-            residue = remaining
-            remaining = None
-            break
         # Data-driven escalation: most unproven points found k candidates
         # whose k-th distance simply exceeded the proof bound — the cell
         # that WOULD prove them is d_k/(M·margin·cos), known from this
@@ -595,6 +586,12 @@ def knn_join_grid_exact(
         # The cos uses the worst UNPROVEN latitude plus the current cell;
         # if the jumped cell widens the band further the proof simply
         # fails again and escalates — sizing can never break exactness.
+        # Computed BEFORE the exhaust-vs-grid decision so the cost model
+        # prices the cell the next round would ACTUALLY use (r9 fix: the
+        # model priced the blind growth step, so a large data-driven
+        # jump — e.g. the polar-lattice fixture, where the proof needs
+        # 0.17° against a 0.023° density cell — chose a 23 s
+        # occupancy-exploded grid round over a 7 s bounded fallback).
         needed = 0.0
         if max_dk is not None:
             cos_w = math.cos(
@@ -602,9 +599,31 @@ def knn_join_grid_exact(
             )
             if cos_w > 0.05:
                 needed = max_dk / (_M_PER_DEG * margin * cos_w)
-        cell_deg = min(
+        next_cell = min(
             max(cell_deg * growth, needed * 1.05), cell_deg * growth * 8.0
         )
+        if n_right is None:
+            n_right = right.count()
+        exhaust_now = n_bad * n_right <= fallback_budget_pairs
+        if not exhaust_now and area is not None:
+            occ_cur = min(
+                9.0 * cell_deg**2 * 0.96 * n_right / area, float(n_right)
+            )
+            occ_next = min(
+                9.0 * next_cell**2 * 0.96 * n_right / area,
+                float(n_right),
+            )
+            exhaust_win_rows = (
+                n_bad_nobound * n_right + (n_bad - n_bad_nobound) * occ_cur
+            )
+            exhaust_cost = n_bad * n_right / 20e6 + exhaust_win_rows / 2e6
+            grid_cost = 0.5 + n_bad * occ_next / 2e6
+            exhaust_now = exhaust_cost <= grid_cost
+        if n_right <= 1_000_000 and exhaust_now:
+            residue = remaining
+            remaining = None
+            break
+        cell_deg = next_cell
     if remaining is not None:
         # Escalation exhausted: the stragglers go to the fallback.
         residue = remaining

@@ -168,6 +168,9 @@ EXTENDED = [
     "dedup_incremental",
     "st_incremental_dedup",
     "m18_isotonic_calibration",
+    # appended r9 (verdict ask #5: the polar/seam escalation path had
+    # sf0.01 correctness greens but no sf1 timing on the artifact):
+    "j8_knn_seam_polar",
 ]
 
 
