@@ -34,79 +34,26 @@ from accident_prediction_montreal_spark.plans import wave10  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #
-# Round-8 ROTATION (verdict r7 #2): 50 of the 77 registry queries that
-# have never had a driver CORRECTNESS row rotate IN — the wave-5..9
-# blocks (ER, graph, product analytics, scale-ops composites, the
-# k-means/SemDeDup/curation block, the remaining streaming queries) —
-# all verified green locally at sf0.01 (scripts/check_oracle.py, r7 and
-# again this round after edits). Queries MODIFIED this round (ppjoin
-# filters, a26 approx-ntile default, adaptive-K SemDeDup, 3-round Lloyd,
-# asof-nearest struct carry) are deliberately in-window so the driver
-# validates the new forms. The 27 still-unchecked queries head the tail
-# as the r9 rotate-in set.
+# Round-9 ROTATION (verdict r8 #1: close the ledger): ALL 36 remaining
+# zero-driver-evidence queries rotate IN — the 9 r8 additions (wave-10
+# block + the two _exact parity twins) and the 27 wave-7/8 ops/analytics
+# stragglers (x22-x25, a22-a36 tail, g3/g4, privacy p13-p16, w10/w11,
+# m15-m18, st_checkpoint_resume) — every one verified green locally at
+# sf0.01 this round (scripts/check_oracle.py). After this window, every
+# registered query has a driver CORRECTNESS row. The other 14 slots hold
+# queries MODIFIED this round, so the driver validates the new forms:
+# asof null-literal + j9 family (operators/asof.py), ppjoin ceil slack
+# (operators/dedup.py), band_explode sharing (dedup_minhash_pairs,
+# dedup_incremental, st_incremental_dedup — the latter two also in the
+# 36), cell_cosine_pairs schema derivation (dedup_semantic,
+# llm_curation_pipeline), the a26 single-pass melt, the streaming
+# state-partition pinning (st_stream_stream_outer, st_cdc_upsert_stream,
+# st_pipeline_capstone), and the kNN cost-model fix (j8_knn_seam_polar,
+# j8_knn_join_grid) — plus the apm capstone and a TPC-H anchor.
 #
-# Rotated OUT — the full r7 window (50/50 green in CORRECTNESS_r07);
-# every operator family it covered keeps in-window representation via
-# the incoming composites (er/curation/privacy pipelines, scd2/cdc/
-# bloom joins, streaming cdc-upsert/outer/heavy-hitters).
+# Rotated OUT — the full r8 window (50/50 green in CORRECTNESS_r08).
 _PRIORITY = [
-    "j13_scd2_join",
-    "m12_oof_target_encode",
-    "dedup_editdist",
-    "x13_small_files_compaction",
-    "x14_incremental_rollup",
-    "x15_hll_shard_merge",
-    "w8_gap_fill_lvcf",
-    "a15_interval_coverage",
-    "a16_running_distinct",
-    "s12_python_datasource",
-    "st_python_stream_source",
-    "x16_python_sink_roundtrip",
-    "f_variant_json",
-    "sql_recursive_cte",
-    "x17_table_profile",
-    "m14_feature_corr",
-    "x18_cdc_merge",
-    "x19_dq_expectations",
-    "j14_bloom_semi_join",
-    "a17_heavy_hitters",
-    "j15_point_in_polygon",
-    "x20_zorder_layout",
-    "er_golden_records",
-    "g1_pagerank_trade",
-    "st_cdc_upsert_stream",
-    "a18_skyline_pareto",
-    "a19_event_transitions",
-    "a20_attribution_last_touch",
-    "a21_approx_topk_invariant",
-    "w9_distribution_ranks",
-    "st_heavy_hitters_stream",
-    "j16_interval_overlap",
-    "x21_ann_pruned_layout",
-    "g2_triangle_count",
-    "mm_audio_frames",
-    "st_stream_stream_outer",
-    "mm_gif_decode",
-    "sql_lateral_topk",
-    "a25_session_dynamic_gap",
-    "a26_rfm_segmentation",
-    "dedup_ppjoin",
-    "a27_market_basket",
-    "text_bm25",
-    "sim_kmeans_lloyd",
-    "dedup_semantic",
-    "llm_epoch_schedule",
-    "text_quality_classifier",
-    "llm_curation_pipeline",
-    "text_lm_perplexity",
-    "j9_asof_nearest",
-]
-
-# Positions 51+: the 27 remaining zero-evidence queries first (the r9
-# rotate-in set), then the rotated-out r7 window (most-recently-green),
-# then the r6-era tail.
-_TAIL_HEAD = [
-    # r8 additions with zero driver evidence (r9 rotate-in set, part 1):
+    # --- the final 36 zero-evidence queries (ledger closers) ---
     "s13_jsonl_roundtrip",
     "text_bpe_merges",
     "mm_image_dedup",
@@ -116,7 +63,6 @@ _TAIL_HEAD = [
     "m18_isotonic_calibration",
     "a26_rfm_segmentation_exact",
     "text_quality_deciles_exact",
-    # r7 additions still unchecked (r9 rotate-in set, part 2):
     "x22_dynamic_partition_overwrite",
     "x23_global_index",
     "a22_weighted_sample",
@@ -144,12 +90,73 @@ _TAIL_HEAD = [
     "a34_funnel_timing",
     "a35_grouped_quantiles",
     "a36_cusum_changepoint",
-    "apm_dataset_pipeline",
+    # --- queries modified in round 9 (driver re-validates new forms) ---
+    "j9_asof_nearest",
+    "j9_asof_forward",
+    "dedup_ppjoin",
+    "dedup_minhash_pairs",
+    "dedup_semantic",
+    "llm_curation_pipeline",
+    "a26_rfm_segmentation",
+    "st_stream_stream_outer",
+    "st_cdc_upsert_stream",
     "st_pipeline_capstone",
-    "x12_backfill_evolution",
     "j8_knn_seam_polar",
-    "a6_idw_seam",
+    "j8_knn_join_grid",
+    "apm_dataset_pipeline",
     "tpch_q8_market_share",
+]
+
+# Positions 51+: the rotated-out r8 window first (most-recently-green),
+# then the earlier tail.
+_TAIL_HEAD = [
+    # the r8 window, rotated out (50/50 green in CORRECTNESS_r08):
+    "j13_scd2_join",
+    "m12_oof_target_encode",
+    "dedup_editdist",
+    "x13_small_files_compaction",
+    "x14_incremental_rollup",
+    "x15_hll_shard_merge",
+    "w8_gap_fill_lvcf",
+    "a15_interval_coverage",
+    "a16_running_distinct",
+    "s12_python_datasource",
+    "st_python_stream_source",
+    "x16_python_sink_roundtrip",
+    "f_variant_json",
+    "sql_recursive_cte",
+    "x17_table_profile",
+    "m14_feature_corr",
+    "x18_cdc_merge",
+    "x19_dq_expectations",
+    "j14_bloom_semi_join",
+    "a17_heavy_hitters",
+    "j15_point_in_polygon",
+    "x20_zorder_layout",
+    "er_golden_records",
+    "g1_pagerank_trade",
+    "a18_skyline_pareto",
+    "a19_event_transitions",
+    "a20_attribution_last_touch",
+    "a21_approx_topk_invariant",
+    "w9_distribution_ranks",
+    "st_heavy_hitters_stream",
+    "j16_interval_overlap",
+    "x21_ann_pruned_layout",
+    "g2_triangle_count",
+    "mm_audio_frames",
+    "mm_gif_decode",
+    "sql_lateral_topk",
+    "a25_session_dynamic_gap",
+    "a27_market_basket",
+    "text_bm25",
+    "sim_kmeans_lloyd",
+    "llm_epoch_schedule",
+    "text_quality_classifier",
+    "text_lm_perplexity",
+    # earlier tail:
+    "x12_backfill_evolution",
+    "a6_idw_seam",
     "tpch_q9_product_profit",
     "j10_range_join",
     "st_stream_range_join",
