@@ -62,12 +62,46 @@ def write_results(
         prob_positive().alias("prob_positive"), "label"
     )
     sweep = threshold_sweep(spark, scored, n_points=n_points).orderBy("threshold")
-    sweep.toPandas().set_index("threshold").to_csv(f"{result_dir}/metrics.csv")
+    # metrics.csv carries the reference's EXACT header shape
+    # (random_forest.py:174-221 via export_results.py:45-46): Threshold
+    # index, capitalized metric names, the four count-percentage columns
+    # in place of the raw confusion counts. The engine-side operator
+    # keeps its snake_case contract (oracles pin it); the rename is an
+    # export-boundary concern only.
+    pdf = sweep.toPandas()
+    total = (
+        pdf["true_positive"]
+        + pdf["true_negative"]
+        + pdf["false_positive"]
+        + pdf["false_negative"]
+    )
+    ref = pdf.rename(
+        columns={
+            "threshold": "Threshold",
+            "precision": "Precision",
+            "recall": "Recall",
+            "false_positive_rate": "False positive rate",
+            "accuracy": "Accuracy",
+            "f1_score": "F1 Score",
+        }
+    )
+    ref["True negative percentage"] = pdf["true_negative"] / total
+    ref["True positive percentage"] = pdf["true_positive"] / total
+    ref["False negative percentage"] = pdf["false_negative"] / total
+    ref["False positive percentage"] = pdf["false_positive"] / total
+    ref = ref.drop(
+        columns=["true_negative", "true_positive", "false_negative", "false_positive"]
+    )
+    ref.set_index("Threshold").to_csv(f"{result_dir}/metrics.csv")
 
     if feature_cols is not None:
-        feature_importances(model, feature_cols).to_csv(
-            f"{result_dir}/feature_importances.csv", index=False
-        )
+        # Reference shape (random_forest.py:224-231): feature names as
+        # the (unnamed) index, one "Feature importances" column, sorted
+        # descending — so the CSV header is ',Feature importances'.
+        imp = feature_importances(model, feature_cols).set_index("feature")
+        imp.index.name = None
+        imp.columns = ["Feature importances"]
+        imp.to_csv(f"{result_dir}/feature_importances.csv")
     return {
         "test": test_m,
         "train": train_m,

@@ -63,13 +63,39 @@ def test_export_results_layout(spark, tmp_path):
     assert "count_negative_samples: 90" in params and "numTrees: 5" in params
 
     metrics = write_results(spark, model, preds, preds, d1, feature_cols=["x1"])
+
+    # The FOUR-FILE contract, byte-shaped to the reference
+    # (export_results.py:17-46 + random_forest.py:174-231): params,
+    # results, metrics.csv, feature_importances.csv — same names, same
+    # headers, same line layout, so a consumer of the reference's
+    # results/ directories can read the engine's unchanged.
+    import os
+
+    assert sorted(os.listdir(d1)) == [
+        "feature_importances.csv", "metrics.csv", "params", "results",
+    ]
     results = open(d1 + "/results").read()
-    assert "Area Under PR" in results
+    assert re.fullmatch(
+        r"Test set:\n"
+        r"\tArea Under PR = [0-9.eE+-]+\n"
+        r"\tArea Under ROC = [0-9.eE+-]+\n"
+        r"Train set:\n"
+        r"\tArea Under PR = [0-9.eE+-]+\n"
+        r"\tArea Under ROC = [0-9.eE+-]+\n",
+        results,
+    ), results
     assert 0 <= metrics["test"]["areaUnderROC"] <= 1
-    header = open(d1 + "/metrics.csv").readline()
-    assert header.startswith("threshold,")
-    fi = open(d1 + "/feature_importances.csv").read()
-    assert "x1" in fi
+    header = open(d1 + "/metrics.csv").readline().rstrip("\n")
+    assert header == (
+        "Threshold,Precision,Recall,False positive rate,Accuracy,"
+        "F1 Score,True negative percentage,True positive percentage,"
+        "False negative percentage,False positive percentage"
+    )
+    fi_lines = open(d1 + "/feature_importances.csv").read().splitlines()
+    assert fi_lines[0] == ",Feature importances"  # unnamed feature index
+    assert fi_lines[1].startswith("x1,")
+    imps = [float(line.split(",")[1]) for line in fi_lines[1:]]
+    assert imps == sorted(imps, reverse=True)
 
 
 def test_bucketed_join_no_shuffle(spark, tmp_path):
