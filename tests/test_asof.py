@@ -188,3 +188,30 @@ class TestAsofForward:
         df = spark.range(1).selectExpr("id AS k", "timestamp_seconds(id) AS ts")
         with _pytest.raises(ValueError, match="direction"):
             asof_join(df, df, by=["k"], direction="sideways")
+
+
+def test_ddl_hostile_value_column_names(spark):
+    """r9 regression pin: the left-side null payload literal is built from
+    the schema OBJECT, not the dtypes() DDL string — value-column names
+    containing DDL metacharacters (space, comma, colon, angle bracket)
+    must flow through every direction unharmed."""
+    hostile = "v col, with:meta<chars>"
+    left = _df(spark, [
+        (1, "2024-01-01 10:00:00", 100),
+        (2, "2024-01-01 10:00:00", 200),   # no right rows -> null payload
+    ], ["user_id", "ts_s", "lid"])
+    right = _df(spark, [
+        (1, "2024-01-01 09:59:00", 7.0),
+    ], ["user_id", "ts_s", "v"]).withColumnRenamed("v", hostile)
+    # The only right row sits 1 min BEFORE left 100: backward and nearest
+    # match it, forward correctly finds nothing at-or-after.
+    for direction, want in (("backward", 7.0), ("forward", None), ("nearest", 7.0)):
+        out = {
+            r["lid"]: r
+            for r in asof_join(
+                left, right, by=["user_id"], direction=direction,
+                tolerance_seconds=3600,
+            ).collect()
+        }
+        assert out[100][f"{hostile}_right"] == want, direction
+        assert out[200][f"{hostile}_right"] is None, direction

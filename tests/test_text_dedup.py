@@ -320,3 +320,36 @@ def test_pack_sequences_hand_computed(spark):
     )
     out = {r["doc_id"]: r["seq_bin"] for r in pack_sequences(df, capacity=6).collect()}
     assert out == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_band_explode_matches_banded_signatures_nondefault_params(spark):
+    """r9 regression pin: band_explode is THE banding layout — a probe
+    built from the map-only signature column must collide with the
+    banded_signatures index on every band, including under non-default
+    (num_hashes, bands), or incremental dedup silently finds nothing."""
+    from accident_prediction_montreal_spark.operators.dedup import (
+        band_explode,
+        banded_signatures,
+        minhash_signature_hashed,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc{i}") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    for num_hashes, bands in ((32, 8), (16, 4), (24, 6)):
+        idx = banded_signatures(docs, num_hashes=num_hashes, bands=bands).select(
+            "doc", "band_id", "band_hash"
+        )
+        probe = (
+            docs.select(
+                F.col("doc_id").alias("doc"),
+                minhash_signature_hashed(F.col("text"), num_hashes=num_hashes).alias("sig"),
+            )
+            .select("doc", band_explode("sig", num_hashes, bands).alias("b"))
+            .select("doc", "b.band_id", "b.band_hash")
+        )
+        # Identical layouts -> symmetric difference is empty.
+        assert idx.exceptAll(probe).count() == 0, (num_hashes, bands)
+        assert probe.exceptAll(idx).count() == 0, (num_hashes, bands)
+        assert probe.count() == 8 * bands, (num_hashes, bands)

@@ -260,3 +260,25 @@ def test_cell_cosine_pairs_matches_exact_join(spark):
     assert got == want
     assert (0, 0, 1) in got and (1, 5, 6) in got
     assert not any(7 in (x[1], x[2]) for x in got)  # zero vector inert
+
+
+def test_cell_cosine_pairs_nonlong_id_and_cell_types(spark):
+    """r9 regression pin: the applyInPandas output schema is derived from
+    the INPUT schema — int ids and string cells round-trip instead of
+    hitting a hardcoded-long Arrow mismatch."""
+    from accident_prediction_montreal_spark.operators.similarity import (
+        cell_cosine_pairs,
+    )
+
+    rows = [
+        (10, "a", [1.0, 0.0]),
+        (20, "a", [1.0, 0.0]),   # dup of 10 within cell 'a'
+        (30, "a", [0.0, 1.0]),
+        (40, "b", [1.0, 0.0]),   # alone in cell 'b'
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, cell STRING, vec ARRAY<DOUBLE>")
+    out = cell_cosine_pairs(df, 0.999)
+    assert dict(out.dtypes) == {"cell": "string", "id_a": "int", "id_b": "int"}
+    assert [(r["cell"], r["id_a"], r["id_b"]) for r in out.collect()] == [
+        ("a", 10, 20)
+    ]
