@@ -445,6 +445,27 @@ def ngram_jaccard_pairs(
     # window, re-bucketed carrying (doc, n_sh), and pairs generated
     # intra-bucket — four shuffles of 8-to-16-byte rows, the map exactly
     # once, no joins at all.
+    return _shingle_pair_intersections(df, id_col, text_col, n, max_doc_freq).select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)
+
+
+def _shingle_pair_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """(id_a, id_b, n_a, n_b, n_common) for every unordered doc pair
+    sharing ≥1 (doc-freq-capped) shingle — the shared core of the
+    Jaccard and containment set-similarity joins (plan-shape notes in
+    ngram_jaccard_pairs' docstring and comments above)."""
     post = df.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingle_hashes(text_col, n)).alias("sh"),
@@ -454,7 +475,7 @@ def ngram_jaccard_pairs(
         buckets = buckets.filter(F.size("ds") <= max_doc_freq)
 
     # Per-doc set sizes count ALL surviving shingles (incl. singletons):
-    # Jaccard is over each doc's rare-shingle set.
+    # similarity is over each doc's rare-shingle set.
     sized = buckets.select("sh", F.explode("ds").alias("doc")).withColumn(
         "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc"))
     )
@@ -485,15 +506,51 @@ def ngram_jaccard_pairs(
         rebucketed.select(F.explode(combos).alias("p"))
         .groupBy("p.id_a", "p.id_b", "p.n_a", "p.n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_containment: float = 0.9,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram CONTAINMENT join — Broder (1997)'s asymmetric
+    twin of resemblance: containment(A→B) = |A∩B| / |A| over (doc-freq-
+    capped) distinct shingle sets.
+
+    This catches SUBSET duplication that Jaccard structurally misses: a
+    short document quoted verbatim inside a long one has
+    J ≈ |A|/|B| → 0 as the container grows, but containment(A→B) = 1 —
+    the shape behind quote/boilerplate/embedded-document dedup in
+    training-corpus curation. Returns ORDERED rows
+    (contained_id, container_id, containment ≥ threshold); a mutual
+    near-dup pair emits both directions.
+
+    Same capped inverted-index plan as ngram_jaccard_pairs (one shared
+    core, see _shingle_pair_intersections): the per-pair intersection is
+    computed once and both directed ratios derive from it, so the
+    asymmetric join costs exactly what the symmetric one does.
+    """
+    agg = _shingle_pair_intersections(df, id_col, text_col, n, max_doc_freq)
+    directed = F.array(
+        F.struct(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+            (F.col("n_common") / F.col("n_a").cast("double")).alias("containment"),
+        ),
+        F.struct(
+            F.col("id_b").alias("contained_id"),
+            F.col("id_a").alias("container_id"),
+            (F.col("n_common") / F.col("n_b").cast("double")).alias("containment"),
+        ),
+    )
+    return (
+        agg.select(F.explode(directed).alias("d"))
+        .select("d.contained_id", "d.container_id", "d.containment")
+        .filter(F.col("containment") >= min_containment)
     )
 
 

@@ -107,9 +107,13 @@ _PRIORITY = [
     "tpch_q8_market_share",
 ]
 
-# Positions 51+: the rotated-out r8 window first (most-recently-green),
-# then the earlier tail.
+# Positions 51+: the two r9 additions first (zero driver evidence — the
+# r10 rotate-in set, verified green locally at sf0.01), then the
+# rotated-out r8 window (most-recently-green), then the earlier tail.
 _TAIL_HEAD = [
+    # r9 additions (r10 rotate-in set):
+    "dedup_containment",
+    "text_ngram_novelty",
     # the r8 window, rotated out (50/50 green in CORRECTNESS_r08):
     "j13_scd2_join",
     "m12_oof_target_encode",

@@ -686,3 +686,164 @@ def m18_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- round 9 additions (r10 rotate-in set) --------------------------------
+
+_CONTAIN_SHIFT = 300_000
+_CONTAIN_T = 0.9
+_CONTAIN_CAP = 8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH toks0 AS (
+      SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+      FROM documents
+    ),
+    corpus AS (
+      SELECT doc_id, w FROM toks0
+      UNION ALL
+      SELECT doc_id + {_CONTAIN_SHIFT},
+             w[3:2 + CAST(floor(len(w) * 3 / 5.0) AS INT)]
+      FROM toks0 WHERE doc_id % 17 = 0 AND len(w) >= 10
+    ),
+    sh AS (
+      SELECT doc_id,
+        UNNEST(list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM corpus WHERE len(w) >= 3
+    ),
+    rare AS (
+      SELECT doc_id, s FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY s) <= {_CONTAIN_CAP}
+    ),
+    sized AS (
+      SELECT doc_id, s, COUNT(*) OVER (PARTITION BY doc_id) AS n_sh FROM rare
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b,
+        COUNT(*) AS n_common
+      FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    directed AS (
+      SELECT id_a AS contained_id, id_b AS container_id,
+             n_common / CAST(n_a AS DOUBLE) AS containment FROM inter
+      UNION ALL
+      SELECT id_b, id_a, n_common / CAST(n_b AS DOUBLE) FROM inter
+    )
+    SELECT contained_id, container_id, ROUND(containment, 6) AS containment
+    FROM directed WHERE containment >= {_CONTAIN_T}
+    ORDER BY contained_id, container_id
+    """,
+    description="Exact n-gram CONTAINMENT join (Broder 1997's asymmetric "
+    "resemblance twin, operators/dedup.py::containment_pairs): "
+    "containment(A->B) = |A inter B|/|A| over doc-freq-capped shingle "
+    "sets — the SUBSET-duplication detector Jaccard structurally "
+    "misses (a short doc quoted inside a long one has J ~ |A|/|B| -> 0 "
+    "but containment 1.0), i.e. the quote/boilerplate/embedded-document "
+    "shape of training-corpus dedup. Planted quotes (inner 60%% token "
+    "slice of every 17th doc, re-ids'd at +300000 — every shingle of a "
+    "contiguous slice is a shingle of its source, so true containment "
+    "is exactly 1.0 while Jaccard sits near 0.6 below near-dup "
+    "thresholds) guarantee non-trivial asymmetric matches; the oracle "
+    "replays the slice planting and the df-cap verbatim and computes "
+    "BOTH directed ratios from an uncapped shared-shingle join, so a "
+    "dropped direction, a mixed-up denominator, or cap drift all "
+    "hash-mismatch. Plan: the SAME one-map bucketed inverted index as "
+    "dedup_ngram_jaccard (shared core _shingle_pair_intersections) — "
+    "the asymmetric join costs exactly what the symmetric one does.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.dedup import containment_pairs
+    from accident_prediction_montreal_spark.operators.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = tokenize(F.col("text"))
+    keep = F.floor(F.size(toks) * 3 / F.lit(5.0)).cast("int")
+    planted = docs.filter((F.col("doc_id") % 17 == 0) & (F.size(toks) >= 10)).select(
+        (F.col("doc_id") + _CONTAIN_SHIFT).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 3, keep)).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    out = containment_pairs(
+        corpus, "doc_id", "text", n=3,
+        min_containment=_CONTAIN_T, max_doc_freq=_CONTAIN_CAP,
+    )
+    return out.select(
+        "contained_id",
+        "container_id",
+        F.round("containment", 6).alias("containment"),
+    ).orderBy("contained_id", "container_id")
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+        UNNEST(list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks WHERE len(w) >= 3
+    ),
+    firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+    per AS (
+      SELECT sh.doc_id, COUNT(*) AS n_sh,
+        SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM sh JOIN firsts f ON f.s = sh.s GROUP BY sh.doc_id
+    )
+    SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+      CAST(n_novel AS BIGINT) AS n_novel,
+      ROUND(n_novel / CAST(n_sh AS DOUBLE), 6) AS novelty
+    FROM per ORDER BY doc_id
+    """,
+    description="Per-document n-gram NOVELTY — the curation-ordering "
+    "statistic behind 'how much does each document add to the corpus': "
+    "the fraction of a doc's distinct 3-gram shingles whose FIRST "
+    "corpus occurrence (min doc_id under the ingestion order) is this "
+    "document. Duplicates and boilerplate-heavy docs score near 0, "
+    "fresh content near 1; the corpus-level novelty curve is the "
+    "standard diminishing-returns diagnostic for dedup pressure. Plan: "
+    "one shingle-hash map pass, a 16-byte-key min-aggregate for first "
+    "attribution, one postings join back — work linear in total "
+    "postings, no pair stage anywhere. Shingles are 64-bit hashes "
+    "engine-side while the oracle uses the strings: min-doc attribution "
+    "and counts are preserved under the injective hash (same argument "
+    "as the Jaccard family).",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.dedup import word_shingle_hashes
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    post = docs.select(
+        "doc_id", F.explode(word_shingle_hashes("text", 3)).alias("sh")
+    )
+    firsts = post.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        post.join(firsts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_shingles").cast("double"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

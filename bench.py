@@ -171,6 +171,9 @@ EXTENDED = [
     # appended r9 (verdict ask #5: the polar/seam escalation path had
     # sf0.01 correctness greens but no sf1 timing on the artifact):
     "j8_knn_seam_polar",
+    # appended late r9 (new queries, the r10 rotate-in set):
+    "dedup_containment",
+    "text_ngram_novelty",
 ]
 
 
