@@ -114,6 +114,7 @@ _TAIL_HEAD = [
     # r9 additions (r10 rotate-in set):
     "dedup_containment",
     "text_ngram_novelty",
+    "llm_decontaminate_semantic",
     # the r8 window, rotated out (50/50 green in CORRECTNESS_r08):
     "j13_scd2_join",
     "m12_oof_target_encode",

@@ -853,3 +853,65 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "llm_decontaminate_semantic",
+    oracle="""
+    WITH ev AS (
+      SELECT vec_id + 20000000 AS eval_id, CAST(embedding AS DOUBLE[]) AS ev_v
+      FROM embeddings WHERE vec_id % 37 = 0
+    ),
+    tr AS (
+      SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS tr_v
+      FROM embeddings
+    ),
+    hits AS (
+      SELECT train_id, eval_id,
+        list_dot_product(tr_v, ev_v)
+          / (sqrt(list_dot_product(tr_v, tr_v))
+             * sqrt(list_dot_product(ev_v, ev_v))) AS cosine
+      FROM tr CROSS JOIN ev
+      WHERE list_dot_product(tr_v, ev_v)
+          / (sqrt(list_dot_product(tr_v, tr_v))
+             * sqrt(list_dot_product(ev_v, ev_v))) >= 0.95
+    ),
+    best AS (
+      SELECT train_id, eval_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY train_id
+                           ORDER BY cosine DESC, eval_id ASC) AS rn
+      FROM hits
+    )
+    SELECT train_id, eval_id, ROUND(cosine, 5) + 0.0 AS cosine
+    FROM best WHERE rn = 1 ORDER BY train_id
+    """,
+    description="EMBEDDING-level train/eval DECONTAMINATION "
+    "(operators/decontam.py::semantic_contamination) — the semantic "
+    "screen run beside the n-gram one (llm_decontaminate): paraphrased "
+    "eval leakage shares almost no shingles but keeps a high embedding "
+    "cosine, so production reports both. Per contaminated train doc the "
+    "BEST eval match (cosine >= 0.95, ties by eval_id) is returned as "
+    "evidence. Fixture: every 37th embedding re-ids'd as the eval set, "
+    "so each planted eval doc must flag exactly its origin at cosine "
+    "1.0 while random high-dim pairs sit near 0 — engine-portable "
+    "margins. Scale shape: the eval side (small by nature) is BROADCAST "
+    "with the threshold applied inside the map pass, so the 100-TB "
+    "train side never shuffles; only the already-flagged fraction "
+    "reaches the per-train best-match window. Oracle: uncapped "
+    "cross-join + list_dot_product with the same deterministic "
+    "tie-break.",
+)
+def llm_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.decontam import (
+        semantic_contamination,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    eval_set = emb.filter(F.col("vec_id") % 37 == 0).select(
+        (F.col("vec_id") + 20_000_000).alias("eval_id"), "embedding"
+    )
+    train = emb.select(F.col("vec_id").alias("train_id"), "embedding")
+    out = semantic_contamination(train, eval_set, threshold=0.95)
+    return out.select(
+        "train_id", "eval_id", (F.round("cosine", 5) + 0.0).alias("cosine")
+    ).orderBy("train_id")

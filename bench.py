@@ -174,6 +174,7 @@ EXTENDED = [
     # appended late r9 (new queries, the r10 rotate-in set):
     "dedup_containment",
     "text_ngram_novelty",
+    "llm_decontaminate_semantic",
 ]
 
 
