@@ -140,6 +140,9 @@ def semantic_contamination(
     eval_id: str = "eval_id",
     vec_col: str = "embedding",
     max_eval_rows: int | None = 100_000,
+    strategy: str = "auto",
+    n_cells: int = 64,
+    n_probe: int = 8,
 ) -> DataFrame:
     """EMBEDDING-level train/eval contamination — the semantic screen run
     beside the n-gram one (``contamination_pairs``): paraphrased or
@@ -159,12 +162,44 @@ def semantic_contamination(
     train side never shuffles at all — the output is only the flagged
     fraction. BLAS summation order differs from a sequential fold by
     ~1e-15 relative, immaterial at any realistic threshold margin.
-    ``max_eval_rows`` bounds the driver collect/broadcast and makes a
-    misused giant eval side loud; the giant-eval path is the IVF/LSH
-    bucketed join, not this operator.
+    ``max_eval_rows`` bounds the driver collect/broadcast.
+
+    ``strategy`` picks the physical plan:
+
+      * ``'broadcast'`` — the matmul form above; an eval side over
+        ``max_eval_rows`` raises (misuse should be loud);
+      * ``'bucketed'`` — the giant-eval scale path: an IVF coarse
+        quantizer (operators/ivf.py) is fit on the EVAL side, each train
+        vector probes only its ``n_probe`` nearest of ``n_cells`` cells,
+        and the cosine + best-match resolve inside the cell join — no
+        driver collect, both sides stay distributed. Approximate when
+        ``n_probe < n_cells`` (a match in an unprobed cell is missed —
+        exact duplicates are always found via the quantizer's self-hit
+        guarantee); ``n_probe = n_cells`` is exact but degenerates to
+        the all-pairs join. Null/malformed embeddings yield null cosine
+        and are never flagged on this path (the expression-side cosine
+        propagates nulls instead of crashing).
+      * ``'auto'`` — broadcast when the eval side fits the cap, else
+        bucketed: the operator degrades gracefully instead of erroring.
+
+    Input hygiene (broadcast path): eval vectors are validated at
+    collect time and train vectors inside the Arrow batch — a null or
+    ragged embedding raises a ValueError naming the operator and column
+    instead of an opaque executor-side np.stack/Arrow error.
     """
     import numpy as np
     from pyspark.sql import types as T
+
+    if strategy not in ("auto", "broadcast", "bucketed"):
+        raise ValueError(
+            f"semantic_contamination: unknown strategy {strategy!r} "
+            "(expected 'auto', 'broadcast' or 'bucketed')"
+        )
+    if strategy == "bucketed":
+        return _semantic_contamination_bucketed(
+            train, eval_df, threshold, train_id, eval_id, vec_col,
+            n_cells, n_probe,
+        )
 
     ev_rows = (
         eval_df.select(
@@ -175,10 +210,29 @@ def semantic_contamination(
         .collect()
     )
     if max_eval_rows is not None and len(ev_rows) > max_eval_rows:
+        if strategy == "auto":
+            return _semantic_contamination_bucketed(
+                train, eval_df, threshold, train_id, eval_id, vec_col,
+                n_cells, n_probe,
+            )
         raise ValueError(
             f"semantic_contamination eval side exceeds max_eval_rows="
             f"{max_eval_rows}: the broadcast-matmul form is for benchmark-"
-            "sized eval sets; bucket with IVF/LSH instead, or raise the cap"
+            "sized eval sets; use strategy='auto'/'bucketed' (IVF cell "
+            "join), or raise the cap"
+        )
+    bad = [r[0] for r in ev_rows if r[1] is None or any(x is None for x in r[1])]
+    if bad:
+        raise ValueError(
+            f"semantic_contamination: null embedding in eval column "
+            f"{vec_col!r} (e.g. {eval_id}={bad[0]!r}, {len(bad)} total) — "
+            "filter or impute before decontamination"
+        )
+    dims = {len(r[1]) for r in ev_rows}
+    if len(dims) > 1:
+        raise ValueError(
+            f"semantic_contamination: ragged eval embeddings in "
+            f"{vec_col!r} (dims seen: {sorted(dims)})"
         )
     # Sorted ascending by eval_id: numpy argmax returns the FIRST max,
     # which is then exactly the (cosine DESC, eval_id ASC) tie-break.
@@ -209,7 +263,21 @@ def semantic_contamination(
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vecs = pdf[vec_col].to_numpy()
+            if any(v is None for v in vecs):
+                raise ValueError(
+                    "semantic_contamination: null embedding in train "
+                    f"column {vec_col!r} — filter or impute before "
+                    "decontamination"
+                )
+            try:
+                x = np.stack(vecs).astype(np.float64)
+            except ValueError as exc:
+                raise ValueError(
+                    "semantic_contamination: ragged/malformed train "
+                    f"embeddings in {vec_col!r} (dims seen: "
+                    f"{sorted({len(v) for v in vecs})})"
+                ) from exc
             xn = np.sqrt((x * x).sum(axis=1, keepdims=True))
             xn[xn == 0.0] = 1.0
             g = (x / xn) @ eut  # (batch, n_eval)
@@ -224,4 +292,58 @@ def semantic_contamination(
                 }
             )
 
-    return train.select(train_id, vec_col).mapInPandas(probe, out_schema)
+    # Explicit cast mirrors the eval side: non-double element types are
+    # widened HERE (loudly, by Spark's cast rules) rather than by an
+    # implicit numpy conversion deep inside the probe.
+    return train.select(
+        train_id, F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(probe, out_schema)
+
+
+def _semantic_contamination_bucketed(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float,
+    train_id: str,
+    eval_id: str,
+    vec_col: str,
+    n_cells: int,
+    n_probe: int,
+) -> DataFrame:
+    """Giant-eval scale path: IVF cell join instead of a driver
+    broadcast. The quantizer is fit on the EVAL side (the side being
+    indexed); each train vector probes its ``n_probe`` nearest cells and
+    the best eval match resolves with the same (cosine DESC, eval_id
+    ASC) tie-break as the broadcast path. Same output contract:
+    (train_id, eval_id, cosine), one row per flagged train doc.
+    """
+    from accident_prediction_montreal_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_cosine_topk,
+    )
+
+    ev = eval_df.select(
+        eval_id, F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    n_cells = max(1, min(n_cells, ev.limit(n_cells).count()))
+    assigned, cents = build_ivf_index(
+        ev, n_cells=n_cells, vec_col=vec_col, id_col=eval_id
+    )
+    qv = f"__{vec_col}_q"
+    tr = train.select(
+        train_id, F.col(vec_col).cast("array<double>").alias(qv)
+    )
+    hits = ivf_cosine_topk(
+        tr,
+        assigned,
+        cents,
+        k=1,
+        n_probe=min(n_probe, n_cells),
+        query_id=train_id,
+        query_vec=qv,
+        corpus_id=eval_id,
+        corpus_vec=vec_col,
+    )
+    return hits.filter(F.col("cosine") >= threshold).select(
+        train_id, eval_id, "cosine"
+    )

@@ -294,14 +294,14 @@ def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
         CAST(SUM(n_tokens) AS BIGINT) AS tokens_sum,
         CAST(SUM(is_empty) AS BIGINT) AS n_empty,
-        ROUND(SUM(n_chars) / CAST(COUNT(*) AS DOUBLE), 4) + 0.0
-          AS mean_chars,
+        CAST((SUM(n_chars) * 10000) // COUNT(*) AS BIGINT)
+          AS mean_chars_e4,
         CAST(0 AS BIGINT) AS is_total
       FROM per GROUP BY source
       UNION ALL
       SELECT '__all__', COUNT(*), SUM(n_chars), SUM(n_tokens),
-        SUM(is_empty), ROUND(SUM(n_chars) / CAST(COUNT(*) AS DOUBLE), 4)
-        + 0.0, 1
+        SUM(is_empty),
+        CAST((SUM(n_chars) * 10000) // COUNT(*) AS BIGINT), 1
       FROM per
     )
     SELECT * FROM card ORDER BY is_total, source
@@ -313,7 +313,11 @@ def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grain (the same hypertable shape as st_time_rollup, applied to "
     "the documents table). Token counts reuse the engine's whitespace "
     "tokenizer; empty docs counted under the same trim convention. "
-    "GROUPING() distinguishes the total row portably.",
+    "GROUPING() distinguishes the total row portably. mean_chars is "
+    "emitted as REPRESENTATION-PROOF integer 1e-4 units "
+    "(floor(sum*10000/count) via integer `div`, never a rounded double) "
+    "— the r9 driver red was a last-ulp double-formatting divergence "
+    "between two independently ROUNDed doubles, not a logic bug.",
 )
 def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from accident_prediction_montreal_spark.operators.text import token_count
@@ -331,12 +335,9 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("chars_sum"),
             F.sum("n_tokens").cast("long").alias("tokens_sum"),
             F.sum("is_empty").cast("long").alias("n_empty"),
-            (
-                F.round(
-                    F.sum("n_chars") / F.count(F.lit(1)).cast("double"), 4
-                )
-                + 0.0
-            ).alias("mean_chars"),
+            F.expr("(sum(n_chars) * CAST(10000 AS BIGINT)) div count(1)")
+            .cast("long")
+            .alias("mean_chars_e4"),
             F.grouping("source").cast("long").alias("is_total"),
         )
         .select(
@@ -345,7 +346,7 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_sum",
             "tokens_sum",
             "n_empty",
-            "mean_chars",
+            "mean_chars_e4",
             "is_total",
         )
         .orderBy("is_total", "source")
@@ -912,6 +913,72 @@ def llm_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = emb.select(F.col("vec_id").alias("train_id"), "embedding")
     out = semantic_contamination(train, eval_set, threshold=0.95)
+    return out.select(
+        "train_id", "eval_id", (F.round("cosine", 5) + 0.0).alias("cosine")
+    ).orderBy("train_id")
+
+
+@register(
+    "llm_decontaminate_semantic_bucketed",
+    oracle="""
+    WITH ev AS (
+      SELECT vec_id + 20000000 AS eval_id, CAST(embedding AS DOUBLE[]) AS ev_v
+      FROM embeddings WHERE vec_id % 37 = 0
+    ),
+    tr AS (
+      SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS tr_v
+      FROM embeddings
+    ),
+    hits AS (
+      SELECT train_id, eval_id,
+        list_dot_product(tr_v, ev_v)
+          / (sqrt(list_dot_product(tr_v, tr_v))
+             * sqrt(list_dot_product(ev_v, ev_v))) AS cosine
+      FROM tr CROSS JOIN ev
+      WHERE list_dot_product(tr_v, ev_v)
+          / (sqrt(list_dot_product(tr_v, tr_v))
+             * sqrt(list_dot_product(ev_v, ev_v))) >= 0.95
+    ),
+    best AS (
+      SELECT train_id, eval_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY train_id
+                           ORDER BY cosine DESC, eval_id ASC) AS rn
+      FROM hits
+    )
+    SELECT train_id, eval_id, ROUND(cosine, 5) + 0.0 AS cosine
+    FROM best WHERE rn = 1 ORDER BY train_id
+    """,
+    description="GIANT-EVAL semantic decontamination — the IVF-bucketed "
+    "scale path of llm_decontaminate_semantic "
+    "(operators/decontam.py::_semantic_contamination_bucketed): when "
+    "the eval side outgrows the broadcast cap, strategy='auto' routes "
+    "through an IVF coarse quantizer fit on the EVAL side; each train "
+    "vector probes only its n_probe nearest cells, so candidate cost is "
+    "|train| x n_probe x avg cell size — never |train| x |eval| — and "
+    "neither side touches the driver. Exact duplicates are guaranteed "
+    "found via the quantizer's metric-matched self-hit property "
+    "(operators/ivf.py: cosine cell assignment == the probe ranking), "
+    "which is what makes the SAME exhaustive cross-join oracle as the "
+    "broadcast query valid here: the fixture's only >=0.95 pairs are "
+    "planted exact copies (max non-self cosine ~0.5 at every SF of the "
+    "generator). Same output contract as the broadcast path.",
+)
+def llm_decontaminate_semantic_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.decontam import (
+        semantic_contamination,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    eval_set = emb.filter(F.col("vec_id") % 37 == 0).select(
+        (F.col("vec_id") + 20_000_000).alias("eval_id"), "embedding"
+    )
+    train = emb.select(F.col("vec_id").alias("train_id"), "embedding")
+    out = semantic_contamination(
+        train, eval_set, threshold=0.95,
+        strategy="bucketed", n_cells=16, n_probe=4,
+    )
     return out.select(
         "train_id", "eval_id", (F.round("cosine", 5) + 0.0).alias("cosine")
     ).orderBy("train_id")

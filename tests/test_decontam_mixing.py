@@ -254,3 +254,98 @@ def test_sample_then_split_populates_all_buckets(spark):
     assert c["train"] / n == pytest.approx(0.5, abs=0.06)
     assert c["val"] / n == pytest.approx(0.25, abs=0.05)
     assert c["test"] / n == pytest.approx(0.25, abs=0.05)
+
+
+# --- semantic screen: strategy routing + input hygiene (r10) ---
+
+
+@pytest.fixture(scope="module")
+def emb_sides(spark):
+    # 12 eval vectors; train 0-3 are exact copies of eval 100-103
+    # (cosine 1.0), train 4-5 point elsewhere (cosine well under 0.95).
+    import math
+
+    def vec(i):
+        a = 0.5 * i
+        return [math.cos(a), math.sin(a), 0.25 * ((i % 3) - 1), 1.0]
+
+    eval_rows = [(100 + i, vec(i)) for i in range(12)]
+    train_rows = [(i, vec(i)) for i in range(4)]
+    train_rows += [(4, [0.0, 0.0, 1.0, -1.0]), (5, [-1.0, 0.5, 0.0, 0.0])]
+    eval_df = spark.createDataFrame(eval_rows, ["eval_id", "embedding"])
+    train = spark.createDataFrame(train_rows, ["train_id", "embedding"])
+    return train, eval_df
+
+
+def _flags(df):
+    return {(r.train_id, r.eval_id, round(r.cosine, 6)) for r in df.collect()}
+
+
+def test_semantic_auto_routes_to_bucketed_over_cap(emb_sides):
+    from accident_prediction_montreal_spark.operators.decontam import (
+        semantic_contamination,
+    )
+
+    train, eval_df = emb_sides
+    want = {(i, 100 + i, 1.0) for i in range(4)}
+    # Broadcast form (cap comfortably holds) — the reference answer.
+    assert _flags(semantic_contamination(train, eval_df, strategy="broadcast")) == want
+    # Eval side EXCEEDS the cap: auto must degrade to the bucketed IVF
+    # path (same output contract) instead of raising.
+    got = semantic_contamination(
+        train, eval_df, max_eval_rows=5, strategy="auto", n_cells=4, n_probe=4
+    )
+    assert _flags(got) == want
+    # ... while explicit 'broadcast' stays loud on the same input.
+    with pytest.raises(ValueError, match="max_eval_rows"):
+        semantic_contamination(
+            train, eval_df, max_eval_rows=5, strategy="broadcast"
+        ).collect()
+
+
+def test_semantic_bucketed_direct_matches_broadcast(emb_sides):
+    from accident_prediction_montreal_spark.operators.decontam import (
+        semantic_contamination,
+    )
+
+    train, eval_df = emb_sides
+    ref = _flags(semantic_contamination(train, eval_df, strategy="broadcast"))
+    got = _flags(
+        semantic_contamination(
+            train, eval_df, strategy="bucketed", n_cells=3, n_probe=3
+        )
+    )
+    assert got == ref
+
+
+def test_semantic_rejects_null_and_ragged_embeddings(spark, emb_sides):
+    from accident_prediction_montreal_spark.operators.decontam import (
+        semantic_contamination,
+    )
+
+    train, eval_df = emb_sides
+    null_eval = spark.createDataFrame(
+        [(200, [1.0, 0.0, 0.0, 0.0]), (201, None)], ["eval_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="null embedding in eval"):
+        semantic_contamination(train, null_eval)
+    null_train = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]), (11, None)], ["train_id", "embedding"]
+    )
+    with pytest.raises(Exception, match="null embedding in train"):
+        semantic_contamination(null_train, eval_df).collect()
+    ragged_eval = spark.createDataFrame(
+        [(300, [1.0, 0.0]), (301, [1.0, 0.0, 0.0])], ["eval_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        semantic_contamination(train, ragged_eval)
+
+
+def test_semantic_rejects_unknown_strategy(emb_sides):
+    from accident_prediction_montreal_spark.operators.decontam import (
+        semantic_contamination,
+    )
+
+    train, eval_df = emb_sides
+    with pytest.raises(ValueError, match="unknown strategy"):
+        semantic_contamination(train, eval_df, strategy="magic")
