@@ -8,6 +8,7 @@ from __future__ import annotations
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from accident_prediction_montreal_spark.ml.evaluate import evaluate_binary_classifier
 from accident_prediction_montreal_spark.ml.pipelines import feature_importances
@@ -61,7 +62,16 @@ def write_results(
     scored = test_predictions.select(
         prob_positive().alias("prob_positive"), "label"
     )
-    sweep = threshold_sweep(spark, scored, n_points=n_points).orderBy("threshold")
+    # threshold_sweep deliberately appends a sentinel grid point at
+    # (n+1)/n > 1 (everything-negative corner); the reference grid
+    # (random_forest.py: range(-1, n_points)) ends at 1.0, so the
+    # sentinel is dropped HERE to keep metrics.csv row-for-row equal to
+    # a reference results/ directory.
+    sweep = (
+        threshold_sweep(spark, scored, n_points=n_points)
+        .filter(F.col("threshold") <= 1.0)
+        .orderBy("threshold")
+    )
     # metrics.csv carries the reference's EXACT header shape
     # (random_forest.py:174-221 via export_results.py:45-46): Threshold
     # index, capitalized metric names, the four count-percentage columns

@@ -693,6 +693,7 @@ def ppjoin_pairs(
     text_col: str = "text",
     n: int = 3,
     min_jaccard: float = 0.6,
+    counters: dict | None = None,
 ) -> DataFrame:
     """EXACT Jaccard threshold self-join via prefix filtering (PPJoin,
     Xiao et al. 2008) — the scale path the capped inverted index
@@ -823,6 +824,16 @@ def ppjoin_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Instrumentation (stress artifacts only — two extra actions):
+    # distinct candidate count and raw prefix-bucket emissions, the two
+    # numbers that show whether the prefix filter is pruning (Zipfian
+    # corpora: candidates << all-pairs) or density-bound (the dense
+    # synthetic stress corpus, PERF.md r9).
+    if counters is not None:
+        counters["raw_emissions"] = (
+            pa.join(pb, "h").filter(F.col("id_a") < F.col("id_b")).count()
+        )
+        counters["candidates"] = cand.count()
     # Exact verification: intersect the full (distinct) shingle-hash arrays.
     a = docs.select(F.col("doc").alias("id_a"), F.col("sh").alias("__sha"))
     b = docs.select(F.col("doc").alias("id_b"), F.col("sh").alias("__shb"))

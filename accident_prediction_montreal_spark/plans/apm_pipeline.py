@@ -512,7 +512,9 @@ def apm_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sample_id,
         build_dataset,
         date_hour_grid,
-        positive_samples,
+    )
+    from accident_prediction_montreal_spark.pipeline.matching import (
+        match_accidents_with_roads,
     )
     from accident_prediction_montreal_spark.pipeline.road_features import road_features
     from accident_prediction_montreal_spark.pipeline.weather import (
@@ -525,28 +527,41 @@ def apm_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     weather = _weather(spark, sf_dir)
     stations = _stations(spark, sf_dir)
 
-    # localCheckpoint (not a bare persist): build_dataset fans the sample
-    # sides into the accident-count aggregate, two target encoders and
-    # the train/test union — without a cache the matching + IDW subtree
-    # recomputes per branch (the reference's mains persist exactly these
-    # two frames, main_train_brf.py:24-60). The checkpoint ALSO truncates
-    # lineage: each of build_dataset's ~10 downstream API calls
-    # re-analyzes its whole input tree, and with the full matching + EWMA
-    # + solar expression tree underneath that is ~7 s of driver-side
-    # Catalyst analysis at any SF (measured r7, sf0.01: build_dataset
-    # construction 4.6 s -> 0.5 s, final-agg analysis 3.2 s -> ~0 s). A
-    # fixed per-query cost in local mode, but it grows with pipeline
-    # WIDTH, so the truncation is the 100x-feature-count lever; on a real
-    # cluster swap localCheckpoint for a reliable checkpoint dir
-    # (localCheckpoint trades executor-loss recovery for speed).
-    pos = positive_samples(
-        spark, accidents, road_points, weather, stations, truncate_lineage=True
-    ).localCheckpoint()
+    # Stage plan (r10 rework — measured breakdown in PERF.md r10): the
+    # r9 form paid FOUR sequential materialization barriers (match ckpt,
+    # pos-weather ckpt, pos ckpt, neg ckpt) and ran the EWMA + IDW
+    # weather pass TWICE — once per sample side. IDW is per-row, so ONE
+    # weather pass over the UNION of sample points computes the same
+    # values with the station join, the EWMA window and the group-sum
+    # paid once — also the true 100-TB shape (you'd never run the
+    # weather subsystem per sample side). Two barriers remain:
+    #   1. the kNN match (localCheckpoint — the deepest subtree; its
+    #      lineage under build_dataset's ~10-call fan-out costs more in
+    #      Catalyst re-analysis than the executors spend computing,
+    #      PERF.md r6/r7; on a real cluster use a reliable checkpoint
+    #      dir instead of localCheckpoint);
+    #   2. the fused weather frame (localCheckpoint, same reason).
+    # The assembled pos/neg frames themselves are shallow joins over
+    # those two checkpoints, so a plain persist (no eager barrier)
+    # handles build_dataset's fan-out: everything downstream computes in
+    # ONE action at the final aggregate.
+    roads = road_features(road_points)
+    match = match_accidents_with_roads(accidents, road_points).localCheckpoint()
+    # Both bases feed TWO consumers (the fused weather union and their
+    # own sample side) — persisted, or each recomputes per consumer
+    # (the neg crossJoin+filter twice was the regression seen when the
+    # fusion first landed).
+    pos_base = (
+        accidents.join(match, "accident_id")
+        .join(roads.drop("loc_lat", "loc_long"), "street_id")
+        # keyed on accident_id: two accidents may share (date, hour, street)
+        .withColumn("sample_id", _sample_id(F.lit("pos"), "accident_id"))
+        .persist()
+    )
 
     # Negative date x road grid with the DETERMINISTIC keep decision
     # (operators/mixing.py lcg, salt 3) replacing the reference's
     # Bernoulli .sample — same shape, SQL-checkable, layout-independent.
-    roads = road_features(road_points)
     grid = date_hour_grid(spark, _NEG_START, _NEG_END)
     neg_key = (
         F.col("street_id") * 100000 + F.dayofyear("date").cast("long") * 24 + F.col("hour")
@@ -555,10 +570,20 @@ def apm_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         roads.crossJoin(grid)
         .filter(lcg_uniform(neg_key, salt=_NEG_SALT) < _NEG_FRAC)
         .withColumn("sample_id", _sample_id(F.lit("neg"), "date", "hour", "street_id"))
+        .persist()
     )
-    wx = weather_for_samples(neg_base, smooth_risky_weather(weather), stations)
-    neg = _add_date_features(neg_base.join(wx, "sample_id")).localCheckpoint()
-    cachereg.register("plans.apm_dataset_pipeline", pos, neg)
+
+    keys = ["sample_id", "date", "hour", "loc_lat", "loc_long"]
+    all_points = pos_base.select(keys).unionByName(neg_base.select(keys))
+    wx = weather_for_samples(
+        all_points, smooth_risky_weather(weather), stations
+    ).localCheckpoint()
+
+    pos = _add_date_features(pos_base.join(wx, "sample_id")).persist()
+    neg = _add_date_features(neg_base.join(wx, "sample_id")).persist()
+    cachereg.register(
+        "plans.apm_dataset_pipeline", pos, neg, pos_base, neg_base
+    )
 
     train, test = build_dataset(spark, pos, neg, split_date=_SPLIT_DATE)
     both = train.withColumn("split", F.lit("train")).unionByName(

@@ -63,8 +63,17 @@ def get_session(
     return spark
 
 
+# Default state-store partition count for the finite streaming fixtures
+# — shared by the ``state_partitions`` pin and by any batch side that
+# pre-partitions itself to match a streaming join (e.g. the incremental
+# dedup index, plans/wave10.py): the counts MUST agree or the cached
+# HashPartitioning no longer satisfies the micro-batch join and the
+# index re-shuffles every trigger.
+STATE_PARTITIONS = 8
+
+
 @contextmanager
-def state_partitions(spark: SparkSession, n: int = 8):
+def state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
     """Pin ``spark.sql.shuffle.partitions`` while a streaming query is
     planned and drained, then restore the caller's value.
 

@@ -175,7 +175,19 @@ EXTENDED = [
     "dedup_containment",
     "text_ngram_novelty",
     "llm_decontaminate_semantic",
+    # appended r10:
+    "llm_decontaminate_semantic_bucketed",
 ]
+
+# Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read
+# +34% vs r8 with UNTOUCHED trivial queries moving uniformly — a
+# host-window artifact that took four files to diagnose. These three
+# trivial, never-changing queries re-run at the START and END of every
+# pass under the same min-of protocol; the artifact then carries both
+# readings, so a slow host window is visible (and a genuine regression
+# falsifiable) from one artifact alone: canary flat + queries slow =
+# regression; canary moved with them = drift.
+CANARY = ["w5_running_sums", "a3_group_max", "j4_semi_anti"]
 
 
 def run_headline(spark, sf_dir: str, runs: int) -> dict:
@@ -204,8 +216,21 @@ def run_headline(spark, sf_dir: str, runs: int) -> dict:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
+    canary_start = {name: min_of(name) for name in CANARY}
     timings = {name: min_of(name) for name in HEADLINE}
     ext = {name: min_of(name) for name in EXTENDED}
+    # st_incremental_dedup bundles a one-off at-rest index BUILD with
+    # the steady-state streaming probe; the artifact reports the split
+    # so the bundled number can't misread as per-batch cost.
+    from accident_prediction_montreal_spark.plans.wave10 import (
+        _st_incremental_dedup_impl,
+    )
+
+    split: dict = {}
+    spark.catalog.clearCache()
+    cachereg.release_all()
+    _st_incremental_dedup_impl(spark, sf_dir, timings=split).count()
+    canary_end = {name: min_of(name) for name in CANARY}
     scale_safe = round(
         sum(t for n, t in timings.items() if n not in PARITY_TWINS), 3
     )
@@ -224,6 +249,9 @@ def run_headline(spark, sf_dir: str, runs: int) -> dict:
         ),
         "extended_queries": ext,
         "extended_total": round(sum(ext.values()), 3),
+        "st_incremental_dedup_split": split,
+        "canary_start": canary_start,
+        "canary_end": canary_end,
     }
 
 
@@ -241,8 +269,11 @@ def main() -> None:
     ext = {
         "extended_queries": out.pop("extended_queries"),
         "extended_total": out.pop("extended_total"),
+        "st_incremental_dedup_split": out.pop("st_incremental_dedup_split"),
         "sf": out["sf"],
     }
+    # canary_start/canary_end stay on stdout: the driver's BENCH_r{N}
+    # artifact must carry the drift signal by itself.
     side = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_extended_latest.json"
     )

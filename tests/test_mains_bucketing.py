@@ -91,6 +91,13 @@ def test_export_results_layout(spark, tmp_path):
         "F1 Score,True negative percentage,True positive percentage,"
         "False negative percentage,False positive percentage"
     )
+    # The sweep's sentinel grid point at (n+1)/n > 1 must NOT reach the
+    # export: the reference grid (range(-1, n_points)) ends at 1.0.
+    thresholds = [
+        float(line.split(",")[0])
+        for line in open(d1 + "/metrics.csv").read().splitlines()[1:]
+    ]
+    assert max(thresholds) <= 1.0
     fi_lines = open(d1 + "/feature_importances.csv").read().splitlines()
     assert fi_lines[0] == ",Feature importances"  # unnamed feature index
     assert fi_lines[1].startswith("x1,")
