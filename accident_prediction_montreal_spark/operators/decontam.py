@@ -143,6 +143,7 @@ def semantic_contamination(
     strategy: str = "auto",
     n_cells: int = 64,
     n_probe: int = 8,
+    max_iter: int = 20,
 ) -> DataFrame:
     """EMBEDDING-level train/eval contamination — the semantic screen run
     beside the n-gram one (``contamination_pairs``): paraphrased or
@@ -198,7 +199,7 @@ def semantic_contamination(
     if strategy == "bucketed":
         return _semantic_contamination_bucketed(
             train, eval_df, threshold, train_id, eval_id, vec_col,
-            n_cells, n_probe,
+            n_cells, n_probe, max_iter,
         )
 
     ev_rows = (
@@ -213,7 +214,7 @@ def semantic_contamination(
         if strategy == "auto":
             return _semantic_contamination_bucketed(
                 train, eval_df, threshold, train_id, eval_id, vec_col,
-                n_cells, n_probe,
+                n_cells, n_probe, max_iter,
             )
         raise ValueError(
             f"semantic_contamination eval side exceeds max_eval_rows="
@@ -309,6 +310,7 @@ def _semantic_contamination_bucketed(
     vec_col: str,
     n_cells: int,
     n_probe: int,
+    max_iter: int = 20,
 ) -> DataFrame:
     """Giant-eval scale path: IVF cell join instead of a driver
     broadcast. The quantizer is fit on the EVAL side (the side being
@@ -327,7 +329,8 @@ def _semantic_contamination_bucketed(
     )
     n_cells = max(1, min(n_cells, ev.limit(n_cells).count()))
     assigned, cents = build_ivf_index(
-        ev, n_cells=n_cells, vec_col=vec_col, id_col=eval_id
+        ev, n_cells=n_cells, vec_col=vec_col, id_col=eval_id,
+        max_iter=max_iter,
     )
     qv = f"__{vec_col}_q"
     tr = train.select(
