@@ -318,16 +318,33 @@ def _semantic_contamination_bucketed(
     the best eval match resolves with the same (cosine DESC, eval_id
     ASC) tie-break as the broadcast path. Same output contract:
     (train_id, eval_id, cosine), one row per flagged train doc.
+
+    100-TB plan shape — the TRAIN side shuffles exactly once, reduced:
+
+      1. probe-cell selection is a ZERO-SHUFFLE projection: the
+         centroids are bounded driver-local rows (n_cells of them), so
+         the per-row top-``n_probe`` cells come from a literal
+         array_sort expression — NOT from ivf_cosine_topk's
+         row_number window, which would shuffle |train| x n_cells rows
+         on the query id before any candidate is formed;
+      2. candidates come from the (train-probe x eval-cell) equi-join
+         on cell_id;
+      3. the per-train best match is a groupBy-MIN over a
+         (-cosine, eval_id) struct — map-side partial combine ships
+         ~|flagged train| rows per partition, never the full candidate
+         set, and reproduces the (cosine DESC, eval_id ASC) tie-break
+         exactly (same trick as pipeline/matching._closest_point).
     """
-    from accident_prediction_montreal_spark.operators.ivf import (
-        build_ivf_index,
-        ivf_cosine_topk,
+    from accident_prediction_montreal_spark.functions.vectors import (
+        cosine_similarity,
     )
+    from accident_prediction_montreal_spark.operators.ivf import build_ivf_index
 
     ev = eval_df.select(
         eval_id, F.col(vec_col).cast("array<double>").alias(vec_col)
     )
     n_cells = max(1, min(n_cells, ev.limit(n_cells).count()))
+    n_probe = min(n_probe, n_cells)
     assigned, cents = build_ivf_index(
         ev, n_cells=n_cells, vec_col=vec_col, id_col=eval_id,
         max_iter=max_iter,
@@ -336,17 +353,48 @@ def _semantic_contamination_bucketed(
     tr = train.select(
         train_id, F.col(vec_col).cast("array<double>").alias(qv)
     )
-    hits = ivf_cosine_topk(
-        tr,
-        assigned,
-        cents,
-        k=1,
-        n_probe=min(n_probe, n_cells),
-        query_id=train_id,
-        query_vec=qv,
-        corpus_id=eval_id,
-        corpus_vec=vec_col,
+    # Bounded pull: n_cells centroid rows (the same driver-local list
+    # build_ivf_index itself materialized from the fitted model).
+    cent_rows = cents.orderBy("cell_id").collect()
+    sims = F.array(
+        *[
+            F.struct(
+                F.nanvl(
+                    cosine_similarity(
+                        qv, F.array(*[F.lit(float(x)) for x in c["centroid"]])
+                    ),
+                    F.lit(-2.0),
+                ).alias("s"),
+                F.lit(-int(c["cell_id"])).alias("nc"),
+            )
+            for c in cent_rows
+        ]
     )
-    return hits.filter(F.col("cosine") >= threshold).select(
-        train_id, eval_id, "cosine"
+    # array_sort ASC by (s, nc), reversed -> (sim DESC, cell_id ASC)
+    # (nc = -cell_id, so DESC on nc is ASC on cell_id) — the identical
+    # probe ranking ivf_cosine_topk's window produces, without the
+    # shuffle.
+    probes = tr.select(
+        train_id,
+        qv,
+        F.explode(F.slice(F.reverse(F.array_sort(sims)), 1, n_probe)).alias("__p"),
+    ).select(train_id, qv, (-F.col("__p.nc")).cast("int").alias("cell_id"))
+    cand = probes.join(assigned, "cell_id").withColumn(
+        "__cos", cosine_similarity(qv, vec_col)
+    )
+    best = (
+        cand.filter(F.col("__cos") >= threshold)
+        .groupBy(train_id)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("__cos")).alias("negcos"), F.col(eval_id).alias("e")
+                )
+            ).alias("__b")
+        )
+    )
+    return best.select(
+        train_id,
+        F.col("__b.e").alias(eval_id),
+        (-F.col("__b.negcos")).alias("cosine"),
     )

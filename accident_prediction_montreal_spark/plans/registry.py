@@ -8,7 +8,16 @@ Canonicalization contract (SURVEY.md §7.4 — float parity):
     precision far coarser than the cross-engine ulp drift;
   * every integer aggregate is cast to BIGINT on both sides (DuckDB's
     SUM(int) returns HUGEINT otherwise);
-  * every windowed/top-k query carries an explicit tie-break column.
+  * every windowed/top-k query carries an explicit tie-break column;
+  * RATIOS/MEANS OF INTEGER AGGREGATES must be emitted as exact integer
+    fixed-point units, never as independently ROUND()ed doubles —
+    e.g. ``(SUM(x) * 10000) div COUNT(*)`` (Spark) vs
+    ``(SUM(x) * 10000) // COUNT(*)`` (DuckDB), both BIGINT. The r9
+    driver red (llm_dataset_card) was a last-ulp divergence between two
+    independently rounded doubles that PASSED the local harness:
+    rounding narrows but never closes the representation gap, integer
+    arithmetic closes it. ROUND() remains only for genuinely
+    transcendental outputs where wide fixture margins absorb ulp drift.
 """
 
 from __future__ import annotations
