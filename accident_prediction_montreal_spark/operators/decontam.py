@@ -177,9 +177,9 @@ def semantic_contamination(
         ``n_probe < n_cells`` (a match in an unprobed cell is missed —
         exact duplicates are always found via the quantizer's self-hit
         guarantee); ``n_probe = n_cells`` is exact but degenerates to
-        the all-pairs join. Null/malformed embeddings yield null cosine
-        and are never flagged on this path (the expression-side cosine
-        propagates nulls instead of crashing).
+        the all-pairs join. Null/ragged embeddings raise from the
+        Arrow-batched cosine stage with the operator's name (zero-norm
+        vectors are valid and never flag).
       * ``'auto'`` — broadcast when the eval side fits the cap, else
         bucketed: the operator degrades gracefully instead of erroring.
 
@@ -321,23 +321,38 @@ def _semantic_contamination_bucketed(
 
     100-TB plan shape — the TRAIN side shuffles exactly once, reduced:
 
-      1. probe-cell selection is a ZERO-SHUFFLE projection: the
-         centroids are bounded driver-local rows (n_cells of them), so
-         the per-row top-``n_probe`` cells come from a literal
-         array_sort expression — NOT from ivf_cosine_topk's
-         row_number window, which would shuffle |train| x n_cells rows
-         on the query id before any candidate is formed;
-      2. candidates come from the (train-probe x eval-cell) equi-join
-         on cell_id;
-      3. the per-train best match is a groupBy-MIN over a
+      1. probe-cell selection is a ZERO-SHUFFLE Arrow-batched
+         ``mapInPandas``: the centroids are bounded driver-local rows
+         (n_cells of them), so each train batch picks its top-
+         ``n_probe`` cells with one numpy matmul against the centroid
+         matrix — NOT ivf_cosine_topk's row_number window (which
+         would shuffle |train| x n_cells rows on the query id), and
+         NOT a literal array_sort of zip_with/aggregate cosines (whose
+         interpreted folds measured ~9 s for 20k x 8 cells x 64 dims
+         at sf1 — the HOF lesson yet again);
+      2. per-cell scoring NEVER materializes candidate pairs: probes
+         and the eval cell index COGROUP on cell_id and one numpy Gram
+         matmul per cell scores every (train, eval) combination inside
+         the task, emitting only the threshold-flagged best-per-train
+         rows (the SemDeDup pair-stage pattern). The two rejected
+         forms, both measured at sf1 on 2.7M candidates: expression
+         cosine in the join (35.7 s — interpreted HOF folds) and a
+         row-wise-vectorized mapInPandas OVER the joined pairs (~11 s
+         — the matmul was sub-second but the join materialized every
+         pair as two 64-dim arrays through the shuffle and Arrow);
+         cogrouping moves each vector across the wire ONCE;
+      3. the cross-cell best match is a groupBy-MIN over a
          (-cosine, eval_id) struct — map-side partial combine ships
          ~|flagged train| rows per partition, never the full candidate
          set, and reproduces the (cosine DESC, eval_id ASC) tie-break
          exactly (same trick as pipeline/matching._closest_point).
+
+    Skew note: one cell's probe set must fit one task; production cell
+    counts (thousands+) keep cells narrow, and a hot cell splits by
+    raising ``n_cells`` — the quantizer, not the join, is the knob.
     """
-    from accident_prediction_montreal_spark.functions.vectors import (
-        cosine_similarity,
-    )
+    import numpy as np
+    from pyspark.sql import types as T
     from accident_prediction_montreal_spark.operators.ivf import build_ivf_index
 
     ev = eval_df.select(
@@ -356,35 +371,118 @@ def _semantic_contamination_bucketed(
     # Bounded pull: n_cells centroid rows (the same driver-local list
     # build_ivf_index itself materialized from the fitted model).
     cent_rows = cents.orderBy("cell_id").collect()
-    sims = F.array(
-        *[
-            F.struct(
-                F.nanvl(
-                    cosine_similarity(
-                        qv, F.array(*[F.lit(float(x)) for x in c["centroid"]])
-                    ),
-                    F.lit(-2.0),
-                ).alias("s"),
-                F.lit(-int(c["cell_id"])).alias("nc"),
-            )
-            for c in cent_rows
+    cent_ids = np.array([int(c["cell_id"]) for c in cent_rows], dtype=np.int32)
+    cent_mat = np.stack(
+        [np.asarray(c["centroid"], dtype=np.float64) for c in cent_rows]
+    )
+    cent_norm = np.sqrt((cent_mat * cent_mat).sum(axis=1, keepdims=True))
+    cent_norm[cent_norm == 0.0] = 1.0
+    cent_unit_t = (cent_mat / cent_norm).T  # (dim, n_cells)
+    sc = train.sparkSession.sparkContext
+    bc_cents = sc.broadcast((cent_ids, cent_unit_t, n_probe))
+
+    probe_schema = T.StructType(
+        [
+            T.StructField(train_id, train.schema[train_id].dataType),
+            T.StructField(qv, T.ArrayType(T.DoubleType())),
+            T.StructField("cell_id", T.IntegerType()),
         ]
     )
-    # array_sort ASC by (s, nc), reversed -> (sim DESC, cell_id ASC)
-    # (nc = -cell_id, so DESC on nc is ASC on cell_id) — the identical
-    # probe ranking ivf_cosine_topk's window produces, without the
-    # shuffle.
-    probes = tr.select(
-        train_id,
-        qv,
-        F.explode(F.slice(F.reverse(F.array_sort(sims)), 1, n_probe)).alias("__p"),
-    ).select(train_id, qv, (-F.col("__p.nc")).cast("int").alias("cell_id"))
-    cand = probes.join(assigned, "cell_id").withColumn(
-        "__cos", cosine_similarity(qv, vec_col)
+
+    def assign_probes(batches):
+        import pandas as pd
+
+        ids_c, cut, npb = bc_cents.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            try:
+                x = np.stack(pdf[qv].to_numpy()).astype(np.float64)
+            except (ValueError, TypeError) as exc:
+                raise ValueError(
+                    "semantic_contamination (bucketed): null/ragged "
+                    "embedding in the train vector column — filter or "
+                    "impute before decontamination"
+                ) from exc
+            xn = np.sqrt((x * x).sum(axis=1, keepdims=True))
+            zero = xn[:, 0] == 0.0
+            xn[zero] = 1.0
+            g = (x / xn) @ cut  # (batch, n_cells)
+            # Zero-norm rows get sentinel -2.0 everywhere: the probe
+            # ranking then falls to the cell_id ASC tie-break — cells
+            # 0..n_probe-1 by RULE, matching build_ivf_index's zero-norm
+            # assignment of cell 0 (self-hit preserved).
+            g[zero, :] = -2.0
+            # lexsort: primary -g (sim DESC), secondary cell_id ASC —
+            # the identical ranking ivf_cosine_topk's window produces.
+            order = np.lexsort(
+                (np.broadcast_to(ids_c, g.shape), -g), axis=1
+            )[:, :npb]
+            n, k = order.shape
+            yield pd.DataFrame(
+                {
+                    train_id: pdf[train_id].to_numpy().repeat(k),
+                    qv: pdf[qv].to_numpy().repeat(k),
+                    "cell_id": ids_c[order].ravel(),
+                }
+            )
+
+    probes = tr.mapInPandas(assign_probes, probe_schema)
+    pair_schema = T.StructType(
+        [
+            T.StructField(train_id, train.schema[train_id].dataType),
+            T.StructField(eval_id, eval_df.schema[eval_id].dataType),
+            T.StructField("__cos", T.DoubleType()),
+        ]
+    )
+
+    def cell_best(left, right):
+        import pandas as pd
+
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {train_id: [], eval_id: [], "__cos": []}
+            ).astype({"__cos": "float64"})
+        try:
+            x = np.stack(left[qv].to_numpy()).astype(np.float64)
+            y = np.stack(right[vec_col].to_numpy()).astype(np.float64)
+        except (ValueError, TypeError) as exc:
+            raise ValueError(
+                "semantic_contamination (bucketed): null/ragged "
+                f"embedding in {vec_col!r} — filter or impute "
+                "before decontamination"
+            ) from exc
+        # Sorted ascending by eval_id so argmax's first-max IS the
+        # (cosine DESC, eval_id ASC) tie-break — same as the broadcast
+        # path.
+        order = np.argsort(right[eval_id].to_numpy(), kind="stable")
+        y = y[order]
+        ids_e = right[eval_id].to_numpy()[order]
+        xn = np.sqrt((x * x).sum(axis=1, keepdims=True))
+        zx = xn[:, 0] == 0.0
+        xn[zx] = 1.0
+        yn = np.sqrt((y * y).sum(axis=1, keepdims=True))
+        yn[yn == 0.0] = 1.0
+        g = (x / xn) @ (y / yn).T  # (n_train_in_cell, n_eval_in_cell)
+        g[zx, :] = -2.0  # zero-norm train vectors never flag
+        j = g.argmax(axis=1)
+        bestc = g[np.arange(len(j)), j]
+        keep = bestc >= threshold
+        return pd.DataFrame(
+            {
+                train_id: left[train_id].to_numpy()[keep],
+                eval_id: ids_e[j[keep]],
+                "__cos": bestc[keep],
+            }
+        )
+
+    cand = (
+        probes.groupBy("cell_id")
+        .cogroup(assigned.groupBy("cell_id"))
+        .applyInPandas(cell_best, pair_schema)
     )
     best = (
-        cand.filter(F.col("__cos") >= threshold)
-        .groupBy(train_id)
+        cand.groupBy(train_id)
         .agg(
             F.min(
                 F.struct(
