@@ -34,17 +34,19 @@ from accident_prediction_montreal_spark.plans import wave10  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #
-# Round-10 ROTATION. Slots 1-7: the ledger closers and this round's
+# Round-10 ROTATION. Slots 1-8: the ledger closers and this round's
 # changes — the 4 never-driver-green queries (llm_dataset_card, the r9
 # hash-red, now emitting mean_chars_e4 as exact integer 1e-4 units on
-# both sides; plus the 3 judge-green r9 additions) and the queries whose
+# both sides; plus the 3 judge-green r9 additions), the queries whose
 # code changed this round (the semantic-decontam strategy routing +
-# input hygiene, the new bucketed variant, st_incremental_dedup's shared
-# STATE_PARTITIONS constant, the apm capstone's fused weather pass).
-# Slots 8-50: EVIDENCE REFRESH — with the ledger at 240/240
-# ever-checked after slot 4, the window's marginal value is recency, so
-# the 43 queries whose latest driver green is OLDEST (the full
-# r1/r2/r3-era sets and 15 of the r4 set, ledger:
+# input hygiene, st_incremental_dedup's shared STATE_PARTITIONS
+# constant, the apm capstone's fused weather pass), and the two r10
+# additions (llm_decontaminate_semantic_bucketed, llm_source_quota) —
+# new queries enter the window the SAME round, so they never accrue
+# evidence debt. Slots 9-50: EVIDENCE REFRESH — with the ledger at
+# 241/241 ever-checked after slot 4, the window's marginal value is
+# recency, so the 42 queries whose latest driver green is OLDEST (the
+# full r1/r2/r3-era sets and 14 of the r4 set, ledger:
 # scripts/coverage_ledger.py) re-validate. Every slot verified green
 # locally at sf0.01 this round (scripts/check_oracle.py, vanilla
 # session).
@@ -58,6 +60,7 @@ _PRIORITY = [
     "text_ngram_novelty",
     "llm_decontaminate_semantic",
     "llm_decontaminate_semantic_bucketed",
+    "llm_source_quota",
     "st_incremental_dedup",
     "apm_dataset_pipeline",
     # --- evidence refresh: latest green r1 ---
@@ -106,7 +109,6 @@ _PRIORITY = [
     "m8_threshold_sweep",
     "m9_count_rate_model",
     "tpch_q3_shipping_priority",
-    "w4_ewma",
 ]
 
 # Positions 51+: the r4-era queries NOT refreshed this round lead (the
@@ -132,6 +134,7 @@ _TAIL_HEAD = [
     "tpch_q10_returned_items",
     "tpch_q18_large_orders",
     "tpch_q5_local_supplier_volume",
+    "w4_ewma",
     "w_topk_rank_rownum",
 ]
 

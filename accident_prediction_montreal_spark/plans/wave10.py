@@ -1012,3 +1012,89 @@ def llm_decontaminate_semantic_bucketed(
     return out.select(
         "train_id", "eval_id", (F.round("cosine", 5) + 0.0).alias("cosine")
     ).orderBy("train_id")
+
+
+@register(
+    "llm_source_quota",
+    oracle=None,  # set below: needs lcg_uniform_sql at import time
+    description="PER-SOURCE QUOTA CAP — the domain-rebalancing step every "
+    "web-corpus curation pipeline runs (over-represented domains are "
+    "down-sampled to a per-domain budget before mixing): each source "
+    "keeps at most K=40 documents, chosen by a DETERMINISTIC seeded "
+    "order (operators/mixing.lcg_uniform salt 7, doc_id tie-break) so "
+    "the kept set is reproducible across runs, partition layouts and "
+    "engines — never rand()/limit. Plan: one slim 4-column projection "
+    "into a per-source rank window (ONE shuffle keyed by source) and a "
+    "map-side-combined per-source aggregate over counts + kept-id/char "
+    "checksums. At 100 TB the window input stays the slim projection; "
+    "a skew-heavy source splits via AQE, and the K-bounded map-side "
+    "pre-truncation (keep each partition's local top-K per source "
+    "before the shuffle — the global top-K is always a subset of the "
+    "union of local top-Ks) is the lever if one domain dominates a "
+    "corpus. Oracle: the identical window from the shared "
+    "lcg_uniform_sql generator, so the keep decision cannot drift "
+    "between engines.",
+)
+def llm_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from accident_prediction_montreal_spark.operators.mixing import lcg_uniform
+
+    K = 40
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy(
+        lcg_uniform(F.col("doc_id"), salt=7), F.col("doc_id")
+    )
+    ranked = docs.withColumn("rnk", F.row_number().over(w))
+    kept = F.col("rnk") <= K
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("doc_id")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_id_sum"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _source_quota_oracle() -> str:
+    from accident_prediction_montreal_spark.operators.mixing import lcg_uniform_sql
+
+    return f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+        ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY {lcg_uniform_sql('doc_id', 7)}, doc_id
+        ) AS rnk
+      FROM documents
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_total,
+      CAST(SUM(CASE WHEN rnk <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN rnk <= 40 THEN doc_id ELSE 0 END) AS BIGINT)
+        AS kept_id_sum,
+      CAST(SUM(CASE WHEN rnk <= 40 THEN n_chars ELSE 0 END) AS BIGINT)
+        AS kept_chars
+    FROM ranked GROUP BY source ORDER BY source
+    """
+
+
+# Patch the oracle in (the registry stores a frozen QuerySpec, so
+# re-register with the same fn + description).
+from accident_prediction_montreal_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+from accident_prediction_montreal_spark.plans.registry import QuerySpec as _QS  # noqa: E402
+
+_REG["llm_source_quota"] = _QS(
+    fn=_REG["llm_source_quota"].fn,
+    oracle=_source_quota_oracle(),
+    description=_REG["llm_source_quota"].description,
+)

@@ -177,6 +177,7 @@ EXTENDED = [
     "llm_decontaminate_semantic",
     # appended r10:
     "llm_decontaminate_semantic_bucketed",
+    "llm_source_quota",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read
