@@ -40,13 +40,14 @@ from accident_prediction_montreal_spark.plans import wave10  # noqa: F401,E402
 # both sides; plus the 3 judge-green r9 additions), the queries whose
 # code changed this round (the semantic-decontam strategy routing +
 # input hygiene, st_incremental_dedup's shared STATE_PARTITIONS
-# constant, the apm capstone's fused weather pass), and the two r10
-# additions (llm_decontaminate_semantic_bucketed, llm_source_quota) —
-# new queries enter the window the SAME round, so they never accrue
-# evidence debt. Slots 9-50: EVIDENCE REFRESH — with the ledger at
-# 241/241 ever-checked after slot 4, the window's marginal value is
-# recency, so the 42 queries whose latest driver green is OLDEST (the
-# full r1/r2/r3-era sets and 14 of the r4 set, ledger:
+# constant, the apm capstone's fused weather pass), and the three r10
+# additions (llm_decontaminate_semantic_bucketed, llm_source_quota,
+# llm_corpus_diff) — new queries enter the window the SAME round, so
+# they never accrue evidence debt. Slots 10-50: EVIDENCE REFRESH — with
+# the ledger at 242/242 ever-checked after slot 4, the window's
+# marginal value is recency, so the 41 queries whose latest driver
+# green is OLDEST (the full r1/r2/r3-era sets and 13 of the r4 set,
+# ledger:
 # scripts/coverage_ledger.py) re-validate. Every slot verified green
 # locally at sf0.01 this round (scripts/check_oracle.py, vanilla
 # session).
@@ -61,6 +62,7 @@ _PRIORITY = [
     "llm_decontaminate_semantic",
     "llm_decontaminate_semantic_bucketed",
     "llm_source_quota",
+    "llm_corpus_diff",
     "st_incremental_dedup",
     "apm_dataset_pipeline",
     # --- evidence refresh: latest green r1 ---
@@ -102,7 +104,6 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "f_apply_in_pandas_zscore",
     "f_cyclic_encode",
-    "f_solar_elevation",
     "j5_full_outer_zerofill",
     "j9_asof_join",
     "j_salted_skew_join",
@@ -121,6 +122,7 @@ _TAIL_HEAD = [
     "mm_payload_stats",
     "mm_wav_decode",
     "r4_temporal_split",
+    "f_solar_elevation",
     "sim_cosine_topk",
     "sql_correlated_subquery",
     "st_availablenow_stream",

@@ -1098,3 +1098,96 @@ _REG["llm_source_quota"] = _QS(
     oracle=_source_quota_oracle(),
     description=_REG["llm_source_quota"].description,
 )
+
+
+@register(
+    "llm_corpus_diff",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ),
+    b AS (
+      SELECT doc_id, md5(text || ' [rev2]') AS h
+      FROM documents WHERE doc_id % 41 = 0
+      UNION ALL
+      SELECT doc_id, md5(text) AS h
+      FROM documents WHERE doc_id % 41 <> 0 AND doc_id % 43 <> 0
+      UNION ALL
+      SELECT doc_id + 300000, md5(text) AS h
+      FROM documents WHERE doc_id % 47 = 0
+    ),
+    d AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        CASE
+          WHEN a.doc_id IS NULL THEN 'added'
+          WHEN b.doc_id IS NULL THEN 'removed'
+          WHEN a.h <> b.h THEN 'changed'
+          ELSE 'unchanged'
+        END AS status
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM d GROUP BY status ORDER BY status
+    """,
+    description="CORPUS SNAPSHOT DIFF — the incremental-ingestion "
+    "primitive: given two corpus versions, classify every document as "
+    "added / removed / changed / unchanged by comparing CONTENT DIGESTS "
+    "(md5 — byte-identical across engines), so downstream stages "
+    "(dedup index maintenance, embedding refresh, decontamination "
+    "re-screen) process only the delta instead of re-reading 100 TB. "
+    "Plan shape: digests are computed MAP-SIDE on each snapshot scan — "
+    "the full-outer join's shuffle carries (id, 32-byte digest), never "
+    "document text — and the join key is the doc id, so snapshots "
+    "bucketed/partitioned by id at rest co-locate and the join needs no "
+    "re-shuffle at all (x11_bucketed_join is the at-rest layout twin). "
+    "Fixture: version B plants modifications (every 41st doc's text "
+    "revised), deletions (every 43rd dropped) and additions (every "
+    "47th re-id'd at +300000). Oracle: the identical digest compare in "
+    "DuckDB.",
+)
+def llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    a = docs.select("doc_id", F.md5("text").alias("h"))
+    b = (
+        docs.filter(F.col("doc_id") % 41 == 0)
+        .select(
+            "doc_id", F.md5(F.concat(F.col("text"), F.lit(" [rev2]"))).alias("h")
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 41 != 0) & (F.col("doc_id") % 43 != 0)
+            ).select("doc_id", F.md5("text").alias("h"))
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 47 == 0).select(
+                (F.col("doc_id") + 300_000).alias("doc_id"),
+                F.md5("text").alias("h"),
+            )
+        )
+    )
+    joined = a.select(
+        F.col("doc_id").alias("a_id"), F.col("h").alias("a_h")
+    ).join(
+        b.select(F.col("doc_id").alias("b_id"), F.col("h").alias("b_h")),
+        F.col("a_id") == F.col("b_id"),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("a_id").isNull(), F.lit("added"))
+        .when(F.col("b_id").isNull(), F.lit("removed"))
+        .when(F.col("a_h") != F.col("b_h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a_id"), F.col("b_id")).alias("doc_id"),
+            status.alias("status"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("status")
+    )

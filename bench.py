@@ -178,6 +178,7 @@ EXTENDED = [
     # appended r10:
     "llm_decontaminate_semantic_bucketed",
     "llm_source_quota",
+    "llm_corpus_diff",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read
