@@ -360,13 +360,28 @@ def _semantic_contamination_bucketed(
     )
     n_cells = max(1, min(n_cells, ev.limit(n_cells).count()))
     n_probe = min(n_probe, n_cells)
-    assigned, cents = build_ivf_index(
-        ev, n_cells=n_cells, vec_col=vec_col, id_col=eval_id,
-        max_iter=max_iter,
-    )
     qv = f"__{vec_col}_q"
     tr = train.select(
         train_id, F.col(vec_col).cast("array<double>").alias(qv)
+    )
+    pair_schema_types = (
+        train.schema[train_id].dataType,
+        eval_df.schema[eval_id].dataType,
+    )
+    if n_cells < 2:
+        # Degenerate quantizer (eval side of 1 row, or caller asked for
+        # one cell): a single cell means "probe everything" — no KMeans
+        # fit (MLlib requires k >= 2), one trivial cell label on both
+        # sides, the cogroup matmul below is then exhaustive and exact.
+        assigned = ev.withColumn("cell_id", F.lit(0))
+        probes = tr.withColumn("cell_id", F.lit(0))
+        return _cell_best_join(
+            probes, assigned, threshold, train_id, eval_id, vec_col, qv,
+            pair_schema_types,
+        )
+    assigned, cents = build_ivf_index(
+        ev, n_cells=n_cells, vec_col=vec_col, id_col=eval_id,
+        max_iter=max_iter,
     )
     # Bounded pull: n_cells centroid rows (the same driver-local list
     # build_ivf_index itself materialized from the fitted model).
@@ -428,10 +443,31 @@ def _semantic_contamination_bucketed(
             )
 
     probes = tr.mapInPandas(assign_probes, probe_schema)
+    return _cell_best_join(
+        probes, assigned, threshold, train_id, eval_id, vec_col, qv,
+        pair_schema_types,
+    )
+
+
+def _cell_best_join(
+    probes: DataFrame,
+    assigned: DataFrame,
+    threshold: float,
+    train_id: str,
+    eval_id: str,
+    vec_col: str,
+    qv: str,
+    id_types: tuple,
+) -> DataFrame:
+    """Cogroup-per-cell Gram matmul + cross-cell best-match resolution
+    (stages 2-3 of the bucketed plan; see _semantic_contamination_bucketed)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
     pair_schema = T.StructType(
         [
-            T.StructField(train_id, train.schema[train_id].dataType),
-            T.StructField(eval_id, eval_df.schema[eval_id].dataType),
+            T.StructField(train_id, id_types[0]),
+            T.StructField(eval_id, id_types[1]),
             T.StructField("__cos", T.DoubleType()),
         ]
     )

@@ -741,3 +741,66 @@ def test_rolling_median_matches_naive(spark, rows):
                 else (frame[n_ // 2 - 1] + frame[n_ // 2]) / 2
             )
     assert got == pytest.approx(want)
+
+
+# --- semantic decontamination: bucketed == broadcast (exact mode) -----------
+
+# With n_probe = n_cells every cell is probed, so the IVF path must
+# EQUAL the broadcast-matmul path for ANY input — no fixture assumption
+# (at n_probe < n_cells only the self-hit guarantee is contractual).
+emb_train = st.lists(
+    st.lists(
+        st.integers(-5, 5).map(float), min_size=3, max_size=3
+    ),
+    min_size=1,
+    max_size=20,
+)
+emb_eval = st.lists(
+    st.lists(
+        st.integers(-5, 5).map(float), min_size=3, max_size=3
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(train_vecs=emb_train, eval_vecs=emb_eval)
+def test_semantic_bucketed_exact_mode_equals_broadcast(
+    spark, train_vecs, eval_vecs
+):
+    from accident_prediction_montreal_spark.operators.decontam import (
+        semantic_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(train_vecs)], ["train_id", "embedding"]
+    )
+    eval_df = spark.createDataFrame(
+        [(100 + i, v) for i, v in enumerate(eval_vecs)],
+        ["eval_id", "embedding"],
+    )
+    # Low threshold so random integer vectors actually produce matches.
+    thr = 0.5
+
+    def canon(df):
+        return {
+            (r.train_id, r.eval_id, round(r.cosine, 9)) for r in df.collect()
+        }
+
+    ref = canon(
+        semantic_contamination(train, eval_df, threshold=thr, strategy="broadcast")
+    )
+    n_cells = min(4, len(eval_vecs))
+    got = canon(
+        semantic_contamination(
+            train,
+            eval_df,
+            threshold=thr,
+            strategy="bucketed",
+            n_cells=n_cells,
+            n_probe=n_cells,  # exact mode: every cell probed
+            max_iter=3,
+        )
+    )
+    assert got == ref
