@@ -349,3 +349,33 @@ def test_semantic_rejects_unknown_strategy(emb_sides):
     train, eval_df = emb_sides
     with pytest.raises(ValueError, match="unknown strategy"):
         semantic_contamination(train, eval_df, strategy="magic")
+
+
+def test_source_quota_invariant_under_layout(spark):
+    # The quota keep-set must be IDENTICAL whatever the partition layout
+    # — the reason the keep decision is a seeded lcg order, never
+    # rand()/limit (which are layout-dependent).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from accident_prediction_montreal_spark.operators.mixing import lcg_uniform
+
+    rows = [(i, f"s{i % 5}", 10 + i % 7) for i in range(300)]
+    base = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+
+    def quota_ids(df, k=20):
+        w = Window.partitionBy("source").orderBy(
+            lcg_uniform(F.col("doc_id"), salt=7), F.col("doc_id")
+        )
+        kept = df.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= k
+        )
+        return {(r.source, r.doc_id) for r in kept.collect()}
+
+    a = quota_ids(base.repartition(1))
+    b = quota_ids(base.repartition(16, "doc_id"))
+    c = quota_ids(base.orderBy(F.col("doc_id").desc()).repartition(7))
+    assert a == b == c
+    assert all(
+        sum(1 for s, _ in a if s == f"s{i}") == 20 for i in range(5)
+    )
