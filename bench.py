@@ -264,6 +264,9 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     out = run_headline(spark, sf_dir, runs)
     out["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Wall-clock stamp: lets canary readings correlate with host windows
+    # across artifacts without cross-referencing file mtimes.
+    out["ts"] = round(time.time(), 1)
     # The extended set (~90 queries) made the single stdout line so long
     # the driver's capture truncated it mid-line (BENCH_r07 "parsed":
     # null). stdout now carries ONLY the compact headline object; the
