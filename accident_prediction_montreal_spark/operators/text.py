@@ -492,3 +492,36 @@ def lm_perplexity(
         (F.round(avg, 6) + 0.0).alias("avg_nll"),
         (F.round(F.exp(avg), 4) + 0.0).alias("ppl"),
     )
+
+
+def corpus_diff(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot delta: classify every document across two corpus
+    versions as ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    by comparing md5 CONTENT DIGESTS (byte-identical across engines) —
+    the incremental-ingestion primitive that lets downstream stages
+    (dedup index maintenance, embedding refresh, decontamination
+    re-screens) process only the delta.
+
+    Returns (id_col, status). Scale shape: digests are computed
+    MAP-SIDE on each snapshot scan, so the full-outer join's shuffle
+    carries (id, 32-byte digest) rows, never text; snapshots
+    bucketed/partitioned by id at rest co-locate the join with no
+    re-shuffle at all.
+    """
+    ha = a.select(F.col(id_col).alias("__a_id"), F.md5(text_col).alias("__a_h"))
+    hb = b.select(F.col(id_col).alias("__b_id"), F.md5(text_col).alias("__b_h"))
+    status = (
+        F.when(F.col("__a_id").isNull(), F.lit("added"))
+        .when(F.col("__b_id").isNull(), F.lit("removed"))
+        .when(F.col("__a_h") != F.col("__b_h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return ha.join(hb, F.col("__a_id") == F.col("__b_id"), "full_outer").select(
+        F.coalesce(F.col("__a_id"), F.col("__b_id")).alias(id_col),
+        status.alias("status"),
+    )

@@ -1147,43 +1147,25 @@ _REG["llm_source_quota"] = _QS(
     "DuckDB.",
 )
 def llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.text import corpus_diff
+
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    a = docs.select("doc_id", F.md5("text").alias("h"))
     b = (
         docs.filter(F.col("doc_id") % 41 == 0)
-        .select(
-            "doc_id", F.md5(F.concat(F.col("text"), F.lit(" [rev2]"))).alias("h")
-        )
+        .select("doc_id", F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"))
         .unionByName(
             docs.filter(
                 (F.col("doc_id") % 41 != 0) & (F.col("doc_id") % 43 != 0)
-            ).select("doc_id", F.md5("text").alias("h"))
+            ).select("doc_id", "text")
         )
         .unionByName(
             docs.filter(F.col("doc_id") % 47 == 0).select(
-                (F.col("doc_id") + 300_000).alias("doc_id"),
-                F.md5("text").alias("h"),
+                (F.col("doc_id") + 300_000).alias("doc_id"), "text"
             )
         )
     )
-    joined = a.select(
-        F.col("doc_id").alias("a_id"), F.col("h").alias("a_h")
-    ).join(
-        b.select(F.col("doc_id").alias("b_id"), F.col("h").alias("b_h")),
-        F.col("a_id") == F.col("b_id"),
-        "full_outer",
-    )
-    status = (
-        F.when(F.col("a_id").isNull(), F.lit("added"))
-        .when(F.col("b_id").isNull(), F.lit("removed"))
-        .when(F.col("a_h") != F.col("b_h"), F.lit("changed"))
-        .otherwise(F.lit("unchanged"))
-    )
     return (
-        joined.select(
-            F.coalesce(F.col("a_id"), F.col("b_id")).alias("doc_id"),
-            status.alias("status"),
-        )
+        corpus_diff(docs, b)
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

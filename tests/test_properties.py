@@ -804,3 +804,37 @@ def test_semantic_bucketed_exact_mode_equals_broadcast(
         )
     )
     assert got == ref
+
+
+# --- corpus diff: matches a naive dict diff ----------------------------------
+
+corpus_a = st.dictionaries(
+    st.integers(0, 15), st.integers(0, 3).map(lambda i: f"text variant {i}"),
+    max_size=12,
+)
+corpus_b = st.dictionaries(
+    st.integers(0, 15), st.integers(0, 3).map(lambda i: f"text variant {i}"),
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(a=corpus_a, b=corpus_b)
+def test_corpus_diff_matches_naive(spark, a, b):
+    from accident_prediction_montreal_spark.operators.text import corpus_diff
+
+    schema = "doc_id LONG, text STRING"
+    da = spark.createDataFrame(list(a.items()), schema)
+    db = spark.createDataFrame(list(b.items()), schema)
+    got = {(r.doc_id, r.status) for r in corpus_diff(da, db).collect()}
+    want = set()
+    for k in set(a) | set(b):
+        if k not in a:
+            want.add((k, "added"))
+        elif k not in b:
+            want.add((k, "removed"))
+        elif a[k] != b[k]:
+            want.add((k, "changed"))
+        else:
+            want.add((k, "unchanged"))
+    assert got == want
