@@ -40,13 +40,14 @@ from accident_prediction_montreal_spark.plans import wave10  # noqa: F401,E402
 # both sides; plus the 3 judge-green r9 additions), the queries whose
 # code changed this round (the semantic-decontam strategy routing +
 # input hygiene, st_incremental_dedup's shared STATE_PARTITIONS
-# constant, the apm capstone's fused weather pass), and the three r10
+# constant, the apm capstone's fused weather pass), and the four r10
 # additions (llm_decontaminate_semantic_bucketed, llm_source_quota,
-# llm_corpus_diff) — new queries enter the window the SAME round, so
-# they never accrue evidence debt. Slots 10-50: EVIDENCE REFRESH — with
-# the ledger at 242/242 ever-checked after slot 4, the window's
-# marginal value is recency, so the 41 queries whose latest driver
-# green is OLDEST (the full r1/r2/r3-era sets and 13 of the r4 set,
+# llm_corpus_diff, st_source_quota_stream) — new queries enter the
+# window the SAME round, so they never accrue evidence debt. Slots
+# 11-50: EVIDENCE REFRESH — with the ledger at 243/243 ever-checked
+# after slot 4, the window's marginal value is recency, so the 40
+# queries whose latest driver green is OLDEST (the full r1/r2/r3-era
+# sets and 12 of the r4 set — the bumped r4 queries lead the tail,
 # ledger:
 # scripts/coverage_ledger.py) re-validate. Every slot verified green
 # locally at sf0.01 this round (scripts/check_oracle.py, vanilla
@@ -63,6 +64,7 @@ _PRIORITY = [
     "llm_decontaminate_semantic_bucketed",
     "llm_source_quota",
     "llm_corpus_diff",
+    "st_source_quota_stream",
     "st_incremental_dedup",
     "apm_dataset_pipeline",
     # --- evidence refresh: latest green r1 ---
@@ -102,7 +104,6 @@ _PRIORITY = [
     "dedup_cluster_components",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "f_apply_in_pandas_zscore",
     "f_cyclic_encode",
     "j5_full_outer_zerofill",
     "j9_asof_join",
@@ -116,6 +117,7 @@ _PRIORITY = [
 # r11 rotate-in candidates — oldest remaining evidence); everything
 # else follows in deterministic alphabetical order via _reorder().
 _TAIL_HEAD = [
+    "f_apply_in_pandas_zscore",
     "m1_feature_assembly",
     "m3_class_weights",
     "m7_auc_evaluator",

@@ -1173,3 +1173,125 @@ def llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "st_source_quota_stream",
+    oracle="""
+    SELECT 'st_quota_counts_match' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'st_quota_no_dup', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'st_quota_subset', CAST(1 AS BIGINT)
+    ORDER BY chk
+    """,
+    description="STREAMING per-source quota ADMISSION — llm_source_quota's "
+    "arrival-shape twin: documents stream in (3 parquet shards, "
+    "maxFilesPerTrigger=1 so micro-batches genuinely interleave) and a "
+    "custom stateful operator (applyInPandasWithState, the F8/2.12 "
+    "escape hatch) admits each source's first K=25 documents by "
+    "arrival, rejecting the rest — per-domain budget enforcement at "
+    "INGESTION time, before anything downstream pays for over-"
+    "represented domains. State is ONE counter per source (O(|sources|) "
+    "forever, no growth with stream length); within a micro-batch "
+    "arrival ties break by doc_id for determinism. The admitted SET "
+    "depends on arrival order by design (admission control, not "
+    "sampling — the batch twin llm_source_quota is the layout-"
+    "independent form), so the contracts check the order-invariant "
+    "guarantees: per-source admitted count == least(K, total) exactly, "
+    "no admitted duplicate ids, every admitted (id, source) exists in "
+    "the corpus.",
+)
+def st_source_quota_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from accident_prediction_montreal_spark.plans.llm_ops import _run_to_memory_sink
+    from accident_prediction_montreal_spark.plans.registry import chk_row as _chk
+
+    K = 25
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "n_chars"
+    )
+    base, _ = _scratch("stquota", sf_dir)
+    fix_dir = os.path.join(base, "docs")
+    docs.repartition(3).write.mode("overwrite").parquet(fix_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fix_dir)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+
+    def admit(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if n >= K:
+                break
+            pdf = pdf.sort_values("doc_id")  # deterministic within batch
+            take = pdf.head(K - n)
+            n += len(take)
+            if len(take):
+                yield pd.DataFrame(
+                    {"doc_id": take["doc_id"], "source": source}
+                )
+        state.update((n,))
+
+    admitted = (
+        stream.groupBy("source")
+        .applyInPandasWithState(
+            admit,
+            outputStructType=out_schema,
+            stateStructType="n LONG",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    got = _run_to_memory_sink(spark, admitted, "append").persist()
+
+    per_source = got.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_admitted")
+    )
+    want = docs.groupBy("source").agg(
+        F.least(F.count(F.lit(1)), F.lit(K)).alias("n_want")
+    )
+    counts_bad = per_source.join(want, "source", "full_outer").filter(
+        (F.col("n_admitted").isNull())
+        | (F.col("n_want").isNull())
+        | (F.col("n_admitted") != F.col("n_want"))
+    )
+    counts_ok = counts_bad.agg(F.count(F.lit(1)).alias("n")).select(
+        *_chk("st_quota_counts_match", F.col("n") == 0)
+    )
+    dup_ok = (
+        got.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(*_chk("st_quota_no_dup", F.col("n") == 0))
+    )
+    subset_ok = (
+        got.join(docs.select("doc_id", "source"), ["doc_id", "source"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(*_chk("st_quota_subset", F.col("n") == 0))
+    )
+    return counts_ok.unionByName(dup_ok).unionByName(subset_ok).orderBy("chk")

@@ -179,6 +179,7 @@ EXTENDED = [
     "llm_decontaminate_semantic_bucketed",
     "llm_source_quota",
     "llm_corpus_diff",
+    "st_source_quota_stream",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read
