@@ -138,7 +138,21 @@ def ivf_cosine_topk(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
 ) -> DataFrame:
-    """Top-k by cosine among the ``n_probe`` nearest cells per query."""
+    """Top-k by cosine among the ``n_probe`` nearest cells per query.
+
+    Sized for a SMALL query side (the ANN-serving shape: a handful of
+    probes against a big indexed corpus): the probe ranking is a
+    row_number window that shuffles |queries| x n_cells rows, and the
+    per-candidate cosine is the expression form (interpreted
+    zip_with/aggregate folds). Both are fine at serving volumes and
+    wrong for a MASSIVE query side — there, use the decontamination
+    pattern instead (operators/decontam.py::_semantic_contamination_
+    bucketed): zero-shuffle probe selection via an Arrow mapInPandas
+    against the driver-local centroid matrix, then a cogroup-per-cell
+    numpy Gram matmul that never materializes candidate pairs through
+    an exchange (35.7 -> 3.7 s measured at sf1 on a 20k-query side;
+    PERF.md r10).
+    """
     probes = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("cell_sim", cosine_similarity(query_vec, "centroid"))
