@@ -280,8 +280,15 @@ def semantic_contamination(
                     f"{sorted({len(v) for v in vecs})})"
                 ) from exc
             xn = np.sqrt((x * x).sum(axis=1, keepdims=True))
-            xn[xn == 0.0] = 1.0
+            zero_rows = xn[:, 0] == 0.0
+            xn[zero_rows] = 1.0
             g = (x / xn) @ eut  # (batch, n_eval)
+            # Same contract as the bucketed path (g[zx,:]=-2.0 there):
+            # a zero-norm train vector NEVER flags, at any threshold —
+            # without the sentinel it would sit at cosine 0.0 vs every
+            # eval row and flag whenever threshold <= 0, making the two
+            # physical strategies (and 'auto' routing) disagree.
+            g[zero_rows, :] = -2.0
             j = g.argmax(axis=1)
             best = g[np.arange(len(j)), j]
             keep = best >= threshold

@@ -518,7 +518,12 @@ def corpus_diff(
     status = (
         F.when(F.col("__a_id").isNull(), F.lit("added"))
         .when(F.col("__b_id").isNull(), F.lit("removed"))
-        .when(F.col("__a_h") != F.col("__b_h"), F.lit("changed"))
+        # NULL-SAFE compare (<=>): md5(NULL text) is NULL, and a plain
+        # != yields NULL for NULL-vs-non-NULL, silently falling through
+        # to 'unchanged' — a doc whose text flips between NULL and
+        # non-NULL would skip downstream incremental stages. Oracle
+        # mirrors with IS DISTINCT FROM.
+        .when(~F.col("__a_h").eqNullSafe(F.col("__b_h")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return ha.join(hb, F.col("__a_id") == F.col("__b_id"), "full_outer").select(

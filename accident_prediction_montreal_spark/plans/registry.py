@@ -7,7 +7,17 @@ Canonicalization contract (SURVEY.md §7.4 — float parity):
   * transcendental outputs (trig, ratios of floats) are ROUND()ed to a
     precision far coarser than the cross-engine ulp drift;
   * every integer aggregate is cast to BIGINT on both sides (DuckDB's
-    SUM(int) returns HUGEINT otherwise);
+    SUM(int) returns HUGEINT otherwise) — and oracle result types must
+    stay in the representation-safe whitelist BIGINT/INTEGER/DOUBLE/
+    VARCHAR/DATE/TIMESTAMP/BOOLEAN (+arrays): any UNION branch must
+    cast EVERY aggregate, because one bare SUM(int) is HUGEINT and
+    UNION type-unification promotes the whole output column silently;
+    HUGEINT/DECIMAL then render as float64 through the driver's
+    arrow/pandas canonicalization (``149174.0`` vs ``149174``) — a
+    hash-fail with rows+schema green that fetchall()-based local
+    checks cannot see (the r10 llm_dataset_card red). Enforced
+    registry-wide by tests/test_oracle_types.py and
+    scripts/check_oracle.py::_SAFE_TYPES;
   * every windowed/top-k query carries an explicit tie-break column;
   * RATIOS/MEANS OF INTEGER AGGREGATES must be emitted as exact integer
     fixed-point units, never as independently ROUND()ed doubles —

@@ -299,9 +299,15 @@ def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(0 AS BIGINT) AS is_total
       FROM per GROUP BY source
       UNION ALL
-      SELECT '__all__', COUNT(*), SUM(n_chars), SUM(n_tokens),
-        SUM(is_empty),
-        CAST((SUM(n_chars) * 10000) // COUNT(*) AS BIGINT), 1
+      -- Every aggregate in this branch MUST be cast: DuckDB SUM(int)
+      -- returns HUGEINT, UNION type-unification promotes the whole
+      -- column, and HUGEINT reaches pandas/arrow as float64 — a
+      -- hash-fail with rows+schema green (the r9/r10 driver red).
+      SELECT '__all__', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(n_chars) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT),
+        CAST(SUM(is_empty) AS BIGINT),
+        CAST((SUM(n_chars) * 10000) // COUNT(*) AS BIGINT),
+        CAST(1 AS BIGINT)
       FROM per
     )
     SELECT * FROM card ORDER BY is_total, source
@@ -1121,7 +1127,8 @@ _REG["llm_source_quota"] = _QS(
         CASE
           WHEN a.doc_id IS NULL THEN 'added'
           WHEN b.doc_id IS NULL THEN 'removed'
-          WHEN a.h <> b.h THEN 'changed'
+          -- null-safe, mirroring Spark's eqNullSafe: md5(NULL) is NULL
+          WHEN a.h IS DISTINCT FROM b.h THEN 'changed'
           ELSE 'unchanged'
         END AS status
       FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
@@ -1191,8 +1198,11 @@ def llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arrival, rejecting the rest — per-domain budget enforcement at "
     "INGESTION time, before anything downstream pays for over-"
     "represented domains. State is ONE counter per source (O(|sources|) "
-    "forever, no growth with stream length); within a micro-batch "
-    "arrival ties break by doc_id for determinism. The admitted SET "
+    "forever, no growth with stream length); within a micro-batch the "
+    "admitted subset is the smallest-doc_id (K-n) rows of the WHOLE "
+    "batch arrival via an incremental nsmallest across pandas chunks — "
+    "deterministic given batch content (not merely chunk-local), "
+    "bounded O(K) memory. The admitted SET "
     "depends on arrival order by design (admission control, not "
     "sampling — the batch twin llm_source_quota is the layout-"
     "independent form), so the contracts check the order-invariant "
@@ -1244,16 +1254,23 @@ def st_source_quota_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (source,) = key
         n = state.get[0] if state.exists else 0
+        # applyInPandasWithState may deliver one group's micro-batch as
+        # SEVERAL pandas chunks; a chunk-local sort would make the
+        # admitted subset depend on chunk boundaries. Instead keep a
+        # running nsmallest(K-n) ACROSS chunks — bounded O(K) memory,
+        # and the admitted set is exactly the (K-n) smallest doc_ids of
+        # the whole micro-batch arrival: deterministic given batch
+        # content, independent of chunk order/shape.
+        room = K - n
+        best = None
         for pdf in pdfs:
-            if n >= K:
+            if room <= 0:
                 break
-            pdf = pdf.sort_values("doc_id")  # deterministic within batch
-            take = pdf.head(K - n)
-            n += len(take)
-            if len(take):
-                yield pd.DataFrame(
-                    {"doc_id": take["doc_id"], "source": source}
-                )
+            pool = pdf if best is None else pd.concat([best, pdf])
+            best = pool.nsmallest(room, "doc_id")
+        if room > 0 and best is not None and len(best):
+            n += len(best)
+            yield pd.DataFrame({"doc_id": best["doc_id"], "source": source})
         state.update((n,))
 
     admitted = (

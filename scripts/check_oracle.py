@@ -55,6 +55,21 @@ def canon(value):
     return repr(value)
 
 
+#: DuckDB result types that survive the driver's arrow/pandas
+#: canonicalization with the same rendering as Spark's (plans/registry.py
+#: documents the contract). Notably ABSENT: HUGEINT (SUM(int) returns it;
+#: UNION promotes silently; arrow renders it float64), DECIMAL, UINTEGER.
+_SAFE_TYPES = ("BIGINT", "INTEGER", "DOUBLE", "FLOAT", "VARCHAR", "DATE",
+               "TIMESTAMP", "BOOLEAN", "SMALLINT", "TINYINT")
+
+
+def _type_ok(t: str) -> bool:
+    t = t.upper()
+    while t.endswith("[]"):  # arrays of safe element types are safe
+        t = t[:-2]
+    return t in _SAFE_TYPES or t.startswith("STRUCT")
+
+
 def row_set(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
@@ -86,7 +101,23 @@ def main() -> int:
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
         try:
-            orows = con.sql(spec.oracle).fetchall()
+            rel = con.sql(spec.oracle)
+            # Type gate (driver parity): fetchall() returns Python ints
+            # for DuckDB HUGEINT and masks type-level divergence — the
+            # driver canonicalizes through arrow/pandas, where HUGEINT
+            # renders as float64 (the r9/r10 llm_dataset_card red
+            # shipped twice because of it). Reject any oracle result
+            # type outside the representation-safe whitelist.
+            bad = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, map(str, rel.types))
+                if not _type_ok(str(t))
+            ]
+            if bad:
+                failures.append(name)
+                print(f"FAIL {name}: unsafe oracle result types {bad}")
+                continue
+            orows = rel.fetchall()
             ocols = [d[0] for d in con.sql(spec.oracle).description]
         except Exception:
             failures.append(name)

@@ -318,6 +318,36 @@ def test_semantic_bucketed_direct_matches_broadcast(emb_sides):
     assert got == ref
 
 
+def test_semantic_zero_norm_train_never_flags_any_strategy(spark, emb_sides):
+    # Contract: a zero-norm train vector NEVER flags, at ANY threshold —
+    # both physical strategies must agree. Pre-fix, the broadcast path
+    # left zero-norm rows at cosine 0.0 vs every eval row (flagging at
+    # threshold <= 0) while the bucketed path's -2.0 sentinel did not.
+    from accident_prediction_montreal_spark.operators.decontam import (
+        semantic_contamination,
+    )
+
+    _, eval_df = emb_sides
+    train = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0])],
+        ["train_id", "embedding"],
+    )
+    for thr in (-1.0, 0.0):
+        bc = _flags(
+            semantic_contamination(
+                train, eval_df, threshold=thr, strategy="broadcast"
+            )
+        )
+        bk = _flags(
+            semantic_contamination(
+                train, eval_df, threshold=thr, strategy="bucketed",
+                n_cells=3, n_probe=3,
+            )
+        )
+        assert not any(tid == 0 for tid, _, _ in bc)
+        assert {t for t, _, _ in bc} == {t for t, _, _ in bk} == {1}
+
+
 def test_semantic_rejects_null_and_ragged_embeddings(spark, emb_sides):
     from accident_prediction_montreal_spark.operators.decontam import (
         semantic_contamination,

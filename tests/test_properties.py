@@ -808,14 +808,14 @@ def test_semantic_bucketed_exact_mode_equals_broadcast(
 
 # --- corpus diff: matches a naive dict diff ----------------------------------
 
-corpus_a = st.dictionaries(
-    st.integers(0, 15), st.integers(0, 3).map(lambda i: f"text variant {i}"),
-    max_size=12,
+# Values include None: a doc whose text flips NULL<->non-NULL must be
+# 'changed' (null-safe digest compare), and NULL->NULL 'unchanged' —
+# Python's `!=` in the naive model has exactly those semantics.
+_corpus_text = st.one_of(
+    st.none(), st.integers(0, 3).map(lambda i: f"text variant {i}")
 )
-corpus_b = st.dictionaries(
-    st.integers(0, 15), st.integers(0, 3).map(lambda i: f"text variant {i}"),
-    max_size=12,
-)
+corpus_a = st.dictionaries(st.integers(0, 15), _corpus_text, max_size=12)
+corpus_b = st.dictionaries(st.integers(0, 15), _corpus_text, max_size=12)
 
 
 @settings(**SETTINGS)
