@@ -296,6 +296,48 @@ def weighted_sample_topk(
     )
 
 
+def local_topk_pretruncate(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Map-side skew lever for per-key rank windows: an Arrow
+    per-partition combiner that keeps only each partition's local top-k
+    rows per key under the ASCENDING ``order_cols`` order. The global
+    top-k per key is always a subset of the union of partition-local
+    top-ks, so the window shuffle that follows carries at most
+    ``n_partitions × n_keys × k`` rows instead of the corpus — and a
+    single dominant key (the NORM in web corpora: one domain can be 90%
+    of documents) no longer lands its entire row set on one reducer.
+
+    Returns a SUPERSET of the global per-key top-k with the same
+    schema; callers re-rank exactly with the usual row_number window.
+    ``order_cols`` must be materialized columns (compute expression
+    orders, e.g. lcg_uniform, into a column first) and must end in a
+    unique tie-break so the order is total — otherwise the local and
+    global ranks may disagree on ties.
+
+    Memory per partition is O(n_keys_in_partition × k): batches are
+    folded into a running per-key head, mirroring weighted_sample_topk's
+    combiner.
+    """
+    import pandas as pd
+
+    schema = df.schema
+
+    def combine(batches):
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            acc = acc.sort_values(order_cols, kind="mergesort")
+            acc = acc.groupby(key_col, sort=False).head(k)
+        if acc is not None and len(acc):
+            yield acc
+
+    return df.mapInPandas(combine, schema=schema)
+
+
 def epoch_schedule(
     docs: DataFrame,
     domain_col: str = "source",

@@ -34,97 +34,39 @@ from accident_prediction_montreal_spark.plans import wave10  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #
-# Round-10 ROTATION. Slots 1-8: the ledger closers and this round's
-# changes — the 4 never-driver-green queries (llm_dataset_card, the r9
-# hash-red, now emitting mean_chars_e4 as exact integer 1e-4 units on
-# both sides; plus the 3 judge-green r9 additions), the queries whose
-# code changed this round (the semantic-decontam strategy routing +
-# input hygiene, st_incremental_dedup's shared STATE_PARTITIONS
-# constant, the apm capstone's fused weather pass), and the four r10
-# additions (llm_decontaminate_semantic_bucketed, llm_source_quota,
-# llm_corpus_diff, st_source_quota_stream) — new queries enter the
-# window the SAME round, so they never accrue evidence debt. Slots
-# 11-50: EVIDENCE REFRESH — with the ledger at 243/243 ever-checked
-# after slot 4, the window's marginal value is recency, so the 40
-# queries whose latest driver green is OLDEST (the full r1/r2/r3-era
-# sets and 12 of the r4 set — the bumped r4 queries lead the tail,
-# ledger:
-# scripts/coverage_ledger.py) re-validate. Every slot verified green
-# locally at sf0.01 this round (scripts/check_oracle.py, vanilla
-# session).
+# Round-11 ROTATION. Slot 1: llm_dataset_card stays IN until
+# driver-green (the r9/r10 hash-red; root cause was the ORACLE's
+# uncast __all__ UNION branch — DuckDB SUM(int) is HUGEINT, which
+# renders float64 through arrow — fixed this round, Spark side
+# unchanged). Slots 2-6: the queries whose code changed this round
+# (corpus_diff null-safe digest compare; semantic-decontam broadcast
+# zero-norm sentinel — both strategies; st_source_quota_stream
+# batch-deterministic nsmallest admission; llm_source_quota skew
+# lever). Slots 7-50: EVIDENCE REFRESH from the ledger's oldest
+# latest-green — the full remaining r4-era set (23), the r5-era set
+# (11), and 10 of the r6-era set (scripts/coverage_ledger.py).
+# Every slot verified green locally at sf0.01 this round
+# (scripts/check_oracle.py, vanilla session).
 #
-# Rotated OUT — the full r9 window (49/50 green in CORRECTNESS_r09;
-# the one red, llm_dataset_card, stays IN until driver-green).
+# Rotated OUT — the r10 refresh set (all driver-green in
+# CORRECTNESS_r10).
 _PRIORITY = [
-    # --- ledger closers + this round's changes ---
+    # --- ledger closer + this round's changed code ---
     "llm_dataset_card",
-    "dedup_containment",
-    "text_ngram_novelty",
+    "llm_corpus_diff",
     "llm_decontaminate_semantic",
     "llm_decontaminate_semantic_bucketed",
-    "llm_source_quota",
-    "llm_corpus_diff",
     "st_source_quota_stream",
-    "st_incremental_dedup",
-    "apm_dataset_pipeline",
-    # --- evidence refresh: latest green r1 ---
-    "a1_group_count_zerofill",
-    "a3_group_max",
-    "f_date_parts",
-    "geo_haversine",
-    "j6_cross_join_grid",
-    "j8_knn_join",
-    "o1_order_limit",
-    "p11_distinct",
-    "s1_scan_project_filter",
-    "w6_global_rank",
-    # --- evidence refresh: latest green r2 ---
-    "a10_percentiles",
-    "a4_pivot",
-    "a8_distinct_count",
-    "a9_cube",
-    "f_string_funcs",
-    "j1_join_chain_revenue",
-    "j2_multikey_join",
-    "j3_self_join_pairs",
-    "j4_semi_anti",
-    "j7_theta_join",
-    "st_session_window",
-    "tpch_q6_forecast_revenue",
-    "u_set_ops",
-    "w3_rolling_avg",
-    # --- evidence refresh: latest green r3 ---
-    "f_regexp_json_extract",
-    "p_filter_bucket",
-    "s9_generated_grid",
-    "text_fingerprint",
-    # --- evidence refresh: latest green r4 (16 of 35) ---
-    "a6_idw_interpolation",
-    "a7_target_encode",
-    "dedup_cluster_components",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "f_cyclic_encode",
-    "j5_full_outer_zerofill",
-    "j9_asof_join",
-    "j_salted_skew_join",
-    "m8_threshold_sweep",
-    "m9_count_rate_model",
-    "tpch_q3_shipping_priority",
-]
-
-# Positions 51+: the r4-era queries NOT refreshed this round lead (the
-# r11 rotate-in candidates — oldest remaining evidence); everything
-# else follows in deterministic alphabetical order via _reorder().
-_TAIL_HEAD = [
+    "llm_source_quota",
+    # --- evidence refresh: latest green r4 (the full remaining set) ---
     "f_apply_in_pandas_zscore",
+    "f_solar_elevation",
     "m1_feature_assembly",
     "m3_class_weights",
     "m7_auc_evaluator",
     "mm_payload_stats",
     "mm_wav_decode",
     "r4_temporal_split",
-    "f_solar_elevation",
     "sim_cosine_topk",
     "sql_correlated_subquery",
     "st_availablenow_stream",
@@ -140,8 +82,51 @@ _TAIL_HEAD = [
     "tpch_q5_local_supplier_volume",
     "w4_ewma",
     "w_topk_rank_rownum",
+    # --- evidence refresh: latest green r5 ---
+    "a1_pricing_summary",
+    "a6_idw_radius",
+    "dedup_near_invariants",
+    "llm_prepare_corpus",
+    "mm_ppm_decode",
+    "r_sampling_invariants",
+    "r_stratified_sample_invariants",
+    "sim_ann_invariants",
+    "st_session_stream",
+    "tpch_q12_priority_lines",
+    "tpch_q4_late_orders",
+    # --- evidence refresh: latest green r6 (10 of 25) ---
+    "a_approx_percentile_invariant",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "sim_embedding_stats",
+    "st_sliding_stream",
+    "st_sliding_window",
+    "st_tumbling_window",
+    "text_quality_deciles",
+    "text_repetition",
+    "text_sequence_pack",
 ]
 
+# Positions 51+: the r6-era queries NOT refreshed this round lead (the
+# r12 rotate-in candidates — oldest remaining evidence); everything
+# else follows in deterministic alphabetical order via _reorder().
+_TAIL_HEAD = [
+    "text_token_hash",
+    "tpch_q11_important_stock",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "w5_running_sums",
+    "x5_month_shard_backfill",
+]
 
 def _reorder() -> None:
     head = _PRIORITY + _TAIL_HEAD

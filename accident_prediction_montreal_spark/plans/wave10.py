@@ -1032,43 +1032,52 @@ def llm_decontaminate_semantic_bucketed(
     "engines — never rand()/limit. Plan: one slim 4-column projection "
     "into a per-source rank window (ONE shuffle keyed by source) and a "
     "map-side-combined per-source aggregate over counts + kept-id/char "
-    "checksums. At 100 TB the window input stays the slim projection; "
-    "a skew-heavy source splits via AQE, and the K-bounded map-side "
-    "pre-truncation (keep each partition's local top-K per source "
-    "before the shuffle — the global top-K is always a subset of the "
-    "union of local top-Ks) is the lever if one domain dominates a "
-    "corpus. Oracle: the identical window from the shared "
-    "lcg_uniform_sql generator, so the keep decision cannot drift "
-    "between engines.",
+    "checksums. SKEW LEVER (implemented): before the window shuffle, "
+    "an Arrow per-partition combiner (mixing.local_topk_pretruncate) "
+    "keeps each partition's local top-K per source — the global top-K "
+    "is always a subset of the union of local top-Ks — so the window "
+    "input is at most n_partitions × n_sources × K rows and a single "
+    "dominant domain (the NORM in web corpora) never lands its entire "
+    "row set on one reducer; per-source totals come from a separate "
+    "map-side-combined count over the full projection (no window). "
+    "Property-tested pretruncated == plain-window on arbitrary corpora "
+    "(test_properties.py); skew stress artifact BENCH_quota_skew. "
+    "Oracle: the identical window from the shared lcg_uniform_sql "
+    "generator, so the keep decision cannot drift between engines.",
 )
 def llm_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from accident_prediction_montreal_spark.operators.mixing import lcg_uniform
+    from accident_prediction_montreal_spark.operators.mixing import (
+        lcg_uniform,
+        local_topk_pretruncate,
+    )
 
     K = 40
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "source", "n_chars"
     )
-    w = Window.partitionBy("source").orderBy(
-        lcg_uniform(F.col("doc_id"), salt=7), F.col("doc_id")
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
     )
-    ranked = docs.withColumn("rnk", F.row_number().over(w))
-    kept = F.col("rnk") <= K
-    return (
-        ranked.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_total"),
-            F.sum(kept.cast("long")).cast("long").alias("n_kept"),
-            F.sum(F.when(kept, F.col("doc_id")).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("kept_id_sum"),
-            F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("kept_chars"),
-        )
-        .orderBy("source")
+    # Seeded order materialized as a column so the pandas combiner and
+    # the exact re-rank window sort the SAME values.
+    ordered = docs.withColumn("__ord", lcg_uniform(F.col("doc_id"), salt=7))
+    pruned = local_topk_pretruncate(ordered, "source", ["__ord", "doc_id"], K)
+    w = Window.partitionBy("source").orderBy("__ord", "doc_id")
+    kept_rows = pruned.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= K
     )
+    kept = kept_rows.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("kept_id_sum"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+    # Every source with >=1 doc keeps >=1 row (rank 1 <= K), so the
+    # join is total on both sides.
+    return totals.join(kept, "source").select(
+        "source", "n_total", "n_kept", "kept_id_sum", "kept_chars"
+    ).orderBy("source")
 
 
 def _source_quota_oracle() -> str:

@@ -838,3 +838,55 @@ def test_corpus_diff_matches_naive(spark, a, b):
         else:
             want.add((k, "unchanged"))
     assert got == want
+
+
+# --- quota skew lever: pre-truncated window == plain window ------------------
+
+# Arbitrary (doc_id, source) corpora over few sources (so groups exceed
+# K) and several partition layouts: the map-side local-top-K combiner
+# must leave the final kept set IDENTICAL to the plain full-corpus
+# window — the lever is a pure superset reduction, never a semantics
+# change.
+quota_corpus = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(0, 3)),
+    min_size=0,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**SETTINGS)
+@given(corpus=quota_corpus, k=st.integers(1, 5), nparts=st.integers(1, 7))
+def test_local_topk_pretruncate_preserves_window_topk(spark, corpus, k, nparts):
+    from pyspark.sql import Window
+
+    from accident_prediction_montreal_spark.operators.mixing import (
+        lcg_uniform,
+        local_topk_pretruncate,
+    )
+
+    if not corpus:
+        return
+    rows = [(doc_id, f"s{s}") for doc_id, s in corpus]
+    df = (
+        spark.createDataFrame(rows, "doc_id LONG, source STRING")
+        .repartition(nparts)
+        .withColumn("__ord", lcg_uniform(F.col("doc_id"), salt=7))
+    )
+    w = Window.partitionBy("source").orderBy("__ord", "doc_id")
+
+    def kept(frame):
+        return {
+            (r.source, r.doc_id, r.rnk)
+            for r in frame.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .collect()
+        }
+
+    plain = kept(df)
+    pruned = local_topk_pretruncate(df, "source", ["__ord", "doc_id"], k)
+    assert kept(pruned) == plain
+    # ... and the pre-truncation is a genuine reduction bound:
+    # <= nparts * n_sources * k rows survive the combiner.
+    n_sources = len({s for _, s in corpus})
+    assert pruned.count() <= nparts * n_sources * k
