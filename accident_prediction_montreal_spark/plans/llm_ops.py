@@ -3312,6 +3312,23 @@ def x12_backfill_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is not.",
 )
 def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mm_png_decode_impl(spark, sf_dir)
+
+
+def _mm_png_decode_impl(
+    spark: SparkSession, sf_dir: str, timings: dict | None = None
+) -> DataFrame:
+    """Body of mm_png_decode. ``timings``, when a dict, receives the
+    stage split (r10 verdict #5): ``fixture_encode_s`` (synthesizing
+    and PNG-encoding the test rasters — pure fixture cost a real
+    pipeline never pays; its corpus arrives already encoded) and
+    ``decode_s`` (the Arrow-batched decode + feature scan — the
+    operator being graded), plus ``plan_setup_s``/``total_s`` so the
+    fields sum to the observed wall."""
+    import time as _time
+
+    _impl_t0 = _time.perf_counter()
+
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -3340,8 +3357,17 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     media = docs.mapInPandas(encode_batches, schema=enc_schema)
+    if timings is not None:
+        # Materialize the encoded fixture so the decode stage can be
+        # timed alone; the registered (timings=None) query keeps the
+        # single fused encode->decode pass.
+        _t0 = _time.perf_counter()
+        media = media.persist()
+        media.count()
+        timings["fixture_encode_s"] = round(_time.perf_counter() - _t0, 3)
+        _dec_t0 = _time.perf_counter()
     out = png_features(media)
-    return out.select(
+    out = out.select(
         "media_id",
         "width",
         "height",
@@ -3350,6 +3376,16 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("mean_b", 6) + 0.0).alias("mean_b"),
         (F.round("top_row_mean", 6) + 0.0).alias("top_row_mean"),
     )
+    if timings is not None:
+        out = out.persist()
+        out.count()
+        timings["decode_s"] = round(_time.perf_counter() - _dec_t0, 3)
+        wall = _time.perf_counter() - _impl_t0
+        staged = timings["fixture_encode_s"] + timings["decode_s"]
+        timings["plan_setup_s"] = round(max(0.0, wall - staged), 3)
+        timings["total_s"] = round(wall, 3)
+        media.unpersist()
+    return out
 
 
 @register(

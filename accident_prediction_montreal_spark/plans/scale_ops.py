@@ -487,6 +487,25 @@ _ER_TITLE_SQL = """
     "end-to-end parity for an ITERATIVE algorithm.",
 )
 def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _er_golden_records_impl(spark, sf_dir)
+
+
+def _er_golden_records_impl(
+    spark: SparkSession, sf_dir: str, timings: dict | None = None
+) -> DataFrame:
+    """Body of er_golden_records. ``timings``, when a dict, receives the
+    stage split (r10 verdict #5): ``matching_s`` (blocked pair
+    generation — the n-gram Jaccard + editdist-1 similarity joins, the
+    block-bounded quadratic heart), ``cc_s`` (connected components over
+    the match edges), ``survivorship_s`` (golden-record aggregation +
+    broadcast-back), plus ``plan_setup_s``/``total_s`` so the fields sum
+    to the observed wall. Persisting the stage boundaries adds
+    barriers the registered query doesn't have — the split is for
+    attribution, the unsplit number remains the headline."""
+    import time as _time
+
+    _impl_t0 = _time.perf_counter()
+
     from accident_prediction_montreal_spark.operators.components import (
         connected_components,
     )
@@ -509,7 +528,22 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     ep = editdist1_pairs(docs.select("doc_id", "title"), "doc_id", "title").select(
         "id_a", "id_b"
     )
-    comp = connected_components(jp.unionByName(ep), src="id_a", dst="id_b")
+    edges = jp.unionByName(ep)
+    if timings is not None:
+        _t0 = _time.perf_counter()
+        edges = edges.persist()
+        edges.count()
+        timings["matching_s"] = round(_time.perf_counter() - _t0, 3)
+    # connected_components is EAGER (localCheckpoint + checksum per
+    # star round), so the cc timer must start before the call, not at
+    # the materializing count.
+    _t0 = _time.perf_counter()
+    comp = connected_components(edges, src="id_a", dst="id_b")
+    if timings is not None:
+        comp = comp.persist()
+        comp.count()
+        timings["cc_s"] = round(_time.perf_counter() - _t0, 3)
+        _surv_t0 = _time.perf_counter()
     labeled = docs.join(
         comp.withColumnRenamed("node", "doc_id"), on="doc_id", how="left"
     ).withColumn("component_id", F.coalesce("component", "doc_id"))
@@ -523,7 +557,7 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").cast("long").alias("n_sources"),
     )
     # golden rows are one-per-cluster (tiny): broadcast the join back
-    return (
+    out = (
         labeled.select("doc_id", "component_id")
         .join(F.broadcast(golden), on="component_id")
         .select(
@@ -531,6 +565,19 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    if timings is not None:
+        out = out.persist()
+        out.count()
+        timings["survivorship_s"] = round(_time.perf_counter() - _surv_t0, 3)
+        wall = _time.perf_counter() - _impl_t0
+        staged = (
+            timings["matching_s"] + timings["cc_s"] + timings["survivorship_s"]
+        )
+        timings["plan_setup_s"] = round(max(0.0, wall - staged), 3)
+        timings["total_s"] = round(wall, 3)
+        edges.unpersist()
+        comp.unpersist()
+    return out
 
 
 @register(
@@ -1112,6 +1159,23 @@ def j16_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as partition pruning itself, never a data collect.",
 )
 def x21_ann_pruned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _x21_ann_pruned_layout_impl(spark, sf_dir)
+
+
+def _x21_ann_pruned_layout_impl(
+    spark: SparkSession, sf_dir: str, timings: dict | None = None
+) -> DataFrame:
+    """Body of x21_ann_pruned_layout. ``timings``, when a dict, receives
+    the stage split (r10 verdict #5): ``quantizer_fit_s`` (MLlib k-means
+    on a sample — one-off model cost), ``layout_write_s`` (the at-rest
+    cell-partitioned parquet WRITE — paid once per corpus version, NOT
+    per query), ``probe_s`` (the steady-state pruned read + top-k — the
+    only per-query cost), plus ``plan_setup_s``/``total_s`` so the
+    fields sum to the observed wall."""
+    import time as _time
+
+    _impl_t0 = _time.perf_counter()
+
     from accident_prediction_montreal_spark.functions.vectors import cosine_similarity
     from accident_prediction_montreal_spark.operators.ivf import (
         build_ivf_index,
@@ -1123,16 +1187,25 @@ def x21_ann_pruned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Coarse quantizers train on a SAMPLE (standard IVF practice — the
     # layout contracts below are invariant to centroid quality): the
     # full-corpus MLlib fit was half this query's sf1 wall time.
+    _t0 = _time.perf_counter()
     assigned, centroids = build_ivf_index(
         emb, n_cells=16, sample_fraction=0.25, max_iter=5
     )
+    if timings is not None:
+        # build_ivf_index's MLlib fit is eager; assignment stays lazy
+        # (it materializes inside the write below).
+        timings["quantizer_fit_s"] = round(_time.perf_counter() - _t0, 3)
     out_dir, _ = _scratch("ivfpart", sf_dir)
+    _t0 = _time.perf_counter()
     (
         assigned.select("vec_id", "embedding", "cell_id")
         .write.mode("overwrite")
         .partitionBy("cell_id")
         .parquet(out_dir)
     )
+    if timings is not None:
+        timings["layout_write_s"] = round(_time.perf_counter() - _t0, 3)
+    _probe_t0 = _time.perf_counter()
     disk = spark.read.parquet(out_dir)
 
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -1196,7 +1269,23 @@ def x21_ann_pruned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks:
         row = both.select(*c)
         out = row if out is None else out.unionByName(row)
-    return out.orderBy("chk")
+    out = out.orderBy("chk")
+    if timings is not None:
+        out = out.persist()
+        out.count()
+        # probe_s includes the file-pruning contract counts (the
+        # input_file_name() scans) — they ARE reads of the pruned
+        # layout, i.e. the steady-state serving path being graded.
+        timings["probe_s"] = round(_time.perf_counter() - _probe_t0, 3)
+        wall = _time.perf_counter() - _impl_t0
+        staged = (
+            timings["quantizer_fit_s"]
+            + timings["layout_write_s"]
+            + timings["probe_s"]
+        )
+        timings["plan_setup_s"] = round(max(0.0, wall - staged), 3)
+        timings["total_s"] = round(wall, 3)
+    return out
 
 
 @register(

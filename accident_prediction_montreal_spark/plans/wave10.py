@@ -496,6 +496,8 @@ def _st_incremental_dedup_impl(
     import os
     import time as _time
 
+    _impl_t0 = _time.perf_counter()
+
     from pyspark.sql import types as T
 
     from accident_prediction_montreal_spark import cachereg
@@ -530,7 +532,10 @@ def _st_incremental_dedup_impl(
     # probe run across 3 genuine micro-batches.
     base, _ = _scratch("stincr", sf_dir)
     fix_dir = os.path.join(base, "batch")
+    _t0 = _time.perf_counter()
     new_batch.repartition(3).write.mode("overwrite").parquet(fix_dir)
+    if timings is not None:
+        timings["fixture_write_s"] = round(_time.perf_counter() - _t0, 3)
 
     # The at-rest index is persisted PRE-PARTITIONED on the probe key —
     # the cached HashPartitioning then satisfies every micro-batch's
@@ -626,7 +631,32 @@ def _st_incremental_dedup_impl(
     twin_ok = diff.agg(F.count(F.lit(1)).alias("n")).select(
         *_chk("st_incr_matches_batch_twin", F.col("n") == 0)
     )
-    return planted_ok.unionByName(novel_ok).unionByName(twin_ok)
+    checks = planted_ok.unionByName(novel_ok).unionByName(twin_ok)
+    if timings is not None:
+        # VERIFICATION contracts, not the operator: the batch-twin
+        # parity check re-signatures the corpus (a second full minhash
+        # pass), which is why the bundled query total far exceeds
+        # index_build + probe. Materialize here so the split fields
+        # sum to ~the query total (r10 verdict #6: 12.7 s read with
+        # only 6.2 s attributed).
+        _t0 = _time.perf_counter()
+        checks = checks.persist()
+        checks.count()
+        timings["contracts_s"] = round(_time.perf_counter() - _t0, 3)
+        staged = (
+            timings.get("fixture_write_s", 0.0)
+            + timings.get("index_build_s", 0.0)
+            + timings.get("probe_s", 0.0)
+            + timings["contracts_s"]
+        )
+        wall = _time.perf_counter() - _impl_t0
+        # Driver-side analysis/setup BETWEEN the timed actions (plan
+        # construction, stream checkpoint dirs, catalyst analysis of
+        # ~10 actions) — named so the stage fields always sum to the
+        # observed wall (±ε), never leaving a silent remainder.
+        timings["plan_setup_s"] = round(max(0.0, wall - staged), 3)
+        timings["total_s"] = round(wall, 3)
+    return checks
 
 
 @register(

@@ -222,17 +222,35 @@ def run_headline(spark, sf_dir: str, runs: int) -> dict:
     canary_start = {name: min_of(name) for name in CANARY}
     timings = {name: min_of(name) for name in HEADLINE}
     ext = {name: min_of(name) for name in EXTENDED}
-    # st_incremental_dedup bundles a one-off at-rest index BUILD with
-    # the steady-state streaming probe; the artifact reports the split
-    # so the bundled number can't misread as per-batch cost.
+    # Stage splits (r9 verdict #7 / r10 verdict #5): queries that bundle
+    # one-off build/fixture cost with steady-state cost report the split
+    # so the bundled number can't misread as per-batch/per-query cost.
+    # Each impl, given a timings dict, persists at stage boundaries and
+    # reports plan_setup_s so the fields sum to the observed wall.
+    from accident_prediction_montreal_spark.plans.llm_ops import (
+        _mm_png_decode_impl,
+    )
+    from accident_prediction_montreal_spark.plans.scale_ops import (
+        _er_golden_records_impl,
+        _x21_ann_pruned_layout_impl,
+    )
     from accident_prediction_montreal_spark.plans.wave10 import (
         _st_incremental_dedup_impl,
     )
 
-    split: dict = {}
-    spark.catalog.clearCache()
-    cachereg.release_all()
-    _st_incremental_dedup_impl(spark, sf_dir, timings=split).count()
+    stage_splits: dict = {}
+    for split_name, impl in (
+        ("st_incremental_dedup", _st_incremental_dedup_impl),
+        ("x21_ann_pruned_layout", _x21_ann_pruned_layout_impl),
+        ("er_golden_records", _er_golden_records_impl),
+        ("mm_png_decode", _mm_png_decode_impl),
+    ):
+        spark.catalog.clearCache()
+        cachereg.release_all()
+        t: dict = {}
+        impl(spark, sf_dir, timings=t).count()
+        stage_splits[split_name] = t
+    split = stage_splits["st_incremental_dedup"]
     canary_end = {name: min_of(name) for name in CANARY}
     scale_safe = round(
         sum(t for n, t in timings.items() if n not in PARITY_TWINS), 3
@@ -253,6 +271,7 @@ def run_headline(spark, sf_dir: str, runs: int) -> dict:
         "extended_queries": ext,
         "extended_total": round(sum(ext.values()), 3),
         "st_incremental_dedup_split": split,
+        "stage_splits": stage_splits,
         "canary_start": canary_start,
         "canary_end": canary_end,
     }
@@ -276,6 +295,7 @@ def main() -> None:
         "extended_queries": out.pop("extended_queries"),
         "extended_total": out.pop("extended_total"),
         "st_incremental_dedup_split": out.pop("st_incremental_dedup_split"),
+        "stage_splits": out.pop("stage_splits"),
         "sf": out["sf"],
     }
     # canary_start/canary_end stay on stdout: the driver's BENCH_r{N}
