@@ -31,6 +31,7 @@ from accident_prediction_montreal_spark.plans import wave7_streaming  # noqa: F4
 from accident_prediction_montreal_spark.plans import wave8  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave9  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave10  # noqa: F401,E402
+from accident_prediction_montreal_spark.plans import wave11  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #
@@ -42,9 +43,12 @@ from accident_prediction_montreal_spark.plans import wave10  # noqa: F401,E402
 # (corpus_diff null-safe digest compare; semantic-decontam broadcast
 # zero-norm sentinel — both strategies; st_source_quota_stream
 # batch-deterministic nsmallest admission; llm_source_quota skew
-# lever). Slots 7-50: EVIDENCE REFRESH from the ledger's oldest
-# latest-green — the full remaining r4-era set (23), the r5-era set
-# (11), and 10 of the r6-era set (scripts/coverage_ledger.py).
+# lever). Slots 7-9: the three NEW r11 queries (llm_shuffle_shards,
+# llm_index_maintenance, llm_url_canonicalize) — new queries enter the
+# window the SAME round, so they never accrue evidence debt. Slots
+# 10-50: EVIDENCE REFRESH from the ledger's oldest latest-green — the
+# full remaining r4-era set (23), the r5-era set (11), and 7 of the
+# r6-era set (scripts/coverage_ledger.py).
 # Every slot verified green locally at sf0.01 this round
 # (scripts/check_oracle.py, vanilla session).
 #
@@ -58,6 +62,10 @@ _PRIORITY = [
     "llm_decontaminate_semantic_bucketed",
     "st_source_quota_stream",
     "llm_source_quota",
+    # --- new in r11 ---
+    "llm_shuffle_shards",
+    "llm_index_maintenance",
+    "llm_url_canonicalize",
     # --- evidence refresh: latest green r4 (the full remaining set) ---
     "f_apply_in_pandas_zscore",
     "f_solar_elevation",
@@ -94,7 +102,7 @@ _PRIORITY = [
     "st_session_stream",
     "tpch_q12_priority_lines",
     "tpch_q4_late_orders",
-    # --- evidence refresh: latest green r6 (10 of 25) ---
+    # --- evidence refresh: latest green r6 (7 of 25) ---
     "a_approx_percentile_invariant",
     "dedup_embedding_cosine",
     "dedup_simhash",
@@ -102,15 +110,15 @@ _PRIORITY = [
     "st_sliding_stream",
     "st_sliding_window",
     "st_tumbling_window",
-    "text_quality_deciles",
-    "text_repetition",
-    "text_sequence_pack",
 ]
 
 # Positions 51+: the r6-era queries NOT refreshed this round lead (the
 # r12 rotate-in candidates — oldest remaining evidence); everything
 # else follows in deterministic alphabetical order via _reorder().
 _TAIL_HEAD = [
+    "text_quality_deciles",
+    "text_repetition",
+    "text_sequence_pack",
     "text_token_hash",
     "tpch_q11_important_stock",
     "tpch_q13_order_distribution",

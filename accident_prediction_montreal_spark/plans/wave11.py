@@ -1,0 +1,407 @@
+"""Wave-11 queries (r11): the remaining LLM-curation staples —
+deterministic training-shuffle shard materialization (the global
+permutation every pretraining run consumes), incremental LSH-index
+MAINTENANCE driven by a corpus snapshot diff (delta-apply == full
+rebuild, signatures computed only for the delta), and URL
+canonicalization + variant dedup (the first normalization pass of a
+web corpus). Value oracles where ANSI-expressible; the xxhash-based
+index-equality contract is a Spark-verified literal-1 check beside
+SQL-exact per-status row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.plans.registry import register
+from accident_prediction_montreal_spark.sources.registry import load_table
+
+_N_SHARDS = 16
+_SHARD_SALT = 5
+
+
+def _shuffle_shards_oracle() -> str:
+    from accident_prediction_montreal_spark.operators.mixing import lcg_uniform_sql
+
+    u = lcg_uniform_sql("doc_id", salt=_SHARD_SALT)
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars, {u} AS u,
+        CAST(LEAST(FLOOR({u} * {_N_SHARDS}), {_N_SHARDS - 1}) AS BIGINT)
+          AS shard_id
+      FROM documents
+    ),
+    pos AS (
+      SELECT shard_id, doc_id, n_chars,
+        ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY u, doc_id) AS p
+      FROM keyed
+    )
+    SELECT shard_id,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+      CAST(SUM(p * doc_id) AS BIGINT) AS perm_checksum
+    FROM pos GROUP BY shard_id ORDER BY shard_id
+    """
+
+
+@register(
+    "llm_shuffle_shards",
+    oracle=None,  # set below: needs lcg_uniform_sql at import time
+    description="TRAINING-SHUFFLE SHARD MATERIALIZATION — the global "
+    "deterministic permutation every pretraining run consumes: each "
+    "document draws a seeded LCG uniform (operators/mixing.lcg_uniform, "
+    f"salt {_SHARD_SALT}), shard_id = floor(u * {_N_SHARDS}) assigns it "
+    "to one of "
+    f"{_N_SHARDS} shards WITHOUT a global sort (uniform u ==> balanced "
+    "shards in expectation; the rank-free assignment is the 100-TB "
+    "design — NTILE-style exact balance would demand a total order "
+    "over the corpus), and the within-shard training order is "
+    "(u, doc_id). Output pins the BYTE ORDER, not just membership: "
+    "per-shard counts/id/char sums plus a position-weighted checksum "
+    "sum(pos * doc_id) over the within-shard rank — any transposition "
+    "anywhere changes it. Plan: one shuffle keyed by shard_id (the "
+    "same exchange the shard WRITE pays; writers chain "
+    ".repartition(shard_id).sortWithinPartitions(u) into a partitioned "
+    "sink — the S3 partitioned-write path), window + aggregate reuse "
+    "that partitioning with no further exchange. Oracle: identical "
+    "seeded assignment + window in DuckDB via the shared "
+    "lcg_uniform_sql generator.",
+)
+def llm_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from accident_prediction_montreal_spark.operators.mixing import lcg_uniform
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    u = lcg_uniform(F.col("doc_id"), salt=_SHARD_SALT)
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        u.alias("u"),
+        F.least(F.floor(u * _N_SHARDS), F.lit(_N_SHARDS - 1))
+        .cast("long")
+        .alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("u", "doc_id")
+    pos = keyed.withColumn("p", F.row_number().over(w))
+    return (
+        pos.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+            F.sum(F.col("p") * F.col("doc_id"))
+            .cast("long")
+            .alias("perm_checksum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+from accident_prediction_montreal_spark.plans.registry import (  # noqa: E402
+    REGISTRY as _REG,
+)
+from accident_prediction_montreal_spark.plans.registry import (  # noqa: E402
+    QuerySpec as _QS,
+)
+
+_REG["llm_shuffle_shards"] = _QS(
+    fn=_REG["llm_shuffle_shards"].fn,
+    oracle=_shuffle_shards_oracle(),
+    description=_REG["llm_shuffle_shards"].description,
+)
+
+
+# --- incremental index maintenance -------------------------------------------
+
+# Snapshot B: the SAME planted revision as llm_corpus_diff (every 41st
+# doc's text revised, every 43rd dropped, every 47th re-added at
+# +300000) so the two queries tell one incremental-pipeline story.
+_SQL_SNAPSHOT_B = """
+      SELECT doc_id, text || ' [rev2]' AS text
+      FROM documents WHERE doc_id % 41 = 0
+      UNION ALL
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 41 <> 0 AND doc_id % 43 <> 0
+      UNION ALL
+      SELECT doc_id + 300000, text FROM documents WHERE doc_id % 47 = 0
+"""
+
+# A doc contributes LSH band rows iff it has at least one word 3-gram
+# shingle, i.e. >= 3 whitespace tokens (operators/dedup.py:
+# word_shingle_hashes -> explode drops empty shingle arrays). 8 bands
+# per indexed doc (num_hashes=32 / bands=8 defaults).
+_SQL_HAS_SHINGLES = (
+    "len(CASE WHEN text IS NULL OR trim(lower(text)) = '' "
+    "THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) >= 3"
+)
+
+
+def _index_maintenance_oracle() -> str:
+    return f"""
+    WITH b AS ({_SQL_SNAPSHOT_B}),
+    d AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        CASE
+          WHEN a.doc_id IS NULL THEN 'added'
+          WHEN b.doc_id IS NULL THEN 'removed'
+          WHEN md5(a.text) IS DISTINCT FROM md5(b.text) THEN 'changed'
+          ELSE 'unchanged'
+        END AS status
+      FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    ),
+    counts AS (SELECT status, COUNT(*) AS n FROM d GROUP BY status),
+    facts AS (
+      SELECT 'docs_' || status AS facet, CAST(n AS BIGINT) AS n FROM counts
+      UNION ALL
+      SELECT 'rows_deleted', CAST(8 * COUNT(*) AS BIGINT)
+      FROM documents a JOIN d USING (doc_id)
+      WHERE d.status IN ('removed', 'changed') AND {_SQL_HAS_SHINGLES}
+      UNION ALL
+      SELECT 'rows_inserted', CAST(8 * COUNT(*) AS BIGINT)
+      FROM b JOIN d USING (doc_id)
+      WHERE d.status IN ('added', 'changed') AND {_SQL_HAS_SHINGLES}
+      UNION ALL
+      SELECT 'rows_final', CAST(8 * COUNT(*) AS BIGINT)
+      FROM b WHERE {_SQL_HAS_SHINGLES}
+      UNION ALL
+      SELECT 'delta_equals_rebuild', CAST(1 AS BIGINT)
+    )
+    SELECT facet, n FROM facts ORDER BY facet
+    """
+
+
+@register(
+    "llm_index_maintenance",
+    oracle=None,  # set below (composed SQL)
+    description="INCREMENTAL LSH-INDEX MAINTENANCE — the at-rest dedup "
+    "index (operators/dedup.banded_signatures: one (doc, band_id, "
+    "band_hash) row per band) kept current from a corpus snapshot diff "
+    "instead of a rebuild: corpus_diff(A, B) classifies docs, stale "
+    "index rows (removed + changed) leave via an anti-join on doc id, "
+    "and MinHash signatures are computed ONLY for the delta (added + "
+    "changed) — at 100 TB the maintenance cost is O(|delta|) signature "
+    "work + an anti-join against the slim 3-column index, never a "
+    "corpus re-signature. CONTRACT: the maintained index must equal "
+    "the from-scratch rebuild of B exactly — verified Spark-side by "
+    "symmetric anti-joins on (doc, band_id, band_hash) (xxhash64 band "
+    "hashes have no ANSI form, so that check is a literal-1 oracle "
+    "row), while per-status doc counts and index-row deltas are "
+    "SQL-exact: a doc carries 8 band rows iff it has >= 3 tokens "
+    "(word 3-gram shingles exist), which the oracle computes from the "
+    "same tokenizer convention. At rest the index stays partitioned on "
+    "(band_id, band_hash) (the probe key — see st_incremental_dedup); "
+    "deletions land as doc-id tombstones folded in on compaction, "
+    "expressed here as the anti-join.",
+)
+def llm_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark import cachereg
+    from accident_prediction_montreal_spark.operators.dedup import (
+        banded_signatures,
+    )
+    from accident_prediction_montreal_spark.operators.text import corpus_diff
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    b = (
+        docs.filter(F.col("doc_id") % 41 == 0)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"))
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 41 != 0) & (F.col("doc_id") % 43 != 0)
+            ).select("doc_id", "text")
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 47 == 0).select(
+                (F.col("doc_id") + 300_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    # diff feeds four consumers (status counts, stale set, fresh set);
+    # it is tiny ((id, status) rows) — persist, lifecycle via cachereg.
+    diff = corpus_diff(docs, b).persist()
+    cachereg.register("plans.llm_index_maintenance", diff)
+
+    bands = ["doc", "band_id", "band_hash"]
+    idx_a = banded_signatures(docs).select(*bands)
+    stale = diff.filter(F.col("status").isin("removed", "changed")).select(
+        F.col("doc_id").alias("doc")
+    )
+    fresh_docs = b.join(
+        diff.filter(F.col("status").isin("added", "changed")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    inserted = banded_signatures(fresh_docs).select(*bands)
+    kept = idx_a.join(stale, "doc", "left_anti")
+    maintained = kept.unionByName(inserted)
+    rebuild = banded_signatures(b).select(*bands)
+
+    mismatches = (
+        maintained.join(rebuild, bands, "left_anti")
+        .unionByName(rebuild.join(maintained, bands, "left_anti"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("delta_equals_rebuild").alias("facet"),
+            (F.col("n") == 0).cast("long").alias("n"),
+        )
+    )
+    doc_counts = diff.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(F.concat(F.lit("docs_"), F.col("status")).alias("facet"), "n")
+
+    def one(facet: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(facet).alias("facet"), "n"
+        )
+
+    facts = (
+        doc_counts.unionByName(one("rows_deleted", idx_a.join(stale, "doc", "left_semi")))
+        .unionByName(one("rows_inserted", inserted))
+        .unionByName(one("rows_final", maintained))
+        .unionByName(mismatches)
+    )
+    return facts.orderBy("facet")
+
+
+_REG["llm_index_maintenance"] = _QS(
+    fn=_REG["llm_index_maintenance"].fn,
+    oracle=_index_maintenance_oracle(),
+    description=_REG["llm_index_maintenance"].description,
+)
+
+
+# --- URL canonicalization + variant dedup -------------------------------------
+
+
+def _url_fixture_sql() -> str:
+    """Raw-URL fixture as SQL: 4 decorated variants per base page (the
+    same closed-form construction as the Spark side below)."""
+    return """
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'https://d' || CAST((doc_id // 4) % 50 AS VARCHAR)
+            || '.example.com/p/' || CAST(doc_id // 4 AS VARCHAR)
+          WHEN 1 THEN 'https://d' || CAST((doc_id // 4) % 50 AS VARCHAR)
+            || '.example.com/p/' || CAST(doc_id // 4 AS VARCHAR)
+            || '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 9 AS VARCHAR)
+          WHEN 2 THEN 'HTTPS://WWW.D' || CAST((doc_id // 4) % 50 AS VARCHAR)
+            || '.EXAMPLE.COM/p/' || CAST(doc_id // 4 AS VARCHAR)
+          ELSE 'https://d' || CAST((doc_id // 4) % 50 AS VARCHAR)
+            || '.example.com:443/p/' || CAST(doc_id // 4 AS VARCHAR)
+            || '/#sec' || CAST(doc_id % 5 AS VARCHAR)
+        END AS url
+      FROM documents
+    """
+
+
+def _url_canonicalize_oracle() -> str:
+    from accident_prediction_montreal_spark.functions.url import (
+        canonicalize_url_sql,
+    )
+
+    canon = canonicalize_url_sql("url")
+    return f"""
+    WITH raw AS ({_url_fixture_sql()}),
+    canon AS (
+      SELECT doc_id, {canon} AS curl FROM raw
+    ),
+    per_url AS (
+      SELECT curl,
+        regexp_extract(curl, '^https?://([^/]*)', 1) AS domain,
+        COUNT(*) AS n_variants, MIN(doc_id) AS canonical_doc_id
+      FROM canon GROUP BY curl
+    )
+    SELECT domain,
+      CAST(SUM(n_variants) AS BIGINT) AS n_urls_raw,
+      CAST(COUNT(*) AS BIGINT) AS n_urls_canonical,
+      CAST(SUM(n_variants) - COUNT(*) AS BIGINT) AS n_dup_variants,
+      CAST(SUM(canonical_doc_id) AS BIGINT) AS canonical_id_sum
+    FROM per_url GROUP BY domain ORDER BY domain
+    """
+
+
+@register(
+    "llm_url_canonicalize",
+    oracle=None,  # set below (composed SQL)
+    description="URL CANONICALIZATION + VARIANT DEDUP — the first "
+    "normalization pass of a web corpus (CCNet-style pipelines dedup "
+    "on the canonical URL before any content hashing): lowercase "
+    "scheme/host, strip www. and default ports, drop fragments, remove "
+    "tracking parameters (utm_*/fbclid/gclid, other params preserved), "
+    "strip trailing slashes (functions/url.canonicalize_url — pure "
+    "regexp/lower column expressions inside whole-stage codegen, no "
+    "UDF), then per-domain rollup: raw vs canonical URL counts, "
+    "collapsed-variant count, canonical-representative id checksum. "
+    "Fixture: 4 closed-form decorated variants per base page "
+    "(plain / +utm / WWW+uppercase / :443+trailing-slash+fragment) "
+    "that MUST collapse to one canonical URL each. Plan: one map pass "
+    "+ two map-side-combined aggregates (per-URL then per-domain). "
+    "Oracle: the identical regex pipeline in DuckDB via the shared "
+    "functions/url.canonicalize_url_sql builder, so the two "
+    "canonicalizers cannot drift.",
+)
+def llm_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.functions.url import canonicalize_url
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    base = (F.col("doc_id") / 4).cast("long")
+    dom_n = (base % 50).cast("string")
+    page = base.cast("string")
+    v = (F.col("doc_id") % 4).cast("int")
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("https://d"), dom_n, F.lit(".example.com/p/"), page
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("https://d"), dom_n, F.lit(".example.com/p/"), page,
+                F.lit("?utm_source=feed&utm_campaign=c"),
+                (F.col("doc_id") % 9).cast("string"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("HTTPS://WWW.D"), dom_n, F.lit(".EXAMPLE.COM/p/"), page
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://d"), dom_n, F.lit(".example.com:443/p/"), page,
+                F.lit("/#sec"), (F.col("doc_id") % 5).cast("string"),
+            )
+        )
+    )
+    canon = docs.select("doc_id", canonicalize_url(url).alias("curl"))
+    per_url = canon.groupBy("curl").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    ).withColumn(
+        "domain", F.regexp_extract(F.col("curl"), "^https?://([^/]*)", 1)
+    )
+    return (
+        per_url.groupBy("domain")
+        .agg(
+            F.sum("n_variants").cast("long").alias("n_urls_raw"),
+            F.count(F.lit(1)).cast("long").alias("n_urls_canonical"),
+            (F.sum("n_variants") - F.count(F.lit(1)))
+            .cast("long")
+            .alias("n_dup_variants"),
+            F.sum("canonical_doc_id").cast("long").alias("canonical_id_sum"),
+        )
+        .orderBy("domain")
+    )
+
+
+_REG["llm_url_canonicalize"] = _QS(
+    fn=_REG["llm_url_canonicalize"].fn,
+    oracle=_url_canonicalize_oracle(),
+    description=_REG["llm_url_canonicalize"].description,
+)

@@ -1,0 +1,60 @@
+"""functions/url.canonicalize_url — edge cases beyond the fixture.
+
+The registered query's fixture only exercises the collapse of its four
+decorated variants; these tests pin the general contract: preserved
+non-tracking params (in order), non-default ports kept, scheme-specific
+default-port stripping, path case preserved, root handling.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.functions.url import (
+    canonicalize_url,
+    canonicalize_url_sql,
+)
+
+CASES = [
+    # (raw, canonical)
+    ("https://example.com/a/b", "https://example.com/a/b"),
+    ("HTTPS://WWW.Example.COM/A/b", "https://example.com/A/b"),  # path case kept
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("http://example.com:443/a", "http://example.com:443/a"),  # not http default
+    ("https://example.com:8443/a", "https://example.com:8443/a"),
+    ("https://example.com/a/#frag", "https://example.com/a"),
+    ("https://example.com/a?id=3&utm_source=x", "https://example.com/a?id=3"),
+    ("https://example.com/a?utm_source=x&id=3", "https://example.com/a?id=3"),
+    (
+        "https://example.com/a?utm_source=x&id=3&utm_campaign=y&z=4",
+        "https://example.com/a?id=3&z=4",
+    ),
+    ("https://example.com/a?utm_source=x&fbclid=abc", "https://example.com/a"),
+    ("https://example.com/a?gclid=1#f", "https://example.com/a"),
+    ("https://example.com/", "https://example.com"),
+    ("https://example.com///", "https://example.com"),
+    ("https://wwwx.example.com/a", "https://wwwx.example.com/a"),  # not www.
+]
+
+
+def test_canonicalize_url_spark(spark):
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(CASES)], ["i", "url"])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, f"{raw!r}: got {got[i]!r}, want {want!r}"
+
+
+def test_canonicalize_url_sql_mirror_matches():
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    expr = canonicalize_url_sql("url")
+    for raw, want in CASES:
+        got = con.sql(
+            f"SELECT {expr} AS c FROM (SELECT ? AS url)", params=[raw]
+        ).fetchone()[0]
+        assert got == want, f"{raw!r}: duckdb got {got!r}, want {want!r}"
