@@ -180,6 +180,10 @@ EXTENDED = [
     "llm_source_quota",
     "llm_corpus_diff",
     "st_source_quota_stream",
+    # appended r11:
+    "llm_shuffle_shards",
+    "llm_index_maintenance",
+    "llm_url_canonicalize",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read
