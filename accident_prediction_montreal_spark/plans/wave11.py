@@ -65,7 +65,12 @@ def _shuffle_shards_oracle() -> str:
     "same exchange the shard WRITE pays; writers chain "
     ".repartition(shard_id).sortWithinPartitions(u) into a partitioned "
     "sink — the S3 partitioned-write path), window + aggregate reuse "
-    "that partitioning with no further exchange. Oracle: identical "
+    "that partitioning with no further exchange. Post-shuffle "
+    "parallelism == n_shards and each task sorts one shard, so the "
+    "shard count is a function of CORPUS size, not cluster size: pick "
+    "shards of a few hundred MB (1e4-1e6 shards at 100 TB — exactly "
+    "why real training corpora ship as many small shard files); the "
+    "fixture's 16 matches the gate scale. Oracle: identical "
     "seeded assignment + window in DuckDB via the shared "
     "lcg_uniform_sql generator.",
 )
