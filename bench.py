@@ -241,6 +241,9 @@ def run_headline(spark, sf_dir: str, runs: int) -> dict:
     from accident_prediction_montreal_spark.plans.wave10 import (
         _st_incremental_dedup_impl,
     )
+    from accident_prediction_montreal_spark.plans.wave11 import (
+        _llm_index_maintenance_impl,
+    )
 
     stage_splits: dict = {}
     for split_name, impl in (
@@ -248,6 +251,7 @@ def run_headline(spark, sf_dir: str, runs: int) -> dict:
         ("x21_ann_pruned_layout", _x21_ann_pruned_layout_impl),
         ("er_golden_records", _er_golden_records_impl),
         ("mm_png_decode", _mm_png_decode_impl),
+        ("llm_index_maintenance", _llm_index_maintenance_impl),
     ):
         spark.catalog.clearCache()
         cachereg.release_all()
