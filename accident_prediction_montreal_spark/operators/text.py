@@ -512,6 +512,12 @@ def corpus_diff(
     carries (id, 32-byte digest) rows, never text; snapshots
     bucketed/partitioned by id at rest co-locate the join with no
     re-shuffle at all.
+
+    Preconditions: ``id_col`` must be unique within each snapshot (a
+    duplicated id cross-matches in the full-outer join and yields one
+    status row per pairing); NULL text is allowed — the digest compare
+    is null-safe, so NULL<->non-NULL transitions classify as
+    ``changed`` and NULL->NULL as ``unchanged`` (property-tested).
     """
     ha = a.select(F.col(id_col).alias("__a_id"), F.md5(text_col).alias("__a_h"))
     hb = b.select(F.col(id_col).alias("__b_id"), F.md5(text_col).alias("__b_h"))

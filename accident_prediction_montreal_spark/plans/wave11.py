@@ -398,7 +398,10 @@ def llm_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from accident_prediction_montreal_spark.functions.url import canonicalize_url
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
-    base = (F.col("doc_id") / 4).cast("long")
+    # integer `div`, not a double `/` + cast: double math truncates
+    # differently for ids past 2^53 and `//` floors — keep the fixture
+    # exact at any id width (mirrors the oracle's `//`).
+    base = F.expr("doc_id div 4")
     dom_n = (base % 50).cast("string")
     page = base.cast("string")
     v = (F.col("doc_id") % 4).cast("int")
