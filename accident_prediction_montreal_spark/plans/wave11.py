@@ -459,3 +459,217 @@ _REG["llm_url_canonicalize"] = _QS(
     oracle=_url_canonicalize_oracle(),
     description=_REG["llm_url_canonicalize"].description,
 )
+
+
+# --- incremental embedding refresh --------------------------------------------
+
+
+def _embedding_refresh_oracle() -> str:
+    return f"""
+    WITH b AS ({_SQL_SNAPSHOT_B}),
+    d AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        CASE
+          WHEN a.doc_id IS NULL THEN 'added'
+          WHEN b.doc_id IS NULL THEN 'removed'
+          WHEN md5(a.text) IS DISTINCT FROM md5(b.text) THEN 'changed'
+          ELSE 'unchanged'
+        END AS status
+      FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    ),
+    facts AS (
+      SELECT 'docs_' || status AS facet, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY status
+      UNION ALL
+      SELECT 'emb_recomputed', CAST(COUNT(*) AS BIGINT)
+      FROM d WHERE status IN ('added', 'changed')
+      UNION ALL
+      SELECT 'emb_carried', CAST(COUNT(*) AS BIGINT)
+      FROM d WHERE status = 'unchanged'
+      UNION ALL
+      SELECT 'emb_final', CAST(COUNT(*) AS BIGINT) FROM b
+      UNION ALL
+      SELECT 'refresh_equals_recompute', CAST(1 AS BIGINT)
+    )
+    SELECT facet, n FROM facts ORDER BY facet
+    """
+
+
+@register(
+    "llm_embedding_refresh",
+    oracle=None,  # set below (composed SQL)
+    description="INCREMENTAL EMBEDDING REFRESH — the third leg of the "
+    "snapshot-delta trilogy (llm_corpus_diff classifies, "
+    "llm_index_maintenance patches the dedup index, THIS patches the "
+    "embedding table): the ENCODER is the expensive stage of a real "
+    "pipeline (GPU inference), so unchanged documents CARRY their "
+    "existing vectors via a join against the old embedding table — the "
+    "model runs only on added + changed docs, O(|delta|) inference "
+    "instead of O(|corpus|). The encoder here is a deterministic "
+    "Arrow-batched mapInPandas stub (numpy hash of the text bytes -> "
+    "unit 8-dim vector; a real sentence encoder plugs into the same "
+    "batch signature — the Spark-side plumbing, schema and batching "
+    "are the real thing). CONTRACT: the refreshed table must equal a "
+    "full re-encode of snapshot B exactly — verified Spark-side by an "
+    "element-wise vector compare (the stub has no ANSI form, so that "
+    "check is a literal-1 oracle row), while per-status doc counts and "
+    "recomputed/carried/final row counts are SQL-exact from the same "
+    "md5 diff the trilogy shares. At rest both snapshots and the "
+    "embedding table are id-partitioned, so the carry join and the "
+    "diff co-locate shuffle-free.",
+)
+def llm_embedding_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _llm_embedding_refresh_impl(spark, sf_dir)
+
+
+def _llm_embedding_refresh_impl(
+    spark: SparkSession, sf_dir: str, timings: dict | None = None
+) -> DataFrame:
+    """Body of llm_embedding_refresh. ``timings``, when a dict, gets
+    ``encode_base_s`` (embedding table of A — pre-exists in production),
+    ``refresh_s`` (the OPERATOR: diff + delta encode + carry join),
+    ``verify_s`` (full re-encode + compare — the cost the operator
+    avoids), ``plan_setup_s``/``total_s``."""
+    import time as _time
+
+    _impl_t0 = _time.perf_counter()
+
+    from accident_prediction_montreal_spark import cachereg
+    from accident_prediction_montreal_spark.operators.text import corpus_diff
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    b = (
+        docs.filter(F.col("doc_id") % 41 == 0)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"))
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 41 != 0) & (F.col("doc_id") % 43 != 0)
+            ).select("doc_id", "text")
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 47 == 0).select(
+                (F.col("doc_id") + 300_000).alias("doc_id"), "text"
+            )
+        )
+    )
+
+    emb_a = _encode_stub(docs)
+    if timings is not None:
+        _t0 = _time.perf_counter()
+        emb_a = emb_a.persist()
+        emb_a.count()
+        timings["encode_base_s"] = round(_time.perf_counter() - _t0, 3)
+        _t0 = _time.perf_counter()
+
+    diff = corpus_diff(docs, b).persist()
+    cachereg.register("plans.llm_embedding_refresh", diff)
+    carried = emb_a.join(
+        diff.filter(F.col("status") == "unchanged").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    fresh_docs = b.join(
+        diff.filter(F.col("status").isin("added", "changed")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    recomputed = _encode_stub(fresh_docs)
+    refreshed = carried.unionByName(recomputed)
+    if timings is not None:
+        refreshed = refreshed.persist()
+        recomputed = recomputed.persist()
+        refreshed.count()
+        timings["refresh_s"] = round(_time.perf_counter() - _t0, 3)
+        _verify_t0 = _time.perf_counter()
+
+    recompute_full = _encode_stub(b)
+    joined = refreshed.alias("r").join(
+        recompute_full.alias("f"), "doc_id", "full_outer"
+    )
+    n_bad = joined.filter(
+        ~F.expr(
+            "r.embedding IS NOT NULL AND f.embedding IS NOT NULL "
+            "AND r.embedding = f.embedding"
+        )
+    )
+    mismatches = n_bad.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("refresh_equals_recompute").alias("facet"),
+        (F.col("n") == 0).cast("long").alias("n"),
+    )
+    doc_counts = diff.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(F.concat(F.lit("docs_"), F.col("status")).alias("facet"), "n")
+
+    def one(facet: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(facet).alias("facet"), "n"
+        )
+
+    facts = (
+        doc_counts.unionByName(one("emb_recomputed", recomputed))
+        .unionByName(one("emb_carried", carried))
+        .unionByName(one("emb_final", refreshed))
+        .unionByName(mismatches)
+    ).orderBy("facet")
+    if timings is not None:
+        facts = facts.persist()
+        facts.count()
+        timings["verify_s"] = round(_time.perf_counter() - _verify_t0, 3)
+        wall = _time.perf_counter() - _impl_t0
+        staged = (
+            timings["encode_base_s"]
+            + timings["refresh_s"]
+            + timings["verify_s"]
+        )
+        timings["plan_setup_s"] = round(max(0.0, wall - staged), 3)
+        timings["total_s"] = round(wall, 3)
+        refreshed.unpersist()
+        recomputed.unpersist()
+        emb_a.unpersist()
+    return facts
+
+
+def _encode_stub(docs: DataFrame, dim: int = 8) -> DataFrame:
+    """Deterministic encoder STUB with a real model-serving shape:
+    Arrow-batched mapInPandas over (doc_id, text) -> (doc_id,
+    embedding array<double>) — the batch signature a sentence encoder
+    (or a Triton/vLLM client) plugs into. Vector = md5(text) bytes
+    folded into ``dim`` doubles in [0,1), L2-normalized; NULL text
+    encodes as the zero vector (a real pipeline would filter first).
+    Deterministic across runs/layouts so refresh-vs-recompute equality
+    is byte-exact."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            vecs = []
+            for t in pdf["text"]:
+                if t is None:
+                    vecs.append([0.0] * dim)
+                    continue
+                h = hashlib.md5(t.encode("utf-8")).digest()
+                raw = np.frombuffer(h, dtype=np.uint16).astype(np.float64)
+                v = (raw[:dim] % 4096) / 4096.0
+                n = float(np.sqrt((v * v).sum()))
+                vecs.append(list(v / n) if n > 0 else [0.0] * dim)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
+
+    return docs.mapInPandas(encode, schema=out_schema)
+
+
+_REG["llm_embedding_refresh"] = _QS(
+    fn=_REG["llm_embedding_refresh"].fn,
+    oracle=_embedding_refresh_oracle(),
+    description=_REG["llm_embedding_refresh"].description,
+)
