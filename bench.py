@@ -184,6 +184,7 @@ EXTENDED = [
     "llm_shuffle_shards",
     "llm_index_maintenance",
     "llm_url_canonicalize",
+    "llm_embedding_refresh",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read
@@ -242,6 +243,7 @@ def run_headline(spark, sf_dir: str, runs: int) -> dict:
         _st_incremental_dedup_impl,
     )
     from accident_prediction_montreal_spark.plans.wave11 import (
+        _llm_embedding_refresh_impl,
         _llm_index_maintenance_impl,
     )
 
@@ -252,6 +254,7 @@ def run_headline(spark, sf_dir: str, runs: int) -> dict:
         ("er_golden_records", _er_golden_records_impl),
         ("mm_png_decode", _mm_png_decode_impl),
         ("llm_index_maintenance", _llm_index_maintenance_impl),
+        ("llm_embedding_refresh", _llm_embedding_refresh_impl),
     ):
         spark.catalog.clearCache()
         cachereg.release_all()
