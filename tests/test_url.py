@@ -58,3 +58,31 @@ def test_canonicalize_url_sql_mirror_matches():
             f"SELECT {expr} AS c FROM (SELECT ? AS url)", params=[raw]
         ).fetchone()[0]
         assert got == want, f"{raw!r}: duckdb got {got!r}, want {want!r}"
+
+
+def test_canonicalize_url_idempotent(spark):
+    # The defining property of a canonicalizer: applying it to its own
+    # output is the identity. Exercise a grid of component combinations
+    # (scheme case x www x port x path tails x tracking/kept params x
+    # fragment) rather than hand-picked strings.
+    from itertools import product
+
+    raws = []
+    for scheme, www, port, tail, query, frag in product(
+        ["https", "HTTPS", "http"],
+        ["", "www."],
+        ["", ":443", ":8443"],
+        ["", "/", "/a/b", "/a/b/"],
+        ["", "?utm_source=x", "?id=1&utm_medium=m", "?utm_a=1&id=2"],
+        ["", "#frag"],
+    ):
+        raws.append(f"{scheme}://{www}Example.com{port}{tail}{query}{frag}")
+    from accident_prediction_montreal_spark.functions.url import canonicalize_url
+
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(raws)], ["i", "url"])
+    once = df.select("i", canonicalize_url("url").alias("c1"))
+    twice = once.select("i", "c1", canonicalize_url("c1").alias("c2"))
+    bad = [
+        (r["c1"], r["c2"]) for r in twice.collect() if r["c1"] != r["c2"]
+    ]
+    assert not bad, f"not idempotent, e.g. {bad[:3]}"
