@@ -185,6 +185,7 @@ EXTENDED = [
     "llm_index_maintenance",
     "llm_url_canonicalize",
     "llm_embedding_refresh",
+    "st_corpus_diff_stream",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read
