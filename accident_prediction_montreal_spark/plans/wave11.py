@@ -246,6 +246,13 @@ def _llm_index_maintenance_impl(
     cachereg.register("plans.llm_index_maintenance", diff)
 
     bands = ["doc", "band_id", "band_hash"]
+    # The fact branches re-reference idx_a/maintained/rebuild; the
+    # planned tree shows 93 parquet scans, but persisting them was
+    # MEASURED as a non-win at sf0.1 (4.35 -> 4.58 s min-of-3): AQE
+    # reuses the identical signature-aggregate exchanges at runtime,
+    # and at 100 TB the at-rest index is a parquet table, not a
+    # recomputation — so the branches would read cheap pruned parquet,
+    # and caching corpus-scale frames would be the real anti-pattern.
     idx_a = banded_signatures(docs).select(*bands)
     if timings is not None:
         # The at-rest index of A pre-exists in production (one-off
@@ -553,6 +560,11 @@ def _llm_embedding_refresh_impl(
         )
     )
 
+    # emb_a / refreshed / recompute_full feed several fact branches;
+    # persisting them was measured as a non-win at sf0.1 (1.74 ->
+    # 2.01 s) — AQE exchange reuse covers the recompute, and the
+    # production embedding table is at rest anyway (see the
+    # llm_index_maintenance note).
     emb_a = _encode_stub(docs)
     if timings is not None:
         _t0 = _time.perf_counter()
