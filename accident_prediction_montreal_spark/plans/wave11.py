@@ -1,11 +1,14 @@
 """Wave-11 queries (r11): the remaining LLM-curation staples —
 deterministic training-shuffle shard materialization (the global
-permutation every pretraining run consumes), incremental LSH-index
-MAINTENANCE driven by a corpus snapshot diff (delta-apply == full
-rebuild, signatures computed only for the delta), and URL
+permutation every pretraining run consumes), the snapshot-delta
+trilogy completions driven by llm_corpus_diff (incremental LSH-index
+MAINTENANCE: delta-apply == full rebuild with signatures computed only
+for the delta; incremental EMBEDDING REFRESH: carry unchanged vectors,
+re-encode only the delta; and the streaming digest CHANGE FILTER that
+suppresses no-op upserts statefully with a full value oracle), and URL
 canonicalization + variant dedup (the first normalization pass of a
-web corpus). Value oracles where ANSI-expressible; the xxhash-based
-index-equality contract is a Spark-verified literal-1 check beside
+web corpus). Value oracles where ANSI-expressible; the xxhash/stub
+equality contracts are Spark-verified literal-1 checks beside
 SQL-exact per-status row counts.
 """
 
