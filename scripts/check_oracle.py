@@ -1,6 +1,11 @@
 """Local correctness harness: run every registered query on Spark AND its
 DuckDB oracle, compare row count, column names and order-insensitive
-value hash — a local approximation of the driver's t2 gate.
+value hash — a local approximation of the driver's t2 gate. Oracle
+result types are additionally gated against _SAFE_TYPES (no HUGEINT/
+DECIMAL/UINTEGER): fetchall() yields Python ints for HUGEINT and hides
+exactly the divergence the driver's arrow/pandas canonicalization sees
+(the r9/r10 llm_dataset_card red; tests/test_oracle_types.py is the
+registry-wide twin of this gate).
 
 Runs under a VANILLA SparkSession by default (ANSI on, Spark 4 defaults,
 no engine conf) to mirror the grading harness: queries must be
