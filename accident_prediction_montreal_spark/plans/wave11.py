@@ -693,6 +693,39 @@ _REG["llm_embedding_refresh"] = _QS(
 # --- streaming digest change filter (CDC twin of the trilogy) -----------------
 
 
+def _fold_digest_revisions(st_rev, st_dig, ids, revs, texts):
+    """Pure fold of one state shard's batch slice — extracted so the
+    stream's two contracts are directly property-testable
+    (test_properties.py): (a) emissions are identical under ANY split
+    of rev-ordered delivery into batches; (b) the final state is
+    identical under ANY arrival order (a stale rev <= seen is dropped,
+    never re-emitted). Mutates st_rev/st_dig in place (the caller owns
+    the state round-trip); returns (out_ids, out_revs, out_statuses).
+    """
+    import hashlib
+
+    order = sorted(range(len(ids)), key=lambda k: (revs[k], ids[k]))
+    out_id, out_rev, out_status = [], [], []
+    for k in order:
+        i, rev, t = ids[k], int(revs[k]), texts[k]
+        last = st_rev.get(i)
+        if last is not None and last >= rev:
+            continue  # stale replay: drop
+        dg = None if t is None else hashlib.md5(t.encode("utf-8")).hexdigest()
+        if last is None:
+            status = "added"
+        elif st_dig[i] != dg:  # None-safe: both-None == unchanged
+            status = "changed"
+        else:
+            status = "unchanged"
+        out_id.append(i)
+        out_rev.append(rev)
+        out_status.append(status)
+        st_rev[i] = rev
+        st_dig[i] = dg
+    return out_id, out_rev, out_status
+
+
 def _corpus_diff_stream_oracle() -> str:
     return f"""
     WITH b AS ({_SQL_SNAPSHOT_B}),
@@ -732,9 +765,14 @@ def _corpus_diff_stream_oracle() -> str:
     "(re-embed, re-index, re-screen). Statuses are REV-order driven "
     "(rows fold per key sorted by rev, state advances monotonically; "
     "stale rev <= seen is dropped), so the emitted classification is "
-    "identical whatever the micro-batch boundaries or arrival order — "
-    "which is what makes a full VALUE oracle possible for a stateful "
-    "stream: md5 is byte-identical across engines, so the per-rev "
+    "identical under ANY split of rev-ordered delivery into "
+    "micro-batches, and the FINAL STATE (max rev + its digest per doc) "
+    "is identical under ANY arrival order — an out-of-order replay "
+    "degrades gracefully: its stale revisions are dropped, not "
+    "re-emitted (both properties hypothesis-tested, "
+    "test_properties.py). The mtime-pinned fixture delivers revs in "
+    "order, which is what makes a full VALUE oracle possible for a "
+    "stateful stream: md5 is byte-identical across engines, so the per-rev "
     "status counts + id sums equal the batch diff SQL exactly (only "
     "'removed' is absent — upsert streams cannot see deletions without "
     "tombstones; the batch diff llm_corpus_diff covers those). State "
@@ -744,7 +782,6 @@ def _corpus_diff_stream_oracle() -> str:
     "measured 4x).",
 )
 def st_corpus_diff_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
     from collections.abc import Iterator
 
@@ -827,33 +864,10 @@ def st_corpus_diff_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             st_rev, st_dig = {}, {}
         pdf = pd.concat(list(pdfs))
-        out_id: list[int] = []
-        out_rev: list[int] = []
-        out_status: list[str] = []
-        # fold distinct revs ascending: statuses are rev-order driven,
-        # so micro-batch boundaries and arrival order cannot matter
-        for rev, sub in pdf.sort_values("rev").groupby("rev", sort=True):
-            rev = int(rev)
-            ids = sub["doc_id"].tolist()
-            digests = [
-                None if t is None else hashlib.md5(t.encode("utf-8")).hexdigest()
-                for t in sub["text"]
-            ]
-            for i, dg in zip(ids, digests):
-                last = st_rev.get(i)
-                if last is not None and last >= rev:
-                    continue  # stale replay: drop
-                if last is None:
-                    status = "added"
-                elif st_dig[i] != dg:  # None-safe: both-None == unchanged
-                    status = "changed"
-                else:
-                    status = "unchanged"
-                out_id.append(i)
-                out_rev.append(rev)
-                out_status.append(status)
-                st_rev[i] = rev
-                st_dig[i] = dg
+        out_id, out_rev, out_status = _fold_digest_revisions(
+            st_rev, st_dig, pdf["doc_id"].tolist(), pdf["rev"].tolist(),
+            pdf["text"].tolist(),
+        )
         keys = list(st_rev.keys())
         state.update(
             (keys, [st_rev[k] for k in keys], [st_dig[k] for k in keys])

@@ -890,3 +890,64 @@ def test_local_topk_pretruncate_preserves_window_topk(spark, corpus, k, nparts):
     # <= nparts * n_sources * k rows survive the combiner.
     n_sources = len({s for _, s in corpus})
     assert pruned.count() <= nparts * n_sources * k
+
+
+# --- streaming digest fold: split- and order-invariance -----------------------
+
+# Events: (doc_id in small range, rev 1-4, text variant or None).
+digest_events = st.lists(
+    st.tuples(
+        st.integers(0, 6),
+        st.integers(1, 4),
+        st.one_of(st.none(), st.integers(0, 2).map(lambda i: f"v{i}")),
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+
+def _run_fold(batches):
+    from accident_prediction_montreal_spark.plans.wave11 import (
+        _fold_digest_revisions,
+    )
+
+    st_rev, st_dig = {}, {}
+    emitted = []
+    for batch in batches:
+        ids = [e[0] for e in batch]
+        revs = [e[1] for e in batch]
+        texts = [e[2] for e in batch]
+        out = _fold_digest_revisions(st_rev, st_dig, ids, revs, texts)
+        emitted.extend(zip(*out))
+    return emitted, dict(st_rev), dict(st_dig)
+
+
+@settings(**SETTINGS)
+@given(events=digest_events, cut=st.integers(0, 24), seed=st.integers(0, 9))
+def test_digest_fold_split_and_order_invariance(events, cut, seed):
+    # Dedup (doc, rev) pairs: a rev is a snapshot, one row per doc.
+    seen = {}
+    for d, r, t in events:
+        seen[(d, r)] = t
+    rows = sorted((r, d, t) for (d, r), t in seen.items())
+    ordered = [(d, r, t) for r, d, t in rows]
+
+    # (a) ANY rev-ordered split into two batches emits exactly what the
+    # single-batch delivery emits.
+    one, state_rev_1, state_dig_1 = _run_fold([ordered])
+    k = min(cut, len(ordered))
+    two, state_rev_2, _ = _run_fold([ordered[:k], ordered[k:]])
+    assert one == two
+    assert state_rev_1 == state_rev_2
+
+    # (b) ANY arrival order converges to the same FINAL STATE (stale
+    # revisions drop; emissions may differ and that is the documented
+    # graceful degradation).
+    import random
+
+    shuffled = ordered[:]
+    random.Random(seed).shuffle(shuffled)
+    # one event per batch: the most adversarial batching
+    _, state_rev_3, state_dig_3 = _run_fold([[e] for e in shuffled])
+    assert state_rev_3 == state_rev_1
+    assert state_dig_3 == state_dig_1
