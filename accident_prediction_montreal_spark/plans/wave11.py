@@ -908,3 +908,120 @@ _REG["st_corpus_diff_stream"] = _QS(
     oracle=_corpus_diff_stream_oracle(),
     description=_REG["st_corpus_diff_stream"].description,
 )
+
+
+# --- blocklist domain filtering ------------------------------------------------
+
+
+def _blocklist_oracle() -> str:
+    return """
+    WITH hosts AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN 'd' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+          WHEN 1 THEN 'cdn.d' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+          ELSE 'd' || CAST(doc_id % 20 AS VARCHAR) || '.example.org'
+        END AS host
+      FROM documents
+    ),
+    blocklist AS (
+      SELECT * FROM (VALUES ('d3.example.com'), ('d7.example.com'),
+                            ('cdn.d11.example.com'), ('example.org')) b(rule)
+    ),
+    sufs AS (
+      SELECT doc_id, host, unnest(list_transform(
+        range(1, len(string_split(host, '.'))),
+        i -> array_to_string(string_split(host, '.')[i:], '.'))) AS suf
+      FROM hosts
+    ),
+    blocked AS (
+      SELECT DISTINCT doc_id FROM sufs JOIN blocklist ON suf = rule
+    ),
+    labeled AS (
+      SELECT h.doc_id, h.host,
+        CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_blocked
+      FROM hosts h LEFT JOIN blocked b ON h.doc_id = b.doc_id
+    )
+    SELECT host,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(is_blocked) AS BIGINT) AS n_blocked,
+      CAST(SUM(CASE WHEN is_blocked = 0 THEN doc_id ELSE 0 END) AS BIGINT)
+        AS kept_id_sum
+    FROM labeled GROUP BY host ORDER BY host
+    """
+
+
+@register(
+    "llm_blocklist_filter",
+    oracle=None,  # set below (composed SQL)
+    description="BLOCKLIST DOMAIN FILTERING with SUFFIX-match semantics "
+    "— the C4/CCNet gating step that drops documents from banned "
+    "domains, where a rule like 'example.org' must block EVERY "
+    "subdomain under it: each host expands to its dot-suffix chain "
+    "(full host down to the 2-label apex, <= ~5 rows per host — a "
+    "bounded explode), the expansion equi-joins the blocklist "
+    "(broadcast: real blocklists are 1e4-1e6 rules, kilobytes-to-MBs "
+    "beside a 100 TB corpus — the classic small-dim broadcast), and "
+    "blocked ids drop via the distinct-semi/anti pattern so a host "
+    "matching several rules still blocks once. Suffix labels build "
+    "with transform/slice/array_join column HOFs — interpreted, but "
+    "over <=5-element arrays in a pure map stage (no HOF-in-join-key "
+    "hot path). Fixture: hosts are a closed-form mix of apex, "
+    "subdomain and .org variants; rules hit an apex (blocks its cdn. "
+    "subdomain too), an exact subdomain (blocks ONLY that host), and "
+    "a registrable-domain suffix (blocks every .example.org host). "
+    "Oracle: the identical suffix expansion in DuckDB "
+    "(list_transform/range/list-slice).",
+)
+def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    k = (F.col("doc_id") % 20).cast("string")
+    v = (F.col("doc_id") % 3).cast("int")
+    host = (
+        F.when(v == 0, F.concat(F.lit("d"), k, F.lit(".example.com")))
+        .when(v == 1, F.concat(F.lit("cdn.d"), k, F.lit(".example.com")))
+        .otherwise(F.concat(F.lit("d"), k, F.lit(".example.org")))
+    )
+    hosts = docs.select("doc_id", host.alias("host"))
+    rules = hosts.sparkSession.createDataFrame(
+        [("d3.example.com",), ("d7.example.com",),
+         ("cdn.d11.example.com",), ("example.org",)],
+        ["rule"],
+    )
+    labels = F.split(F.col("host"), "\\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+    sufs = hosts.select("doc_id", F.explode(suffixes).alias("suf"))
+    blocked = (
+        sufs.join(F.broadcast(rules), sufs["suf"] == rules["rule"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    labeled = hosts.join(
+        blocked.withColumn("is_blocked", F.lit(1)), "doc_id", "left"
+    ).withColumn("is_blocked", F.coalesce("is_blocked", F.lit(0)))
+    return (
+        labeled.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_blocked").cast("long").alias("n_blocked"),
+            F.sum(
+                F.when(F.col("is_blocked") == 0, F.col("doc_id")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("host")
+    )
+
+
+_REG["llm_blocklist_filter"] = _QS(
+    fn=_REG["llm_blocklist_filter"].fn,
+    oracle=_blocklist_oracle(),
+    description=_REG["llm_blocklist_filter"].description,
+)

@@ -186,6 +186,7 @@ EXTENDED = [
     "llm_url_canonicalize",
     "llm_embedding_refresh",
     "st_corpus_diff_stream",
+    "llm_blocklist_filter",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read
