@@ -175,3 +175,143 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+def ivf_cosine_topk_bucketed(
+    queries: DataFrame,
+    assigned_corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """MASSIVE-query-side twin of :func:`ivf_cosine_topk` — the regime
+    split documented there, now implemented: same output contract
+    (query_id, corpus_id, cosine, rank<=k; ties cosine DESC, id ASC),
+    but the physical plan is the decontamination pattern
+    (operators/decontam.py::_semantic_contamination_bucketed, measured
+    35.7 -> 3.7 s at sf1 on a 20k-query side):
+
+      * probe selection is ZERO-SHUFFLE: centroids (<= n_cells rows)
+        collect driver-side and broadcast as a numpy matrix into an
+        Arrow mapInPandas — no |queries| x n_cells window exchange;
+      * per probed cell, a cogroup-per-cell numpy Gram matmul emits
+        each query's CELL-LOCAL top-k — candidate pairs never
+        materialize through an exchange (the shuffle carries at most
+        n_probe x k rows per query);
+      * the global top-k re-ranks that bounded union with the same
+        (cosine DESC, id ASC) window.
+
+    Exact when n_probe = n_cells (property: equals ivf_cosine_topk and
+    the brute-force scan — tested). Zero-norm vectors are undefined
+    input, mirroring cosine_similarity's contract.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cents = centroids.select("cell_id", "centroid").collect()  # <= n_cells
+    ids_c = np.array([r["cell_id"] for r in cents], dtype=np.int64)
+    cmat = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cents])
+    cn = np.sqrt((cmat * cmat).sum(axis=1, keepdims=True))
+    cn[cn == 0.0] = 1.0
+    cunit_t = (cmat / cn).T
+    bc = queries.sparkSession.sparkContext.broadcast((ids_c, cunit_t))
+    npb = min(n_probe, len(ids_c))
+
+    qid_type = queries.schema[query_id].dataType
+    cid_type = assigned_corpus.schema[corpus_id].dataType
+    cell_type = centroids.schema["cell_id"].dataType
+    probe_schema = T.StructType(
+        [
+            T.StructField(query_id, qid_type),
+            T.StructField(query_vec, T.ArrayType(T.DoubleType())),
+            T.StructField("cell_id", cell_type),
+        ]
+    )
+
+    def assign_probes(batches):
+        import pandas as pd
+
+        ids_cc, cut = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[query_vec].to_numpy()).astype(np.float64)
+            xn = np.sqrt((x * x).sum(axis=1, keepdims=True))
+            xn[xn == 0.0] = 1.0
+            g = (x / xn) @ cut  # (batch, n_cells)
+            order = np.lexsort(
+                (np.broadcast_to(ids_cc, g.shape), -g), axis=1
+            )[:, :npb]
+            n, kk = order.shape
+            yield pd.DataFrame(
+                {
+                    query_id: pdf[query_id].to_numpy().repeat(kk),
+                    query_vec: pdf[query_vec].to_numpy().repeat(kk),
+                    "cell_id": ids_cc[order].ravel(),
+                }
+            )
+
+    probes = queries.select(
+        query_id, F.col(query_vec).cast("array<double>").alias(query_vec)
+    ).mapInPandas(assign_probes, probe_schema)
+
+    pair_schema = T.StructType(
+        [
+            T.StructField(query_id, qid_type),
+            T.StructField(corpus_id, cid_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def cell_topk(left, right):
+        import pandas as pd
+
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {query_id: [], corpus_id: [], "cosine": []}
+            ).astype({"cosine": "float64"})
+        x = np.stack(left[query_vec].to_numpy()).astype(np.float64)
+        y = np.stack(right[corpus_vec].to_numpy()).astype(np.float64)
+        order = np.argsort(right[corpus_id].to_numpy(), kind="stable")
+        y = y[order]
+        ids = right[corpus_id].to_numpy()[order]
+        xn = np.sqrt((x * x).sum(axis=1, keepdims=True))
+        xn[xn == 0.0] = 1.0
+        yn = np.sqrt((y * y).sum(axis=1, keepdims=True))
+        yn[yn == 0.0] = 1.0
+        g = (x / xn) @ (y / yn).T  # (queries_in_cell, corpus_in_cell)
+        kk = min(k, g.shape[1])
+        ordk = np.lexsort(
+            (np.broadcast_to(ids, g.shape), -g), axis=1
+        )[:, :kk]
+        rows = np.arange(len(g))[:, None]
+        return pd.DataFrame(
+            {
+                query_id: left[query_id].to_numpy().repeat(kk),
+                corpus_id: ids[ordk].ravel(),
+                "cosine": g[rows, ordk].ravel(),
+            }
+        )
+
+    corpus = assigned_corpus.select(
+        "cell_id",
+        corpus_id,
+        F.col(corpus_vec).cast("array<double>").alias(corpus_vec),
+    )
+    cand = (
+        probes.groupBy("cell_id")
+        .cogroup(corpus.groupBy("cell_id"))
+        .applyInPandas(cell_topk, pair_schema)
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

@@ -43,13 +43,14 @@ from accident_prediction_montreal_spark.plans import wave11  # noqa: F401,E402
 # (corpus_diff null-safe digest compare; semantic-decontam broadcast
 # zero-norm sentinel — both strategies; st_source_quota_stream
 # batch-deterministic nsmallest admission; llm_source_quota skew
-# lever). Slots 7-12: the six NEW r11 queries (llm_shuffle_shards,
+# lever). Slots 7-13: the seven NEW r11 queries (llm_shuffle_shards,
 # llm_index_maintenance, llm_url_canonicalize, llm_embedding_refresh,
-# st_corpus_diff_stream, llm_blocklist_filter) — new queries enter
-# the window the SAME round, so they never accrue evidence debt.
-# Slots 13-50: EVIDENCE REFRESH from the ledger's oldest latest-green
-# — the full remaining r4-era set (23), the r5-era set (11), and 4 of
-# the r6-era set (scripts/coverage_ledger.py).
+# st_corpus_diff_stream, llm_blocklist_filter,
+# sim_cosine_topk_bucketed) — new queries enter the window the SAME
+# round, so they never accrue evidence debt. Slots 14-50: EVIDENCE
+# REFRESH from the ledger's oldest latest-green — the full remaining
+# r4-era set (23), the r5-era set (11), and 3 of the r6-era set
+# (scripts/coverage_ledger.py).
 # Every slot verified green locally at sf0.01 this round
 # (scripts/check_oracle.py, vanilla session).
 #
@@ -70,6 +71,7 @@ _PRIORITY = [
     "llm_embedding_refresh",
     "st_corpus_diff_stream",
     "llm_blocklist_filter",
+    "sim_cosine_topk_bucketed",
     # --- evidence refresh: latest green r4 (the full remaining set) ---
     "f_apply_in_pandas_zscore",
     "f_solar_elevation",
@@ -106,17 +108,17 @@ _PRIORITY = [
     "st_session_stream",
     "tpch_q12_priority_lines",
     "tpch_q4_late_orders",
-    # --- evidence refresh: latest green r6 (4 of 25) ---
+    # --- evidence refresh: latest green r6 (3 of 25) ---
     "a_approx_percentile_invariant",
     "dedup_embedding_cosine",
     "dedup_simhash",
-    "sim_embedding_stats",
 ]
 
 # Positions 51+: the r6-era queries NOT refreshed this round lead (the
 # r12 rotate-in candidates — oldest remaining evidence); everything
 # else follows in deterministic alphabetical order via _reorder().
 _TAIL_HEAD = [
+    "sim_embedding_stats",
     "st_sliding_stream",
     "st_sliding_window",
     "st_tumbling_window",

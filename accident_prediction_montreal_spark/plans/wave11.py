@@ -1025,3 +1025,74 @@ _REG["llm_blocklist_filter"] = _QS(
     oracle=_blocklist_oracle(),
     description=_REG["llm_blocklist_filter"].description,
 )
+
+
+# --- massive-query-side ANN (bucketed IVF top-k) -------------------------------
+
+
+@register(
+    "sim_cosine_topk_bucketed",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, nv AS nq FROM n
+      WHERE vec_id % 20 = 7
+    ),
+    pairs AS (
+      SELECT q.query_id, n.vec_id,
+        list_dot_product(q.qv, n.v) / (q.nq * n.nv) AS cosine
+      FROM n CROSS JOIN q
+    )
+    SELECT query_id, vec_id, ROUND(cosine, 6) + 0.0 AS cosine,
+      CAST(rn AS BIGINT) AS "rank"
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM pairs
+    ) WHERE rn <= 3 ORDER BY query_id, rn
+    """,
+    description="MASSIVE-QUERY-SIDE ANN — ivf_cosine_topk_bucketed "
+    "(operators/ivf.py), the implemented form of the regime split the "
+    "serving-shape ivf_cosine_topk documents: 5% of the corpus queries "
+    "the whole corpus (the batch-inference shape: re-rank, dedup "
+    "candidates, link prediction), which would make the window form's "
+    "|queries| x n_cells probe shuffle and interpreted expression "
+    "cosine the bottleneck. The bucketed plan is the decontamination "
+    "pattern: zero-shuffle probe selection against driver-local "
+    "centroids, cogroup-per-cell numpy Gram matmul emitting CELL-LOCAL "
+    "top-k (the shuffle after the matmul carries <= n_probe x k rows "
+    "per query, never the candidate set), then a bounded global "
+    "re-rank. Run in EXACT mode (n_probe = n_cells = 8, the self-hit-"
+    "independent setting) so the brute-force SQL scan is a full value "
+    "oracle; equality with both ivf_cosine_topk and the brute scan is "
+    "also pinned by test_tuning_skew_ivf. The quantizer fit is the "
+    "usual capped-iteration fixed cost (PERF.md r10).",
+)
+def sim_cosine_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_cosine_topk_bucketed,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 20 == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    assigned, cents = build_ivf_index(
+        emb, n_cells=8, sample_fraction=0.25, max_iter=5
+    )
+    out = ivf_cosine_topk_bucketed(
+        queries, assigned, cents, k=3, n_probe=8
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        (F.round("cosine", 6) + 0.0).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")

@@ -187,6 +187,7 @@ EXTENDED = [
     "llm_embedding_refresh",
     "st_corpus_diff_stream",
     "llm_blocklist_filter",
+    "sim_cosine_topk_bucketed",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read

@@ -112,3 +112,54 @@ def test_ivf_zero_norm_vector_lands_in_cell_zero(spark):
         assigned, _ = build_ivf_index(corpus, n_cells=4, literal_cells_max=lcm)
         cell = assigned.filter(F.col("vec_id") == 999).collect()[0]["cell_id"]
         assert cell == 0
+
+
+def test_ivf_bucketed_topk_exact_mode_matches_window_and_brute(spark):
+    # n_probe = n_cells: the bucketed massive-query-side plan must equal
+    # the serving-regime window form AND the brute-force scan exactly —
+    # same ids, same ranks, cosines to 1e-9.
+    import math
+
+    from accident_prediction_montreal_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_cosine_topk,
+        ivf_cosine_topk_bucketed,
+    )
+    from accident_prediction_montreal_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    def vec(i):
+        a = 0.37 * i
+        return [math.cos(a), math.sin(a), 0.2 * ((i % 5) - 2), 1.0]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(60)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame(
+        [(100 + i, vec(2 * i)) for i in range(25)], ["query_id", "query_vec"]
+    )
+    assigned, cents = build_ivf_index(
+        corpus, n_cells=4, sample_fraction=1.0, max_iter=5
+    )
+    n_cells = cents.count()
+
+    def canon(df):
+        return {
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 9))
+            for r in df.collect()
+        }
+
+    got = canon(
+        ivf_cosine_topk_bucketed(queries, assigned, cents, k=3, n_probe=n_cells)
+    )
+    ref_window = canon(
+        ivf_cosine_topk(queries, assigned, cents, k=3, n_probe=n_cells)
+    )
+    ref_brute = canon(cosine_topk(queries, corpus, k=3))
+    assert got == ref_window == ref_brute
+    # approximate regime sanity: n_probe=1 stays a SUBSET of the corpus
+    # and every query keeps exactly k results (cells hold >= k points)
+    approx = ivf_cosine_topk_bucketed(queries, assigned, cents, k=3, n_probe=1)
+    per_q = {r["query_id"] for r in approx.collect()}
+    assert per_q == {100 + i for i in range(25)}
