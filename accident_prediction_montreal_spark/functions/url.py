@@ -27,7 +27,15 @@ from pyspark.sql import functions as F
 _RE_SCHEME = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _RE_HOST = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
 _RE_REST = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$"
-_RE_TRACKING = "(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&?"
+#: Tracking params must be ANCHORED to a separator: an unanchored
+#: alternation matches tracking names as substrings of longer parameter
+#: names ('?xfbclid=1' -> '?x', '?my_utm_x=1' -> '?my_'), corrupting the
+#: query string and over-merging distinct URLs. The leading ([?&]) is
+#: captured and restored by the replacement; the inner '+' consumes a RUN
+#: of consecutive tracking params in one match (a single leading-anchored
+#: match would strip only every other param of a run, because the
+#: replacement scan resumes after the consumed separator).
+_RE_TRACKING = "([?&])((utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&?)+"
 
 
 def canonicalize_url(url: Column | str) -> Column:
@@ -45,7 +53,7 @@ def canonicalize_url(url: Column | str) -> Column:
         F.regexp_replace(host, ":80$", ""),
     ).otherwise(host)
     rest = F.regexp_extract(u, _RE_REST, 1)
-    rest = F.regexp_replace(rest, _RE_TRACKING, "")
+    rest = F.regexp_replace(rest, _RE_TRACKING, "$1")
     rest = F.regexp_replace(rest, "[?&]$", "")  # dangling separator
     rest = F.regexp_replace(rest, "\\?&", "?")  # first param was tracking
     rest = F.regexp_replace(rest, "/+$", "")  # trailing slash == root
@@ -57,6 +65,80 @@ def host_of(url: Column | str) -> Column:
     with :func:`canonicalize_url` output for the canonical host)."""
     u = F.col(url) if isinstance(url, str) else url
     return F.lower(F.regexp_extract(u, _RE_HOST, 1))
+
+
+#: Offline public-suffix-list SNAPSHOT (publicsuffix.org is the public
+#: registry real pipelines ship a pinned copy of; this subset covers the
+#: fixture's flavors — generic TLDs, a two-label country registry, and a
+#: PRIVATE-section entry (github.io) where user sites are registrable one
+#: label below what looks like a domain). Swap in the full ~9k-entry
+#: snapshot at deploy time: it rides into the plan as ONE literal
+#: array<string> value (a single serialized Literal, not per-element
+#: expressions), so the lookup stays inside whole-stage codegen with no
+#: join and no UDF at any PSL size.
+PSL_SNAPSHOT = [
+    "com", "org", "net", "io", "gov", "edu",
+    "co.uk", "org.uk", "ac.uk", "com.au",
+    "github.io",
+]
+
+
+def registrable_domain(
+    host: Column | str, psl: list[str] | None = None
+) -> Column:
+    """The PSL registrable domain (eTLD+1) of a lowercased host, as a
+    pure column expression: the host's longest dot-suffix present in
+    the public-suffix list plus one label; NULL when the host IS a
+    public suffix (or a single label with no registrable part). The
+    PSL default rule applies: a host whose every proper suffix is
+    unknown treats its last label as the public suffix.
+
+    This is the unit per-domain quotas and blocklists must key on —
+    'example.org' can block subdomains, but bare 'org' must not
+    (org IS the public suffix, everything under it belongs to
+    different owners).
+    """
+    h = F.col(host) if isinstance(host, str) else host
+    psl_lit = F.lit(psl if psl is not None else PSL_SNAPSHOT)
+    labels = F.split(h, "\\.")
+    n = F.size(labels)
+
+    def suffix(length):
+        return F.array_join(F.slice(labels, n - length + 1, length), ".")
+
+    cand = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda length: F.when(F.array_contains(psl_lit, suffix(length)), length),
+    )
+    psl_len = F.coalesce(
+        F.array_max(F.filter(cand, lambda x: x.isNotNull())), F.lit(1)
+    )
+    return F.when(n > psl_len, suffix(psl_len + 1))
+
+
+def registrable_domain_sql(expr: str, psl: list[str] | None = None) -> str:
+    """DuckDB mirror of :func:`registrable_domain`, kept adjacent so the
+    two cannot drift. ``expr`` must be a bare column/identifier (it is
+    re-referenced several times)."""
+    values = ", ".join(
+        "'" + s + "'" for s in (psl if psl is not None else PSL_SNAPSHOT)
+    )
+    labels = f"string_split({expr}, '.')"
+    n = f"len({labels})"
+
+    def suffix(length: str) -> str:
+        return f"array_to_string({labels}[{n} - ({length}) + 1:], '.')"
+
+    cand = (
+        f"list_transform(range(1, {n} + 1), "
+        f"L -> CASE WHEN list_contains([{values}], {suffix('L')}) THEN L END)"
+    )
+    psl_len = (
+        f"COALESCE(list_max(list_filter({cand}, x -> x IS NOT NULL)), 1)"
+    )
+    return (
+        f"CASE WHEN {n} > {psl_len} THEN {suffix(f'{psl_len} + 1')} END"
+    )
 
 
 def canonicalize_url_sql(expr: str) -> str:
@@ -75,7 +157,7 @@ def canonicalize_url_sql(expr: str) -> str:
         f"ELSE {host} END"
     )
     rest = f"regexp_extract({u}, '{_RE_REST}', 1)"
-    rest = f"regexp_replace({rest}, '{_RE_TRACKING}', '', 'g')"
+    rest = f"regexp_replace({rest}, '{_RE_TRACKING}', '\\1', 'g')"
     rest = f"regexp_replace({rest}, '[?&]$', '')"
     rest = f"regexp_replace({rest}, '\\?&', '?')"
     rest = f"regexp_replace({rest}, '/+$', '')"

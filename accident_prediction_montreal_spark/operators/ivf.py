@@ -207,10 +207,15 @@ def ivf_cosine_topk_bucketed(
 
     Exact when n_probe = n_cells (property: equals ivf_cosine_topk and
     the brute-force scan — tested). Zero-norm vectors are undefined
-    input, mirroring cosine_similarity's contract.
+    input, mirroring cosine_similarity's contract; for determinism they
+    follow build_ivf_index's convention anyway (sentinel sim -2.0 to
+    every cell, so the cell_id-ascending tie-break probes cell 0 first
+    — the cell the builder assigns zero-norm corpus vectors to).
     """
     import numpy as np
     from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark import cachereg
 
     cents = centroids.select("cell_id", "centroid").collect()  # <= n_cells
     ids_c = np.array([r["cell_id"] for r in cents], dtype=np.int64)
@@ -219,6 +224,11 @@ def ivf_cosine_topk_bucketed(
     cn[cn == 0.0] = 1.0
     cunit_t = (cmat / cn).T
     bc = queries.sparkSession.sparkContext.broadcast((ids_c, cunit_t))
+    # The returned plan is lazy, so the broadcast can't be destroyed
+    # here; generation-scoped lifecycle via cachereg (Broadcast has the
+    # same unpersist() surface as DataFrame) — the next invocation or a
+    # release_all() frees the previous generation's executor copies.
+    cachereg.register("operators.ivf_cosine_topk_bucketed", bc)
     npb = min(n_probe, len(ids_c))
 
     qid_type = queries.schema[query_id].dataType
@@ -241,8 +251,13 @@ def ivf_cosine_topk_bucketed(
                 continue
             x = np.stack(pdf[query_vec].to_numpy()).astype(np.float64)
             xn = np.sqrt((x * x).sum(axis=1, keepdims=True))
-            xn[xn == 0.0] = 1.0
+            zero = xn[:, 0] == 0.0
+            xn[zero] = 1.0
             g = (x / xn) @ cut  # (batch, n_cells)
+            # build_ivf_index's zero-norm rule, mirrored: sentinel -2.0
+            # to every cell -> tie-break probes cell 0 (+ next ids) by
+            # RULE, aligning both code paths on one convention.
+            g[zero] = -2.0
             order = np.lexsort(
                 (np.broadcast_to(ids_cc, g.shape), -g), axis=1
             )[:, :npb]

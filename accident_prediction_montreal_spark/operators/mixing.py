@@ -281,7 +281,11 @@ def weighted_sample_topk(
             acc = acc.sort_values(
                 ["__wkey", id_col], ascending=[False, True], kind="mergesort"
             )
-            acc = acc.groupby(strata_col, sort=False).head(k) if strata_col else acc.head(k)
+            acc = (
+                acc.groupby(strata_col, sort=False, dropna=False).head(k)
+                if strata_col
+                else acc.head(k)
+            )
         if acc is not None and len(acc):
             yield acc
 
@@ -294,6 +298,37 @@ def weighted_sample_topk(
         .filter(F.col("sample_rank") <= k)
         .drop("__wkey")
     )
+
+
+def should_pretruncate(
+    n_rows: int,
+    n_parts: int,
+    n_keys_hint: int,
+    k: int,
+    *,
+    factor: int = 4,
+    min_rows: int = 1_000_000,
+) -> bool:
+    """Input-size gate for :func:`local_topk_pretruncate`.
+
+    The lever trades a fixed Arrow/Python-worker cost (~0.5 s measured
+    at bench scale, PERF.md) for a shuffle-volume bound of
+    ``n_parts × n_keys × k`` rows. Engage only when BOTH hold:
+
+    * the corpus is big enough that shuffle volume matters at all
+      (``n_rows >= min_rows`` — below ~1M rows the window input fits
+      one executor trivially and the lever is pure overhead), and
+    * the bound actually shrinks the shuffle by at least ``factor``
+      (``n_rows >= factor × n_parts × n_keys_hint × k`` — with many
+      partitions or a huge key space the union of local top-ks can
+      approach the input and the combiner would keep everything).
+
+    ``n_keys_hint`` is an upper-bound ESTIMATE of key cardinality (for
+    per-source quotas the key is a coarse source label — tens of
+    values); overestimating only makes the gate more conservative.
+    Pure function so both decisions are unit-testable without a session.
+    """
+    return n_rows >= min_rows and n_rows >= factor * n_parts * n_keys_hint * k
 
 
 def local_topk_pretruncate(
@@ -331,7 +366,10 @@ def local_topk_pretruncate(
         for pdf in batches:
             acc = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
             acc = acc.sort_values(order_cols, kind="mergesort")
-            acc = acc.groupby(key_col, sort=False).head(k)
+            # dropna=False: pandas groupby silently DROPS null-key rows by
+            # default, which would delete a null-key group here instead of
+            # keeping its top-k — violating the superset contract.
+            acc = acc.groupby(key_col, sort=False, dropna=False).head(k)
         if acc is not None and len(acc):
             yield acc
 

@@ -32,92 +32,39 @@ from accident_prediction_montreal_spark.plans import wave8  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave9  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave10  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave11  # noqa: F401,E402
+from accident_prediction_montreal_spark.plans import wave12  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #
-# Round-11 ROTATION. Slot 1: llm_dataset_card stays IN until
-# driver-green (the r9/r10 hash-red; root cause was the ORACLE's
-# uncast __all__ UNION branch — DuckDB SUM(int) is HUGEINT, which
-# renders float64 through arrow — fixed this round, Spark side
-# unchanged). Slots 2-6: the queries whose code changed this round
-# (corpus_diff null-safe digest compare; semantic-decontam broadcast
-# zero-norm sentinel — both strategies; st_source_quota_stream
-# batch-deterministic nsmallest admission; llm_source_quota skew
-# lever). Slots 7-13: the seven NEW r11 queries (llm_shuffle_shards,
-# llm_index_maintenance, llm_url_canonicalize, llm_embedding_refresh,
-# st_corpus_diff_stream, llm_blocklist_filter,
-# sim_cosine_topk_bucketed) — new queries enter the window the SAME
-# round, so they never accrue evidence debt. Slots 14-50: EVIDENCE
-# REFRESH from the ledger's oldest latest-green — the full remaining
-# r4-era set (23), the r5-era set (11), and 3 of the r6-era set
-# (scripts/coverage_ledger.py).
+# Round-12 ROTATION (the r11 verdict's ask #1: with zero reds the
+# window goes to the oldest evidence). Slots 1-9: every query whose
+# code changed this round — the new PSL-aware blocklist variant, the
+# tracking-regex fix (llm_url_canonicalize), the size-gated skew lever
+# (llm_source_quota), the shared collision-proof snapshot-B fixture
+# (llm_corpus_diff + the trilogy + st_corpus_diff_stream,
+# dedup_containment's REID_SHIFT), the multiset-checksum verify stages
+# (llm_index_maintenance, llm_embedding_refresh), and the IVF
+# zero-norm-convention alignment (sim_cosine_topk_bucketed) — changed
+# code re-earns its driver evidence the same round. Slots 10-31: the
+# full r6-era latest-green set (the ledger's oldest tail). Slots
+# 32-50: the r7-era set, alphabetical order, first 19.
 # Every slot verified green locally at sf0.01 this round
 # (scripts/check_oracle.py, vanilla session).
 #
-# Rotated OUT — the r10 refresh set (all driver-green in
-# CORRECTNESS_r10).
+# Rotated OUT — the r11 refresh set (all driver-green in
+# CORRECTNESS_r11).
 _PRIORITY = [
-    # --- ledger closer + this round's changed code ---
-    "llm_dataset_card",
-    "llm_corpus_diff",
-    "llm_decontaminate_semantic",
-    "llm_decontaminate_semantic_bucketed",
-    "st_source_quota_stream",
-    "llm_source_quota",
-    # --- new in r11 ---
-    "llm_shuffle_shards",
-    "llm_index_maintenance",
+    # --- this round's changed/new code ---
+    "llm_blocklist_filter_psl",
     "llm_url_canonicalize",
+    "llm_source_quota",
+    "llm_corpus_diff",
+    "llm_index_maintenance",
     "llm_embedding_refresh",
     "st_corpus_diff_stream",
-    "llm_blocklist_filter",
+    "dedup_containment",
     "sim_cosine_topk_bucketed",
-    # --- evidence refresh: latest green r4 (the full remaining set) ---
-    "f_apply_in_pandas_zscore",
-    "f_solar_elevation",
-    "m1_feature_assembly",
-    "m3_class_weights",
-    "m7_auc_evaluator",
-    "mm_payload_stats",
-    "mm_wav_decode",
-    "r4_temporal_split",
-    "sim_cosine_topk",
-    "sql_correlated_subquery",
-    "st_availablenow_stream",
-    "st_stateful_running",
-    "st_stream_dedup",
-    "st_stream_stream_join",
-    "text_chunking",
-    "text_language_id",
-    "text_quality_signals",
-    "text_tfidf_topk",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_orders",
-    "tpch_q5_local_supplier_volume",
-    "w4_ewma",
-    "w_topk_rank_rownum",
-    # --- evidence refresh: latest green r5 ---
-    "a1_pricing_summary",
-    "a6_idw_radius",
-    "dedup_near_invariants",
-    "llm_prepare_corpus",
-    "mm_ppm_decode",
-    "r_sampling_invariants",
-    "r_stratified_sample_invariants",
-    "sim_ann_invariants",
-    "st_session_stream",
-    "tpch_q12_priority_lines",
-    "tpch_q4_late_orders",
-    # --- evidence refresh: latest green r6 (3 of 25) ---
-    "a_approx_percentile_invariant",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-]
-
-# Positions 51+: the r6-era queries NOT refreshed this round lead (the
-# r12 rotate-in candidates — oldest remaining evidence); everything
-# else follows in deterministic alphabetical order via _reorder().
-_TAIL_HEAD = [
+    # --- evidence refresh: latest green r6 (the full set) ---
     "sim_embedding_stats",
     "st_sliding_stream",
     "st_sliding_window",
@@ -140,6 +87,57 @@ _TAIL_HEAD = [
     "tpch_q7_volume_shipping",
     "w5_running_sums",
     "x5_month_shard_backfill",
+    # --- evidence refresh: latest green r7 (first 19 of 44) ---
+    "a11_cohort_retention",
+    "a12_funnel_steps",
+    "a13_grouping_sets",
+    "a6_idw_seam",
+    "a8_approx_distinct",
+    "dedup_repeated_spans",
+    "f_map_funcs",
+    "f_pandas_grouped_agg",
+    "f_udtf_json_kv",
+    "j10_range_join",
+    "j12_nullsafe_join",
+    "j9_asof_tolerance",
+    "llm_decontaminate",
+    "llm_pretrain_pipeline",
+    "llm_temperature_mix",
+    "m2_random_undersampler",
+    "m_calibration_bins",
+    "m_rf_pipeline_invariants",
+    "mm_bmp_decode",
+]
+
+# Positions 51+: the r7-era queries NOT refreshed this round lead (the
+# r13 rotate-in candidates — oldest remaining evidence); everything
+# else follows in deterministic alphabetical order via _reorder().
+_TAIL_HEAD = [
+    "mm_frame_sample",
+    "mm_pgm_decode",
+    "mm_png_decode",
+    "mm_ppm_resize",
+    "p12_unpivot",
+    "r2_seeded_sample",
+    "r3_random_split",
+    "r5_hash_split",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    "sim_ann_recall",
+    "st_foreachbatch_sink",
+    "st_late_data_eviction",
+    "st_stream_range_join",
+    "st_stream_static_join",
+    "st_time_rollup",
+    "text_pii_scrub",
+    "text_vocab_coverage",
+    "tpch_q9_product_profit",
+    "w7_range_frame",
+    "x10_permissive_csv",
+    "x11_bucketed_join",
+    "x12_backfill_evolution",
+    "x8_partitioned_sink_roundtrip",
+    "x9_schema_evolution",
 ]
 
 def _reorder() -> None:

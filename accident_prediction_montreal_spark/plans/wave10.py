@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 
 from accident_prediction_montreal_spark.plans.registry import register
 from accident_prediction_montreal_spark.plans.relational_extra import _scratch
+from accident_prediction_montreal_spark.plans.snapshot_fixture import (
+    SQL_SNAPSHOT_B,
+    snapshot_b,
+)
 from accident_prediction_montreal_spark.sources.registry import load_table
 
 _SQL_TOKS = (
@@ -751,7 +755,9 @@ def m18_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- round 9 additions (r10 rotate-in set) --------------------------------
 
-_CONTAIN_SHIFT = 300_000
+from accident_prediction_montreal_spark.plans.snapshot_fixture import (  # noqa: E402
+    REID_SHIFT as _CONTAIN_SHIFT,  # collision-proof re-id shift (2^40)
+)
 _CONTAIN_T = 0.9
 _CONTAIN_CAP = 8
 
@@ -808,7 +814,8 @@ _CONTAIN_CAP = 8
     "misses (a short doc quoted inside a long one has J ~ |A|/|B| -> 0 "
     "but containment 1.0), i.e. the quote/boilerplate/embedded-document "
     "shape of training-corpus dedup. Planted quotes (inner 60%% token "
-    "slice of every 17th doc, re-ids'd at +300000 — every shingle of a "
+    "slice of every 17th doc, re-ids'd at a collision-proof +2^40 — "
+    "every shingle of a "
     "contiguous slice is a shingle of its source, so true containment "
     "is exactly 1.0 while Jaccard sits near 0.6 below near-dup "
     "thresholds) guarantee non-trivial asymmetric matches; the oracle "
@@ -1070,6 +1077,11 @@ def llm_decontaminate_semantic_bucketed(
     "dominant domain (the NORM in web corpora) never lands its entire "
     "row set on one reducer; per-source totals come from a separate "
     "map-side-combined count over the full projection (no window). "
+    "The lever is GATED on input size (mixing.should_pretruncate: "
+    "engage only past 1M rows AND a 4x projected shuffle reduction — "
+    "decided from a parquet-footer count, no data scan) so bench-scale "
+    "runs skip its fixed Arrow-worker cost while skew-scale runs keep "
+    "the 625x exchange-row bound (BENCH_quota_skew). "
     "Property-tested pretruncated == plain-window on arbitrary corpora "
     "(test_properties.py); skew stress artifact BENCH_quota_skew. "
     "Oracle: the identical window from the shared lcg_uniform_sql "
@@ -1081,6 +1093,7 @@ def llm_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     from accident_prediction_montreal_spark.operators.mixing import (
         lcg_uniform,
         local_topk_pretruncate,
+        should_pretruncate,
     )
 
     K = 40
@@ -1093,7 +1106,17 @@ def llm_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Seeded order materialized as a column so the pandas combiner and
     # the exact re-rank window sort the SAME values.
     ordered = docs.withColumn("__ord", lcg_uniform(F.col("doc_id"), salt=7))
-    pruned = local_topk_pretruncate(ordered, "source", ["__ord", "doc_id"], K)
+    # Input-size gate (mixing.should_pretruncate): the lever's fixed
+    # Arrow-worker cost only pays for itself once the window shuffle is
+    # big enough to matter — docs.count() is a parquet FOOTER read (no
+    # data scan), so the gate itself stays cheap at 100 TB. Both paths
+    # produce the identical kept set (property-tested superset contract).
+    if should_pretruncate(
+        docs.count(), docs.rdd.getNumPartitions(), n_keys_hint=64, k=K
+    ):
+        pruned = local_topk_pretruncate(ordered, "source", ["__ord", "doc_id"], K)
+    else:
+        pruned = ordered
     w = Window.partitionBy("source").orderBy("__ord", "doc_id")
     kept_rows = pruned.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= K
@@ -1147,19 +1170,12 @@ _REG["llm_source_quota"] = _QS(
 
 @register(
     "llm_corpus_diff",
-    oracle="""
+    oracle=f"""
     WITH a AS (
       SELECT doc_id, md5(text) AS h FROM documents
     ),
     b AS (
-      SELECT doc_id, md5(text || ' [rev2]') AS h
-      FROM documents WHERE doc_id % 41 = 0
-      UNION ALL
-      SELECT doc_id, md5(text) AS h
-      FROM documents WHERE doc_id % 41 <> 0 AND doc_id % 43 <> 0
-      UNION ALL
-      SELECT doc_id + 300000, md5(text) AS h
-      FROM documents WHERE doc_id % 47 = 0
+      SELECT doc_id, md5(text) AS h FROM ({SQL_SNAPSHOT_B})
     ),
     d AS (
       SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
@@ -1189,27 +1205,15 @@ _REG["llm_source_quota"] = _QS(
     "re-shuffle at all (x11_bucketed_join is the at-rest layout twin). "
     "Fixture: version B plants modifications (every 41st doc's text "
     "revised), deletions (every 43rd dropped) and additions (every "
-    "47th re-id'd at +300000). Oracle: the identical digest compare in "
+    "47th re-id'd at a collision-proof +2^40 shift — see "
+    "plans/snapshot_fixture). Oracle: the identical digest compare in "
     "DuckDB.",
 )
 def llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from accident_prediction_montreal_spark.operators.text import corpus_diff
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    b = (
-        docs.filter(F.col("doc_id") % 41 == 0)
-        .select("doc_id", F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"))
-        .unionByName(
-            docs.filter(
-                (F.col("doc_id") % 41 != 0) & (F.col("doc_id") % 43 != 0)
-            ).select("doc_id", "text")
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 47 == 0).select(
-                (F.col("doc_id") + 300_000).alias("doc_id"), "text"
-            )
-        )
-    )
+    b = snapshot_b(docs)
     return (
         corpus_diff(docs, b)
         .groupBy("status")

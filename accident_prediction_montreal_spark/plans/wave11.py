@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from accident_prediction_montreal_spark.operators.checksum import (
+    checksum_equal_fact,
+)
 from accident_prediction_montreal_spark.plans.registry import register
+from accident_prediction_montreal_spark.plans.snapshot_fixture import (
+    SQL_SNAPSHOT_B as _SQL_SNAPSHOT_B,
+)
+from accident_prediction_montreal_spark.plans.snapshot_fixture import snapshot_b
 from accident_prediction_montreal_spark.sources.registry import load_table
 
 _N_SHARDS = 16
@@ -124,18 +131,10 @@ _REG["llm_shuffle_shards"] = _QS(
 
 # --- incremental index maintenance -------------------------------------------
 
-# Snapshot B: the SAME planted revision as llm_corpus_diff (every 41st
-# doc's text revised, every 43rd dropped, every 47th re-added at
-# +300000) so the two queries tell one incremental-pipeline story.
-_SQL_SNAPSHOT_B = """
-      SELECT doc_id, text || ' [rev2]' AS text
-      FROM documents WHERE doc_id % 41 = 0
-      UNION ALL
-      SELECT doc_id, text FROM documents
-      WHERE doc_id % 41 <> 0 AND doc_id % 43 <> 0
-      UNION ALL
-      SELECT doc_id + 300000, text FROM documents WHERE doc_id % 47 = 0
-"""
+# Snapshot B: the SAME planted revision as llm_corpus_diff, shared via
+# plans/snapshot_fixture (single source of truth for the Spark builder
+# and the DuckDB mirror) so the four incremental-pipeline queries tell
+# one story and the fixture cannot drift between call sites.
 
 # A doc contributes LSH band rows iff it has at least one word 3-gram
 # shingle, i.e. >= 3 whitespace tokens (operators/dedup.py:
@@ -194,9 +193,11 @@ def _index_maintenance_oracle() -> str:
     "changed) — at 100 TB the maintenance cost is O(|delta|) signature "
     "work + an anti-join against the slim 3-column index, never a "
     "corpus re-signature. CONTRACT: the maintained index must equal "
-    "the from-scratch rebuild of B exactly — verified Spark-side by "
-    "symmetric anti-joins on (doc, band_id, band_hash) (xxhash64 band "
-    "hashes have no ANSI form, so that check is a literal-1 oracle "
+    "the from-scratch rebuild of B exactly — verified Spark-side by an "
+    "O(1)-ROW multiset checksum (operators/checksum.py: count + "
+    "bit_xor + decimal-sum of xxhash64 over (doc, band_id, band_hash), "
+    "each side folding map-side to one row — no corpus-width exchange; "
+    "xxhash64 has no ANSI form, so that check is a literal-1 oracle "
     "row), while per-status doc counts and index-row deltas are "
     "SQL-exact: a doc carries 8 band rows iff it has >= 3 tokens "
     "(word 3-gram shingles exist), which the oracle computes from the "
@@ -215,9 +216,10 @@ def _llm_index_maintenance_impl(
     """Body of llm_index_maintenance. ``timings``, when a dict, receives
     the stage split: ``maintain_s`` (the OPERATOR — diff, delta
     signatures, anti-join, union; O(|delta|) signature work) vs
-    ``verify_s`` (the CONTRACT — a from-scratch corpus re-signature +
-    symmetric anti-joins, the cost the operator exists to avoid), plus
-    ``plan_setup_s``/``total_s`` so the fields sum to the wall."""
+    ``verify_s`` (the CONTRACT — a from-scratch corpus re-signature
+    folded to a 1-row multiset checksum per side, the cost the operator
+    exists to avoid), plus ``plan_setup_s``/``total_s`` so the fields
+    sum to the wall."""
     import time as _time
 
     _impl_t0 = _time.perf_counter()
@@ -229,20 +231,7 @@ def _llm_index_maintenance_impl(
     from accident_prediction_montreal_spark.operators.text import corpus_diff
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    b = (
-        docs.filter(F.col("doc_id") % 41 == 0)
-        .select("doc_id", F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"))
-        .unionByName(
-            docs.filter(
-                (F.col("doc_id") % 41 != 0) & (F.col("doc_id") % 43 != 0)
-            ).select("doc_id", "text")
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 47 == 0).select(
-                (F.col("doc_id") + 300_000).alias("doc_id"), "text"
-            )
-        )
-    )
+    b = snapshot_b(docs)
     # diff feeds four consumers (status counts, stale set, fresh set);
     # it is tiny ((id, status) rows) — persist, lifecycle via cachereg.
     diff = corpus_diff(docs, b).persist()
@@ -285,14 +274,15 @@ def _llm_index_maintenance_impl(
         _verify_t0 = _time.perf_counter()
     rebuild = banded_signatures(b).select(*bands)
 
-    mismatches = (
-        maintained.join(rebuild, bands, "left_anti")
-        .unionByName(rebuild.join(maintained, bands, "left_anti"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.lit("delta_equals_rebuild").alias("facet"),
-            (F.col("n") == 0).cast("long").alias("n"),
-        )
+    # Multiset-checksum equality (operators/checksum.py): each side
+    # folds map-side to ONE (cnt, xor, sum-of-xxhash64) row — the
+    # contract keeps its full strength (multiset equality over the
+    # 3-col index) without the two corpus-width symmetric-anti-join
+    # exchanges r11 paid. The rebuild re-signature pass remains the
+    # honest price of the contract; the anti-join form survives in
+    # pytest (test_wave11.py) as the checksum's own oracle.
+    mismatches = checksum_equal_fact(
+        maintained, rebuild, bands, "delta_equals_rebuild"
     )
     doc_counts = diff.groupBy("status").agg(
         F.count(F.lit(1)).cast("long").alias("n")
@@ -521,8 +511,10 @@ def _embedding_refresh_oracle() -> str:
     "batch signature — the Spark-side plumbing, schema and batching "
     "are the real thing). CONTRACT: the refreshed table must equal a "
     "full re-encode of snapshot B exactly — verified Spark-side by an "
-    "element-wise vector compare (the stub has no ANSI form, so that "
-    "check is a literal-1 oracle row), while per-status doc counts and "
+    "O(1)-row multiset checksum over (doc_id, vector rounded to 1e-12) "
+    "(operators/checksum.py — no corpus-width exchange; the stub has "
+    "no ANSI form, so that check is a literal-1 oracle row), while "
+    "per-status doc counts and "
     "recomputed/carried/final row counts are SQL-exact from the same "
     "md5 diff the trilogy shares. At rest both snapshots and the "
     "embedding table are id-partitioned, so the carry join and the "
@@ -548,20 +540,7 @@ def _llm_embedding_refresh_impl(
     from accident_prediction_montreal_spark.operators.text import corpus_diff
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    b = (
-        docs.filter(F.col("doc_id") % 41 == 0)
-        .select("doc_id", F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"))
-        .unionByName(
-            docs.filter(
-                (F.col("doc_id") % 41 != 0) & (F.col("doc_id") % 43 != 0)
-            ).select("doc_id", "text")
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 47 == 0).select(
-                (F.col("doc_id") + 300_000).alias("doc_id"), "text"
-            )
-        )
-    )
+    b = snapshot_b(docs)
 
     # emb_a / refreshed / recompute_full feed several fact branches;
     # persisting them was measured as a non-win at sf0.1 (1.74 ->
@@ -598,18 +577,25 @@ def _llm_embedding_refresh_impl(
         _verify_t0 = _time.perf_counter()
 
     recompute_full = _encode_stub(b)
-    joined = refreshed.alias("r").join(
-        recompute_full.alias("f"), "doc_id", "full_outer"
-    )
-    n_bad = joined.filter(
-        ~F.expr(
-            "r.embedding IS NOT NULL AND f.embedding IS NOT NULL "
-            "AND r.embedding = f.embedding"
+
+    # Multiset-checksum equality over (doc_id, rounded vector) — one
+    # 1-row aggregate per side instead of r11's full-outer element-wise
+    # compare (a corpus-width exchange). Vectors hash ROUNDED to 12
+    # decimals: our encoder stub is bitwise-deterministic, but the
+    # pattern must survive a real encoder whose float reductions can
+    # wobble in the last ulp; a genuine divergence dwarfs 1e-12. The
+    # full-outer form survives in pytest as the checksum's oracle.
+    def _rounded(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "doc_id",
+            F.transform("embedding", lambda x: F.round(x, 12)).alias("emb_r"),
         )
-    )
-    mismatches = n_bad.agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("refresh_equals_recompute").alias("facet"),
-        (F.col("n") == 0).cast("long").alias("n"),
+
+    mismatches = checksum_equal_fact(
+        _rounded(refreshed),
+        _rounded(recompute_full),
+        ["doc_id", "emb_r"],
+        "refresh_equals_recompute",
     )
     doc_counts = diff.groupBy("status").agg(
         F.count(F.lit(1)).cast("long").alias("n")
@@ -793,20 +779,7 @@ def st_corpus_diff_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from accident_prediction_montreal_spark.plans.relational_extra import _scratch
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    b = (
-        docs.filter(F.col("doc_id") % 41 == 0)
-        .select("doc_id", F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"))
-        .unionByName(
-            docs.filter(
-                (F.col("doc_id") % 41 != 0) & (F.col("doc_id") % 43 != 0)
-            ).select("doc_id", "text")
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 47 == 0).select(
-                (F.col("doc_id") + 300_000).alias("doc_id"), "text"
-            )
-        )
-    )
+    b = snapshot_b(docs)
     base, _ = _scratch("stdiff", sf_dir)
     p1 = os.path.join(base, "rev1.parquet")
     p2 = os.path.join(base, "rev2.parquet")

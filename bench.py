@@ -200,6 +200,35 @@ EXTENDED = [
 # regression; canary moved with them = drift.
 CANARY = ["w5_running_sums", "a3_group_max", "j4_semi_anti"]
 
+# Canary reference (r12 verdict ask #6): mean(canary_end) from the r10
+# CLEAN host window, pinned per scale factor — r10 is the last round
+# whose canary readings all three later rounds agreed was unelevated.
+# Artifacts additionally report value_norm = value * (canary_ref /
+# mean(canary_end)), so round-over-round comparison is one column read
+# instead of a per-round drift re-derivation (the r9-r11 verdicts each
+# spent space proving "+N% is host drift, not regression"). A sf with
+# no pinned reference emits no _norm fields (normalizing against an
+# unpinned window would manufacture precision).
+CANARY_REF = {
+    0.1: (0.098 + 0.102 + 0.204) / 3,  # BENCH_r10.json canary_end
+    1.0: (0.105 + 0.106 + 0.493) / 3,  # BENCH_sf1_r10.json canary_end
+}
+
+
+def canary_normalize(out: dict, sf: float) -> None:
+    """Add value_norm/scale_safe_total_norm/queries_norm in place."""
+    ref = CANARY_REF.get(sf)
+    ends = list(out.get("canary_end", {}).values())
+    if ref is None or not ends or sum(ends) == 0:
+        return
+    ratio = ref / (sum(ends) / len(ends))
+    out["canary_ratio"] = round(ratio, 4)
+    out["value_norm"] = round(out["value"] * ratio, 3)
+    out["scale_safe_total_norm"] = round(out["scale_safe_total"] * ratio, 3)
+    out["queries_norm"] = {
+        n: round(t * ratio, 3) for n, t in out["queries"].items()
+    }
+
 
 def run_headline(spark, sf_dir: str, runs: int) -> dict:
     """Shared timing protocol for every bench artifact (sf0.1 here,
@@ -264,6 +293,11 @@ def run_headline(spark, sf_dir: str, runs: int) -> dict:
         t: dict = {}
         impl(spark, sf_dir, timings=t).count()
         stage_splits[split_name] = t
+    # The last impl's persisted frames would otherwise stay resident on
+    # executors through the canary_end measurements (the loop clears
+    # cache BEFORE each impl, not after the last one).
+    spark.catalog.clearCache()
+    cachereg.release_all()
     split = stage_splits["st_incremental_dedup"]
     canary_end = {name: min_of(name) for name in CANARY}
     scale_safe = round(
@@ -298,6 +332,8 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     out = run_headline(spark, sf_dir, runs)
     out["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
+    if isinstance(out["sf"], float):
+        canary_normalize(out, out["sf"])
     # Wall-clock stamp: lets canary readings correlate with host windows
     # across artifacts without cross-referencing file mtimes.
     out["ts"] = round(time.time(), 1)

@@ -54,6 +54,7 @@ def main() -> None:
 
     out = bench.run_headline(spark, sf_dir, runs)
     out["sf"] = 1.0
+    bench.canary_normalize(out, 1.0)
     out["runs"] = runs
     path = os.path.join(REPO, f"BENCH_sf1_r{rnd}.json")
     with open(path, "w") as f:

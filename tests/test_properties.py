@@ -892,6 +892,57 @@ def test_local_topk_pretruncate_preserves_window_topk(spark, corpus, k, nparts):
     assert pruned.count() <= nparts * n_sources * k
 
 
+def test_local_topk_pretruncate_keeps_null_key_group(spark):
+    # pandas groupby drops null keys by default (dropna=True); the
+    # combiner must keep the null-key group — it's a group like any
+    # other under the superset contract, and Spark's window ranks it.
+    from pyspark.sql import Window
+
+    from accident_prediction_montreal_spark.operators.mixing import (
+        lcg_uniform,
+        local_topk_pretruncate,
+    )
+
+    rows = [(i, None if i % 2 == 0 else "s") for i in range(40)]
+    df = (
+        spark.createDataFrame(rows, "doc_id LONG, source STRING")
+        .repartition(3)
+        .withColumn("__ord", lcg_uniform(F.col("doc_id"), salt=7))
+    )
+    w = Window.partitionBy("source").orderBy("__ord", "doc_id")
+
+    def kept(frame, k):
+        return {
+            (r.source, r.doc_id)
+            for r in frame.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .collect()
+        }
+
+    k = 4
+    pruned = local_topk_pretruncate(df, "source", ["__ord", "doc_id"], k)
+    got = kept(pruned, k)
+    assert got == kept(df, k)
+    assert sum(1 for s, _ in got if s is None) == k  # null group survives
+
+
+def test_should_pretruncate_gate():
+    from accident_prediction_montreal_spark.operators.mixing import (
+        should_pretruncate,
+    )
+
+    # bench-scale corpora skip (below the absolute floor) ...
+    assert not should_pretruncate(5_000, 4, 64, 40)  # sf0.1 documents
+    assert not should_pretruncate(50_000, 8, 64, 40)  # sf1 documents
+    # ... the skew-stress shape engages (4M rows, 32 parts, ~64 keys) ...
+    assert should_pretruncate(4_000_000, 32, 10, 40)
+    assert should_pretruncate(100_000_000, 200, 64, 40)
+    # ... and a huge key space or partition count de-engages even past
+    # the floor: the local-top-k union would approach the input.
+    assert not should_pretruncate(2_000_000, 2000, 64, 40)
+    assert not should_pretruncate(2_000_000, 32, 100_000, 40)
+
+
 # --- streaming digest fold: split- and order-invariance -----------------------
 
 # Events: (doc_id in small range, rev 1-4, text variant or None).

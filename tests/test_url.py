@@ -36,6 +36,16 @@ CASES = [
     ("https://example.com/", "https://example.com"),
     ("https://example.com///", "https://example.com"),
     ("https://wwwx.example.com/a", "https://wwwx.example.com/a"),  # not www.
+    # Tracking names as SUBSTRINGS of longer param names must be kept:
+    # the regex is anchored to the [?&] separator.
+    ("https://example.com/a?xfbclid=1", "https://example.com/a?xfbclid=1"),
+    ("https://example.com/a?my_utm_x=1&id=2", "https://example.com/a?my_utm_x=1&id=2"),
+    ("https://example.com/a?sugclid=9", "https://example.com/a?sugclid=9"),
+    # Consecutive RUNS of tracking params collapse in one match.
+    ("https://example.com/a?utm_a=1&utm_b=2&x=3", "https://example.com/a?x=3"),
+    ("https://example.com/a?x=1&utm_a=2&utm_b=3", "https://example.com/a?x=1"),
+    ("https://example.com/a?utm_a=1&fbclid=2&gclid=3", "https://example.com/a"),
+    ("https://example.com/a?utm_a=1&x=2&utm_b=3&y=4", "https://example.com/a?x=2&y=4"),
 ]
 
 
@@ -58,6 +68,53 @@ def test_canonicalize_url_sql_mirror_matches():
             f"SELECT {expr} AS c FROM (SELECT ? AS url)", params=[raw]
         ).fetchone()[0]
         assert got == want, f"{raw!r}: duckdb got {got!r}, want {want!r}"
+
+
+REG_CASES = [
+    # (host, registrable domain or None)
+    ("d3.example.com", "example.com"),
+    ("cdn.d7.example.com", "example.com"),
+    ("d1.example.org", "example.org"),
+    ("u7.github.io", "u7.github.io"),  # PSL private entry: +1 below it
+    ("github.io", None),  # IS a public suffix -> no registrable part
+    ("d5.example.co.uk", "example.co.uk"),
+    ("co.uk", None),
+    ("org", None),
+    ("localhost", None),  # single unknown label: default rule, no +1
+    ("weird.unknowntld", "weird.unknowntld"),  # default rule: last label
+    ("sub.deep.tree.example.net", "example.net"),
+]
+
+
+def test_registrable_domain_spark(spark):
+    from accident_prediction_montreal_spark.functions.url import (
+        registrable_domain,
+    )
+
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(REG_CASES)], ["i", "host"]
+    )
+    got = {
+        r["i"]: r["reg"]
+        for r in df.select("i", registrable_domain("host").alias("reg")).collect()
+    }
+    for i, (host, want) in enumerate(REG_CASES):
+        assert got[i] == want, f"{host!r}: got {got[i]!r}, want {want!r}"
+
+
+def test_registrable_domain_sql_mirror_matches():
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    from accident_prediction_montreal_spark.functions.url import (
+        registrable_domain_sql,
+    )
+
+    expr = registrable_domain_sql("host")
+    for host, want in REG_CASES:
+        got = con.sql(
+            f"SELECT {expr} AS r FROM (SELECT ? AS host)", params=[host]
+        ).fetchone()[0]
+        assert got == want, f"{host!r}: duckdb got {got!r}, want {want!r}"
 
 
 def test_canonicalize_url_idempotent(spark):
