@@ -37,17 +37,18 @@ from accident_prediction_montreal_spark.plans import wave12  # noqa: F401,E402
 # First 50 = the driver's check window.
 #
 # Round-12 ROTATION (the r11 verdict's ask #1: with zero reds the
-# window goes to the oldest evidence). Slots 1-9: every query whose
-# code changed this round — the new PSL-aware blocklist variant, the
+# window goes to the oldest evidence). Slots 1-10: every query whose
+# code changed this round or is new — the PSL-aware blocklist variant, the
 # tracking-regex fix (llm_url_canonicalize), the size-gated skew lever
 # (llm_source_quota), the shared collision-proof snapshot-B fixture
 # (llm_corpus_diff + the trilogy + st_corpus_diff_stream,
 # dedup_containment's REID_SHIFT), the multiset-checksum verify stages
 # (llm_index_maintenance, llm_embedding_refresh), and the IVF
-# zero-norm-convention alignment (sim_cosine_topk_bucketed) — changed
-# code re-earns its driver evidence the same round. Slots 10-31: the
-# full r6-era latest-green set (the ledger's oldest tail). Slots
-# 32-50: the r7-era set, alphabetical order, first 19.
+# zero-norm-convention alignment (sim_cosine_topk_bucketed) plus the
+# new approximate-regime recall gate (sim_ann_bucketed_recall) —
+# changed code re-earns its driver evidence the same round. Slots
+# 11-32: the full r6-era latest-green set (the ledger's oldest tail).
+# Slots 33-50: the r7-era set, alphabetical order, first 18.
 # Every slot verified green locally at sf0.01 this round
 # (scripts/check_oracle.py, vanilla session).
 #
@@ -64,6 +65,7 @@ _PRIORITY = [
     "st_corpus_diff_stream",
     "dedup_containment",
     "sim_cosine_topk_bucketed",
+    "sim_ann_bucketed_recall",
     # --- evidence refresh: latest green r6 (the full set) ---
     "sim_embedding_stats",
     "st_sliding_stream",
@@ -106,13 +108,13 @@ _PRIORITY = [
     "m2_random_undersampler",
     "m_calibration_bins",
     "m_rf_pipeline_invariants",
-    "mm_bmp_decode",
 ]
 
 # Positions 51+: the r7-era queries NOT refreshed this round lead (the
 # r13 rotate-in candidates — oldest remaining evidence); everything
 # else follows in deterministic alphabetical order via _reorder().
 _TAIL_HEAD = [
+    "mm_bmp_decode",
     "mm_frame_sample",
     "mm_pgm_decode",
     "mm_png_decode",

@@ -173,3 +173,87 @@ _REG["llm_blocklist_filter_psl"] = _QS(
     oracle=_blocklist_psl_oracle(),
     description=_REG["llm_blocklist_filter_psl"].description,
 )
+
+
+@register(
+    "sim_ann_bucketed_recall",
+    oracle="""
+    SELECT 'bucketed_recall_at_10_ge_0.8' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'bucketed_equals_window_form', CAST(1 AS BIGINT)
+    """,
+    description="MEASURED recall@10 for the APPROXIMATE regime of the "
+    "massive-query-side bucketed IVF (sim_cosine_topk_bucketed runs "
+    "exact mode so a brute scan can value-oracle it; THIS pins the "
+    "n_probe < n_cells regime): the same fixed-seed protocol as "
+    "sim_ann_recall (50 queries, L2-normalized vectors, n_probe=5 of "
+    "8 cells, recall floor 0.8 against the exact cosine top-10), run "
+    "through ivf_cosine_topk_bucketed's cogroup-Gram plan instead of "
+    "the serving-shape window plan — plus a second contract row "
+    "pinning that at the SAME n_probe the two physical plans return "
+    "the IDENTICAL id set (the regime split changes the plan, never "
+    "the answer). The recall/latency curve at sf1 is published in "
+    "BENCH_ann_bucketed_recall (n_probe in {1,2,4,8}).",
+)
+def sim_ann_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.functions.vectors import l2_norm
+    from accident_prediction_montreal_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_cosine_topk,
+        ivf_cosine_topk_bucketed,
+    )
+    from accident_prediction_montreal_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from accident_prediction_montreal_spark.plans.registry import chk_row as _chk
+
+    k, floor, n_probe = 10, 0.8, 5
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+        .withColumn("_n", l2_norm("_v"))
+        .select(
+            "vec_id",
+            F.transform("_v", lambda x: x / F.col("_n")).alias("embedding"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(queries, emb, k=k)
+    assigned, cents = build_ivf_index(emb, n_cells=8)
+    bucketed = ivf_cosine_topk_bucketed(
+        queries, assigned, cents, k=k, n_probe=n_probe
+    )
+    window_form = ivf_cosine_topk(
+        queries, assigned, cents, k=k, n_probe=n_probe
+    )
+
+    matched = bucketed.select("query_id", "vec_id").join(
+        exact.select("query_id", "vec_id", F.lit(1).alias("in_exact")),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    n_q = queries.select(F.count(F.lit(1)).alias("n_q"))
+    recall_ok = (
+        matched.agg(F.sum(F.coalesce("in_exact", F.lit(0))).alias("n_match"))
+        .crossJoin(F.broadcast(n_q))
+        .select(
+            *_chk(
+                f"bucketed_recall_at_{k}_ge_{floor}",
+                F.col("n_match") / (F.col("n_q") * k) >= floor,
+            )
+        )
+    )
+    sym_diff = (
+        bucketed.select("query_id", "vec_id")
+        .exceptAll(window_form.select("query_id", "vec_id"))
+        .unionByName(
+            window_form.select("query_id", "vec_id").exceptAll(
+                bucketed.select("query_id", "vec_id")
+            )
+        )
+    )
+    plans_agree = sym_diff.agg(F.count(F.lit(1)).alias("n")).select(
+        *_chk("bucketed_equals_window_form", F.col("n") == 0)
+    )
+    return recall_ok.unionByName(plans_agree).orderBy("chk")

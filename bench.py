@@ -188,6 +188,9 @@ EXTENDED = [
     "st_corpus_diff_stream",
     "llm_blocklist_filter",
     "sim_cosine_topk_bucketed",
+    # appended r12:
+    "llm_blocklist_filter_psl",
+    "sim_ann_bucketed_recall",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read

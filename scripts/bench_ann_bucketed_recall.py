@@ -47,7 +47,27 @@ def main() -> None:
         ivf_cosine_topk_bucketed,
     )
 
-    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    # The sf1 stress dir is 10 consistent-key REPLICAS of sf0.1 — fine
+    # for join/agg stress, degenerate for a recall curve: each query's
+    # exact top-k would be its own identical copies, which share one
+    # cell, making recall 1.0 at ANY n_probe (measured before this
+    # perturbation: 1.0 at n_probe=1). A deterministic per-(vec_id,
+    # element) offset makes all 20k vectors distinct while preserving
+    # the corpus's cluster geometry, so the curve measures the real
+    # probe/recall trade.
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            + (
+                F.pmod(F.col("vec_id") * 31 + i * 7, F.lit(997)).cast("double")
+                / 997.0
+                - 0.5
+            )
+            * 0.2,
+        ).alias("embedding"),
+    )
     queries = emb.filter(F.col("vec_id") % 20 == 7).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),

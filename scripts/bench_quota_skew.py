@@ -49,6 +49,7 @@ def main() -> None:
     from accident_prediction_montreal_spark.operators.mixing import (
         lcg_uniform,
         local_topk_pretruncate,
+        should_pretruncate,
     )
 
     rnd = sys.argv[1] if len(sys.argv) > 1 else "X"
@@ -102,6 +103,14 @@ def main() -> None:
     docs.unpersist()
 
     bound = N_PARTS * (N_MINOR_SOURCES + 1) * K
+    # The registered query's input-size gate (r12): it must ENGAGE at
+    # this stress shape and SKIP at the bench scales, with the same
+    # n_keys_hint=64 the plan passes.
+    gate = {
+        "stress_engaged": should_pretruncate(n_rows, N_PARTS, 64, K),  # want True
+        "sf0.1_engaged": should_pretruncate(5_000, 4, 64, K),  # want False
+        "sf1_engaged": should_pretruncate(50_000, 8, 64, K),  # want False
+    }
     out = {
         "metric": "quota_skew_stress",
         "unit": "sec",
@@ -117,6 +126,7 @@ def main() -> None:
         "bound_holds": pruned_rows <= bound,
         "kept_sets_equal": plain == levered,
         "kept_checksum": list(plain),
+        "gate": gate,
     }
     path = os.path.join(REPO, f"BENCH_quota_skew_r{rnd}.json")
     with open(path, "w") as f:
