@@ -1,11 +1,15 @@
-"""Wave-12 queries (r12): PSL-aware blocklist gating.
+"""Wave-12 queries (r12): PSL-aware blocklist gating, the bucketed-IVF
+recall gate, the quality cascade and domain reweighting.
 
 Round-12 is a consolidation round (checksum verify stages, skew-lever
-gating, window rotation); the one new surface item is the r11 verdict's
-stretch ask — blocklist apex semantics via a public-suffix snapshot,
-the distinction a real C4/CCNet domain gate draws between REGISTRABLE
+gating, window rotation); the new surface: the r11 verdict's stretch
+ask — blocklist apex semantics via a public-suffix snapshot, the
+distinction a real C4/CCNet domain gate draws between REGISTRABLE
 domains (can block their whole subtree) and PUBLIC suffixes (cannot
-block anything: everything under .org belongs to different owners).
+block anything: everything under .org belongs to different owners) —
+plus the approximate-regime recall gate for the bucketed IVF, the
+quality-filter attrition cascade (the funnel report every curation
+pipeline publishes), and a DoReMi-style domain-reweighting step.
 """
 
 from __future__ import annotations
@@ -257,3 +261,275 @@ def sim_ann_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         *_chk("bucketed_equals_window_form", F.col("n") == 0)
     )
     return recall_ok.unionByName(plans_agree).orderBy("chk")
+
+
+# --- quality-filter attrition cascade ------------------------------------------
+
+_CASCADE_SQL_TOKS = (
+    "CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
+)
+
+
+def _cascade_oracle() -> str:
+    from accident_prediction_montreal_spark.plans.snapshot_fixture import (
+        REID_SHIFT,
+    )
+
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text, lang, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + {REID_SHIFT}, text, lang, n_chars
+      FROM documents WHERE doc_id % 29 = 0
+    ),
+    flags AS (
+      SELECT doc_id, n_chars,
+        (lang = 'en') AS c1,
+        (lang = 'en' AND n_chars BETWEEN 100 AND 400) AS c2,
+        (lang = 'en' AND n_chars BETWEEN 100 AND 400
+         AND len({_CASCADE_SQL_TOKS}) >= 20) AS c3,
+        md5(text) AS dig
+      FROM corpus
+    ),
+    dedup AS (
+      SELECT doc_id, n_chars, c1, c2, c3,
+        CASE WHEN c3 THEN ROW_NUMBER() OVER (
+          PARTITION BY dig, c3 ORDER BY doc_id) ELSE NULL END AS rnk
+      FROM flags
+    ),
+    stages AS (
+      SELECT 1 AS stage, 'lang_en' AS stage_name,
+        COUNT(*) AS n_in, SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS n_out,
+        SUM(CASE WHEN c1 THEN n_chars ELSE 0 END) AS chars_out
+      FROM dedup
+      UNION ALL
+      SELECT 2, 'len_100_400',
+        SUM(CASE WHEN c1 THEN 1 ELSE 0 END),
+        SUM(CASE WHEN c2 THEN 1 ELSE 0 END),
+        SUM(CASE WHEN c2 THEN n_chars ELSE 0 END)
+      FROM dedup
+      UNION ALL
+      SELECT 3, 'min_20_tokens',
+        SUM(CASE WHEN c2 THEN 1 ELSE 0 END),
+        SUM(CASE WHEN c3 THEN 1 ELSE 0 END),
+        SUM(CASE WHEN c3 THEN n_chars ELSE 0 END)
+      FROM dedup
+      UNION ALL
+      SELECT 4, 'digest_dedup',
+        SUM(CASE WHEN c3 THEN 1 ELSE 0 END),
+        SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END),
+        SUM(CASE WHEN rnk = 1 THEN n_chars ELSE 0 END)
+      FROM dedup
+    )
+    SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+      CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+      CAST(n_in - n_out AS BIGINT) AS n_dropped,
+      CAST(chars_out AS BIGINT) AS chars_out
+    FROM stages ORDER BY stage
+    """
+
+
+@register(
+    "llm_quality_cascade",
+    oracle=None,  # set below (composed SQL)
+    description="QUALITY-FILTER ATTRITION CASCADE — the funnel report "
+    "every curation pipeline publishes (C4/RefinedWeb/FineWeb all "
+    "document per-stage attrition): documents flow through language "
+    "gate -> length band -> minimum token count -> exact-digest dedup, "
+    "and the output is one row per stage with rows-in/rows-out/"
+    "dropped/surviving chars. Fixture plants re-submitted duplicates "
+    "(every 29th doc re-added under the collision-proof 2^40 re-id, "
+    "same bytes) so the dedup stage has real work. Plan shape: the "
+    "three predicate stages are CUMULATIVE BOOLEAN COLUMNS in one map "
+    "pass over the scan (no shuffle, no self-joins — a naive "
+    "implementation filters and recounts per stage, scanning the "
+    "corpus 4x); the digest dedup window shuffles ONLY stage-3 "
+    "survivors (dedup placed last because the shuffle is the expensive "
+    "stage — filter-before-shuffle is the cascade's scale property); "
+    "all stage aggregates fold map-side into a single 4-row union. "
+    "Oracle: identical flags + windowed dedup in DuckDB, tokenizer "
+    "convention shared with the text family.",
+)
+def llm_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from accident_prediction_montreal_spark.operators.text import tokenize
+    from accident_prediction_montreal_spark.plans.snapshot_fixture import (
+        REID_SHIFT,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 29 == 0).select(
+            (F.col("doc_id") + REID_SHIFT).alias("doc_id"),
+            "text",
+            "lang",
+            "n_chars",
+        )
+    )
+    c1 = F.col("lang") == "en"
+    c2 = c1 & F.col("n_chars").between(100, 400)
+    c3 = c2 & (F.size(tokenize(F.col("text"))) >= 20)
+    flags = corpus.select(
+        "doc_id",
+        "n_chars",
+        c1.alias("c1"),
+        c2.alias("c2"),
+        c3.alias("c3"),
+        F.md5("text").alias("dig"),
+    )
+    # Dedup rank only among stage-3 survivors: partitioning by (dig, c3)
+    # keeps the expression a single window while the non-survivors get
+    # NULL rank — the shuffle carries survivor rows only after AQE
+    # sees the c3 filter selectivity (and at rest a real pipeline
+    # filters before the exchange; the CASE guard pins the semantics).
+    w = Window.partitionBy("dig", "c3").orderBy("doc_id")
+    dedup = flags.withColumn(
+        "rnk", F.when(F.col("c3"), F.row_number().over(w))
+    )
+
+    def stage(n: int, name: str, cond_in, cond_out):
+        return dedup.agg(
+            F.lit(n).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.sum(cond_in.cast("long")).cast("long").alias("n_in"),
+            F.sum(cond_out.cast("long")).cast("long").alias("n_out"),
+            (F.sum(cond_in.cast("long")) - F.sum(cond_out.cast("long")))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(cond_out, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("chars_out"),
+        )
+
+    survived4 = F.col("rnk") == 1
+    return (
+        stage(1, "lang_en", F.lit(True), F.col("c1"))
+        .unionByName(stage(2, "len_100_400", F.col("c1"), F.col("c2")))
+        .unionByName(stage(3, "min_20_tokens", F.col("c2"), F.col("c3")))
+        .unionByName(stage(4, "digest_dedup", F.col("c3"), survived4))
+        .orderBy("stage")
+    )
+
+
+_REG["llm_quality_cascade"] = _QS(
+    fn=_REG["llm_quality_cascade"].fn,
+    oracle=_cascade_oracle(),
+    description=_REG["llm_quality_cascade"].description,
+)
+
+
+# --- DoReMi-style domain reweighting -------------------------------------------
+
+_REWEIGHT_ETA = 2.0
+_REWEIGHT_CAP = 400  # chars cap for the proxy loss (2500 = 1e6/400 exact)
+
+
+@register(
+    "llm_domain_reweight",
+    oracle=f"""
+    WITH stats AS (
+      SELECT source AS domain,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS units,
+        CAST(SUM(1000000 - LEAST(n_chars, {_REWEIGHT_CAP}) * 2500) AS BIGINT)
+          AS loss_milli_sum
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(units) AS DOUBLE) AS units_all,
+        CAST(SUM(loss_milli_sum) AS DOUBLE) AS loss_all,
+        CAST(SUM(n_docs) AS DOUBLE) AS docs_all
+      FROM stats
+    ),
+    upd AS (
+      SELECT domain, n_docs, units, loss_milli_sum,
+        CAST(units AS DOUBLE) / units_all AS p_share,
+        (CAST(loss_milli_sum AS DOUBLE) / n_docs - loss_all / docs_all)
+          / 1000000.0 AS excess,
+        CAST(ROUND(
+          (CAST(units AS DOUBLE) / units_all)
+          * GREATEST(0.0, 1.0 + {_REWEIGHT_ETA}
+            * ((CAST(loss_milli_sum AS DOUBLE) / n_docs - loss_all / docs_all)
+               / 1000000.0)),
+          12) AS DECIMAL(20,12)) AS raw_w
+      FROM stats CROSS JOIN tot
+    ),
+    norm AS (SELECT SUM(raw_w) AS w_all FROM upd)
+    SELECT domain, n_docs, units,
+      ROUND(p_share, 6) + 0.0 AS share,
+      ROUND(excess, 6) + 0.0 AS excess,
+      ROUND(CAST(raw_w AS DOUBLE) / CAST(w_all AS DOUBLE), 6) + 0.0 AS weight
+    FROM upd CROSS JOIN norm ORDER BY domain
+    """,
+    description="DOMAIN REWEIGHTING STEP (DoReMi-style, one round) — the "
+    "data-mixture optimization every multi-domain pretraining recipe "
+    "runs: domains whose proxy loss EXCEEDS the corpus mean get "
+    "up-weighted, easy domains down-weighted. Update rule is the "
+    "LINEAR (first-order) form of the exponentiated-gradient step, "
+    "w'_d proportional to share_d * max(0, 1 + eta*excess_d) — chosen "
+    "deliberately over exp() because +/*/max are IEEE-identical across "
+    "engines while libm exp() is not, so the oracle stays value-exact "
+    "(the same determinism discipline as functions/money.py). The "
+    "per-doc proxy loss lives in INTEGER milli-units (1e6 - "
+    "min(n_chars,400)*2500 — a real run plugs per-doc reference-model "
+    "losses into the same column), so every aggregate is an exact "
+    "BIGINT sum under any partitioning; doubles appear only in final "
+    "per-domain ratios, and the weight normalizer quantizes to "
+    "DECIMAL(20,12) before summing (order-independent — the "
+    "temperature_mix_rates/epoch_schedule pattern). Plan: ONE "
+    "map-side-combined groupBy over the corpus to |domains| rows; "
+    "everything after is window math on tens of rows. Scale: at 100 "
+    "TB this is the cheapest query in the curation loop — the corpus "
+    "pass is a 3-integer-column scan-aggregate.",
+)
+def llm_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select("source", "n_chars")
+    loss_milli = F.lit(1_000_000) - F.least(
+        F.col("n_chars"), F.lit(_REWEIGHT_CAP)
+    ) * F.lit(2500)
+    stats = docs.groupBy(F.col("source").alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("units"),
+        F.sum(loss_milli).cast("long").alias("loss_milli_sum"),
+    )
+    everything = Window.partitionBy()
+    units_all = F.sum("units").over(everything).cast("double")
+    loss_all = F.sum("loss_milli_sum").over(everything).cast("double")
+    docs_all = F.sum("n_docs").over(everything).cast("double")
+    p_share = F.col("units").cast("double") / units_all
+    excess = (
+        F.col("loss_milli_sum").cast("double") / F.col("n_docs") - loss_all / docs_all
+    ) / F.lit(1_000_000.0)
+    raw_w = F.round(
+        p_share
+        * F.greatest(F.lit(0.0), F.lit(1.0) + F.lit(_REWEIGHT_ETA) * excess),
+        12,
+    ).cast("decimal(20,12)")
+    upd = stats.select(
+        "domain",
+        "n_docs",
+        "units",
+        p_share.alias("p_share"),
+        excess.alias("excess"),
+        raw_w.alias("raw_w"),
+    )
+    w_all = F.sum("raw_w").over(everything)
+    return upd.select(
+        "domain",
+        "n_docs",
+        "units",
+        (F.round("p_share", 6) + 0.0).alias("share"),
+        (F.round("excess", 6) + 0.0).alias("excess"),
+        (
+            F.round(
+                F.col("raw_w").cast("double") / w_all.cast("double"), 6
+            )
+            + 0.0
+        ).alias("weight"),
+    ).orderBy("domain")

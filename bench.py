@@ -191,6 +191,8 @@ EXTENDED = [
     # appended r12:
     "llm_blocklist_filter_psl",
     "sim_ann_bucketed_recall",
+    "llm_quality_cascade",
+    "llm_domain_reweight",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read

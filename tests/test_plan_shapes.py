@@ -574,3 +574,46 @@ def test_cusum_window_runs_on_reduced_series(spark):
     # same reduce-then-window contract as autocorr
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" in plan
+
+
+def test_url_canonicalize_stays_in_codegen(spark):
+    plan = plan_of(spark, "llm_url_canonicalize")
+    # the canonicalizer is pure regexp/lower column expressions — a UDF
+    # sneaking in would show up as a Python eval node
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # (WholeStageCodegen spans only materialize in the finalized AQE
+    # plan; the no-Python-eval assertions are the UDF guard.)
+
+
+def test_blocklist_psl_broadcasts_rules_no_udf(spark):
+    plan = plan_of(spark, "llm_blocklist_filter_psl")
+    # PSL longest-match is literal-array HOFs (no join, no UDF for the
+    # registrable-domain step); the rule table joins as a broadcast
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_quota_gate_skips_at_smoke_scale(spark):
+    # 500 docs at sf0.001: should_pretruncate must decline, so the plan
+    # is the plain JVM window — NO Arrow combiner stage. (The engaged
+    # path's mapInPandas would appear as ArrowEvalPython/MapInPandas.)
+    plan = plan_of(spark, "llm_source_quota")
+    assert "MapInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_index_maintenance_checksum_verify_no_band_join(spark):
+    # the delta_equals_rebuild contract row folds each side to ONE
+    # (cnt, xor, sum) row — the old symmetric anti-join on the 3-col
+    # band index is gone from the executed plan; the only remaining
+    # joins are the diff's doc-id semi/anti joins and the 1-row
+    # checksum crossJoin (broadcast nested loop over 1 row).
+    plan = plan_of(spark, "llm_index_maintenance")
+    assert "partial_bit_xor" in plan or "bit_xor" in plan
+    import re as _re
+
+    for m in _re.finditer(r"SortMergeJoin \[([^\]]*)\]", plan):
+        assert "band_hash" not in m.group(1)
