@@ -200,6 +200,9 @@ _REG["llm_blocklist_filter_psl"] = _QS(
 )
 def sim_ann_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from accident_prediction_montreal_spark.functions.vectors import l2_norm
+    from accident_prediction_montreal_spark.operators.checksum import (
+        checksum_equal_fact,
+    )
     from accident_prediction_montreal_spark.operators.ivf import (
         build_ivf_index,
         ivf_cosine_topk,
@@ -220,11 +223,32 @@ def sim_ann_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("_v", lambda x: x / F.col("_n")).alias("embedding"),
         )
     )
-    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+    # FIXED-SIZE query sample (~50 at any scale): recall estimation
+    # needs a constant sample, not a corpus-proportional one — the
+    # first cut used `% 10` (sim_ann_recall's literal), which at sf1
+    # meant 2,000 queries through the brute-force exact baseline
+    # (40M interpreted cosine pairs, 537 s — the exact quadratic
+    # blowup the sf1 bench exists to catch). The count() deciding the
+    # stride is a parquet footer read. At sf0.01 (500 vectors) the
+    # stride is the original 10, so the driver-checked result is
+    # byte-identical.
+    stride = max(10, emb.count() // 50)
+    queries = emb.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     exact = cosine_topk(queries, emb, k=k)
-    assigned, cents = build_ivf_index(emb, n_cells=8)
+    # The recall gate doesn't need a converged quantizer — the capped
+    # fit (the sim_cosine_topk_bucketed setting) measures the same
+    # regime at a fraction of the KMeans cost; the assignment scan is
+    # persisted because bucketed / window-form / checksum branches all
+    # re-read it (cachereg generation lifecycle, like the operators).
+    from accident_prediction_montreal_spark import cachereg
+
+    assigned, cents = build_ivf_index(
+        emb, n_cells=8, sample_fraction=0.25, max_iter=5
+    )
+    assigned = assigned.persist()
+    cachereg.register("plans.sim_ann_bucketed_recall", assigned)
     bucketed = ivf_cosine_topk_bucketed(
         queries, assigned, cents, k=k, n_probe=n_probe
     )
@@ -248,18 +272,18 @@ def sim_ann_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    sym_diff = (
-        bucketed.select("query_id", "vec_id")
-        .exceptAll(window_form.select("query_id", "vec_id"))
-        .unionByName(
-            window_form.select("query_id", "vec_id").exceptAll(
-                bucketed.select("query_id", "vec_id")
-            )
-        )
-    )
-    plans_agree = sym_diff.agg(F.count(F.lit(1)).alias("n")).select(
-        *_chk("bucketed_equals_window_form", F.col("n") == 0)
-    )
+    # Multiset checksum instead of symmetric exceptAll: the id-set
+    # equality contract at O(1) rows, computing each ANN path once per
+    # branch instead of twice (operators/checksum.py — the same
+    # replacement the trilogy verify stages got this round). Both
+    # paths tie-break (cosine DESC, id ASC), so equal id MULTISETS at
+    # equal k means equal result sets.
+    plans_agree = checksum_equal_fact(
+        bucketed.select("query_id", "vec_id"),
+        window_form.select("query_id", "vec_id"),
+        ["query_id", "vec_id"],
+        "bucketed_equals_window_form",
+    ).select(F.col("facet").alias("chk"), F.col("n").alias("ok"))
     return recall_ok.unionByName(plans_agree).orderBy("chk")
 
 

@@ -143,3 +143,92 @@ def test_canonicalize_url_idempotent(spark):
         (r["c1"], r["c2"]) for r in twice.collect() if r["c1"] != r["c2"]
     ]
     assert not bad, f"not idempotent, e.g. {bad[:3]}"
+
+
+# --- generative cross-engine mirror equivalence -------------------------------
+#
+# The r12 tracking-regex bug class: BOTH mirrors shared the defect, so
+# the fixed-case mirror tests and the oracle harness were blind to it.
+# Fixed cases can't cover the input space; these tests draw random
+# hosts/URLs from a constrained grammar and require Spark == DuckDB on
+# every draw — a drift in EITHER mirror (or a semantics bug present in
+# only one) fails here even when the registered query stays green.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_label = st.sampled_from(
+    ["example", "www", "cdn", "d3", "u7", "github", "io", "com", "org",
+     "co", "uk", "deep", "x"]
+)
+_host = st.lists(_label, min_size=1, max_size=5).map(".".join)
+_param = st.sampled_from(
+    ["id=1", "utm_source=x", "utm_a=1", "fbclid=z", "gclid=9", "xfbclid=1",
+     "my_utm_x=2", "q=a", "utm_b=2&utm_c=3"]
+)
+_url = st.builds(
+    lambda scheme, www, host, port, path, params, frag: (
+        f"{scheme}://{www}{host}{port}{path}"
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    st.sampled_from(["http", "https", "HTTPS"]),
+    st.sampled_from(["", "www."]),
+    _host,
+    st.sampled_from(["", ":443", ":80", ":8443"]),
+    st.sampled_from(["", "/", "/A/b", "/a/b/"]),
+    st.lists(_param, max_size=3),
+    st.sampled_from(["", "#f"]),
+)
+
+
+@settings(**_SETTINGS)
+@given(hosts=st.lists(_host, min_size=1, max_size=8))
+def test_registrable_domain_mirrors_agree(spark, hosts):
+    duckdb = pytest.importorskip("duckdb")
+    from accident_prediction_montreal_spark.functions.url import (
+        registrable_domain,
+        registrable_domain_sql,
+    )
+
+    df = spark.createDataFrame(list(enumerate(hosts)), ["i", "host"])
+    got_spark = {
+        r["i"]: r["reg"]
+        for r in df.select("i", registrable_domain("host").alias("reg")).collect()
+    }
+    con = duckdb.connect()
+    expr = registrable_domain_sql("host")
+    for i, h in enumerate(hosts):
+        got_duck = con.sql(
+            f"SELECT {expr} AS r FROM (SELECT ? AS host)", params=[h]
+        ).fetchone()[0]
+        assert got_spark[i] == got_duck, f"{h!r}: {got_spark[i]!r} != {got_duck!r}"
+
+
+@settings(**_SETTINGS)
+@given(urls=st.lists(_url, min_size=1, max_size=8))
+def test_canonicalize_url_mirrors_agree(spark, urls):
+    duckdb = pytest.importorskip("duckdb")
+    from accident_prediction_montreal_spark.functions.url import (
+        canonicalize_url,
+        canonicalize_url_sql,
+    )
+
+    df = spark.createDataFrame(list(enumerate(urls)), ["i", "url"])
+    got_spark = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    con = duckdb.connect()
+    expr = canonicalize_url_sql("url")
+    for i, u in enumerate(urls):
+        got_duck = con.sql(
+            f"SELECT {expr} AS c FROM (SELECT ? AS url)", params=[u]
+        ).fetchone()[0]
+        assert got_spark[i] == got_duck, f"{u!r}: {got_spark[i]!r} != {got_duck!r}"
