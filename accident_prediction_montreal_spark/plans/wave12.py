@@ -557,3 +557,123 @@ def llm_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("weight"),
     ).orderBy("domain")
+
+
+# --- C4-style line-level dedup --------------------------------------------------
+
+_LINE_TOKS = 5  # fixture line-ification: 5-token groups (docs have no newlines)
+
+
+@register(
+    "llm_line_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+        regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE trim(lower(text)) <> ''
+    ),
+    lines AS (
+      SELECT doc_id, source, i AS pos,
+        array_to_string(w[i*{_LINE_TOKS}+1 : i*{_LINE_TOKS}+{_LINE_TOKS}], ' ')
+          AS line
+      FROM toks,
+        unnest(range(0, CAST(ceil(len(w)/{_LINE_TOKS}.0) AS BIGINT))) r(i)
+    ),
+    kept AS (
+      SELECT doc_id, pos, source, length(line) AS chars
+      FROM lines
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+    ),
+    totals AS (
+      SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lines GROUP BY source
+    ),
+    kstats AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        CAST(SUM(chars) AS BIGINT) AS kept_chars,
+        CAST(SUM(doc_id * (pos + 1)) AS BIGINT) AS kept_pos_chk
+      FROM kept GROUP BY source
+    )
+    SELECT t.source, t.n_docs, t.n_lines, k.n_kept,
+      t.n_lines - k.n_kept AS n_removed, k.kept_chars, k.kept_pos_chk
+    FROM totals t JOIN kstats k USING (source) ORDER BY t.source
+    """,
+    description="C4-STYLE LINE-LEVEL DEDUP — the famous corpus-cleaning "
+    "rule ('discard all but one occurrence of any line occurring more "
+    "than once in the corpus', C4/RefinedWeb): lines are 5-token "
+    "groups under the shared tokenizer convention (the synthetic docs "
+    "carry no newlines — a real corpus splits on newline), the FIRST "
+    "occurrence by (doc_id, position) survives, and the per-source "
+    "report pins kept/removed counts plus a position-weighted kept "
+    "checksum so a wrong survivor choice hash-mismatches. PLAN — the "
+    "aggregate form, deliberately NOT a row_number window: per-line "
+    "survivor = min(struct(doc_id, pos, source, chars)) under a "
+    "groupBy(line), which gets Catalyst's partial+final hash "
+    "aggregation — a boilerplate line occurring 1e8 times at 100 TB "
+    "COLLAPSES MAP-SIDE to one candidate per partition before the "
+    "exchange, while Window.partitionBy(line) would land every hot "
+    "line's full occurrence list on a single reducer (the same "
+    "skew-bounding argument as the quota lever, got for free by "
+    "choosing the aggregate). Two further map-side-combined "
+    "aggregates produce the per-source report; no joins wider than "
+    "the |sources|-row report tables.",
+)
+def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    w = tokenize(F.col("text"))
+    toks = docs.select("doc_id", "source", w.alias("w")).filter(
+        F.size("w") > 0
+    )
+    n_lines_arr = F.ceil(F.size("w") / F.lit(float(_LINE_TOKS))).cast("int")
+    line_arr = F.transform(
+        F.sequence(F.lit(0), n_lines_arr - 1),
+        lambda i: F.array_join(
+            F.slice("w", i * _LINE_TOKS + 1, _LINE_TOKS), " "
+        ),
+    )
+    lines = toks.select(
+        "doc_id", "source", F.posexplode(line_arr).alias("pos", "line")
+    )
+    per_line = lines.groupBy("line").agg(
+        F.min(
+            F.struct(
+                F.col("doc_id"),
+                F.col("pos"),
+                F.col("source"),
+                F.length("line").alias("chars"),
+            )
+        ).alias("keep")
+    )
+    kstats = per_line.groupBy(F.col("keep.source").alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("keep.chars").cast("long").alias("kept_chars"),
+        F.sum(F.col("keep.doc_id") * (F.col("keep.pos") + 1))
+        .cast("long")
+        .alias("kept_pos_chk"),
+    )
+    # Totals come from the UNEXPLODED scan: line counts are derivable
+    # per doc (ceil(n_tokens/5)), so this branch never pays the explode
+    # — at corpus scale the second pass is a narrow scan-aggregate, and
+    # doc_id is unique per toks row so n_docs is a plain count.
+    totals = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_lines_arr.cast("long")).cast("long").alias("n_lines"),
+    )
+    return (
+        totals.join(kstats, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_lines",
+            "n_kept",
+            (F.col("n_lines") - F.col("n_kept")).cast("long").alias("n_removed"),
+            "kept_chars",
+            "kept_pos_chk",
+        )
+        .orderBy("source")
+    )

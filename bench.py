@@ -193,6 +193,7 @@ EXTENDED = [
     "sim_ann_bucketed_recall",
     "llm_quality_cascade",
     "llm_domain_reweight",
+    "llm_line_dedup",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read

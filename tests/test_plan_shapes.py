@@ -617,3 +617,36 @@ def test_index_maintenance_checksum_verify_no_band_join(spark):
 
     for m in _re.finditer(r"SortMergeJoin \[([^\]]*)\]", plan):
         assert "band_hash" not in m.group(1)
+
+
+def test_quality_cascade_single_scan_one_shuffle(spark):
+    # predicate stages are cumulative booleans in one map pass; the only
+    # wide operation is the digest-dedup window over stage-3 survivors
+    plan = plan_of(spark, "llm_quality_cascade")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one window exchange (dig, c3); the 4 stage aggregates are unions
+    # of map-side-combined global aggregates, not joins
+    assert "Join" not in plan
+
+
+def test_domain_reweight_one_corpus_aggregate(spark):
+    # ONE map-side-combined groupBy to |domains| rows; window math after
+    plan = plan_of(spark, "llm_domain_reweight")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan  # map-side combine on the corpus pass
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_line_dedup_aggregate_form_no_window(spark):
+    # survivor selection is min(struct(...)) under groupBy(line) — the
+    # map-side partial aggregation collapses boilerplate-hot lines per
+    # partition BEFORE the exchange. A row_number window would ship
+    # every hot line's full occurrence list to one reducer.
+    plan = plan_of(spark, "llm_line_dedup")
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    # two scans by design — the totals branch reads the UNEXPLODED
+    # projection (line counts derive from token counts), so the explode
+    # runs exactly once
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Generate posexplode") == 1
