@@ -37,7 +37,7 @@ from accident_prediction_montreal_spark.plans import wave12  # noqa: F401,E402
 # First 50 = the driver's check window.
 #
 # Round-12 ROTATION (the r11 verdict's ask #1: with zero reds the
-# window goes to the oldest evidence). Slots 1-13: every query whose
+# window goes to the oldest evidence). Slots 1-14: every query whose
 # code changed this round or is new — the PSL-aware blocklist variant, the
 # tracking-regex fix (llm_url_canonicalize), the size-gated skew lever
 # (llm_source_quota), the shared collision-proof snapshot-B fixture
@@ -46,10 +46,11 @@ from accident_prediction_montreal_spark.plans import wave12  # noqa: F401,E402
 # (llm_index_maintenance, llm_embedding_refresh), and the IVF
 # zero-norm-convention alignment (sim_cosine_topk_bucketed) plus the
 # new r12 queries (sim_ann_bucketed_recall, llm_quality_cascade,
-# llm_domain_reweight, llm_line_dedup) — changed code re-earns its
-# driver evidence the same round. Slots 14-35: the full r6-era
-# latest-green set (the ledger's oldest tail). Slots 36-50: the
-# r7-era set, alphabetical order, first 15.
+# llm_domain_reweight, llm_line_dedup; x15_hll_shard_merge's contract
+# was corrected by the r12 sf0.1 full-registry sweep) — changed code
+# re-earns its driver evidence the same round. Slots 15-36: the full
+# r6-era latest-green set (the ledger's oldest tail). Slots 37-50:
+# the r7-era set, alphabetical order, first 14.
 # Every slot verified green locally at sf0.01 this round
 # (scripts/check_oracle.py, vanilla session).
 #
@@ -70,6 +71,7 @@ _PRIORITY = [
     "llm_quality_cascade",
     "llm_domain_reweight",
     "llm_line_dedup",
+    "x15_hll_shard_merge",
     # --- evidence refresh: latest green r6 (the full set) ---
     "sim_embedding_stats",
     "st_sliding_stream",
@@ -93,7 +95,7 @@ _PRIORITY = [
     "tpch_q7_volume_shipping",
     "w5_running_sums",
     "x5_month_shard_backfill",
-    # --- evidence refresh: latest green r7 (first 15 of 44) ---
+    # --- evidence refresh: latest green r7 (first 14 of 44) ---
     "a11_cohort_retention",
     "a12_funnel_steps",
     "a13_grouping_sets",
@@ -108,13 +110,13 @@ _PRIORITY = [
     "j9_asof_tolerance",
     "llm_decontaminate",
     "llm_pretrain_pipeline",
-    "llm_temperature_mix",
 ]
 
 # Positions 51+: the r7-era queries NOT refreshed this round lead (the
 # r13 rotate-in candidates — oldest remaining evidence); everything
 # else follows in deterministic alphabetical order via _reorder().
 _TAIL_HEAD = [
+    "llm_temperature_mix",
     "m2_random_undersampler",
     "m_calibration_bins",
     "m_rf_pipeline_invariants",

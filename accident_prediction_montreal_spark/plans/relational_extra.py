@@ -2770,19 +2770,26 @@ def x14_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x15_hll_shard_merge",
     oracle="""
-    SELECT 'hll_merge_equals_direct' AS chk, CAST(1 AS BIGINT) AS ok
+    SELECT 'hll_estimate_positive' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'hll_merge_close_to_direct_1pct', CAST(1 AS BIGINT)
     UNION ALL SELECT 'hll_rel_err_le_5pct', CAST(1 AS BIGINT)
-    UNION ALL SELECT 'hll_estimate_positive', CAST(1 AS BIGINT)
+    ORDER BY chk
     """,
     description="Mergeable HLL SKETCHES across shards (Spark 4 Datasketches "
     "surface; the 100-TB cardinality pattern — per-shard sketches are "
     "tiny, merge is register-wise max, so distinct-count maintenance "
     "never rescans history): user_id is sketched per event_id%4 shard "
     "with hll_sketch_agg, the four sketches are merged with "
-    "hll_union_agg, and the merged estimate must EQUAL the single-pass "
-    "direct sketch estimate exactly (register merge is order- and "
-    "partition-independent — that equality is the whole point), plus a "
-    "5% relative-error band against the exact distinct count. Literal "
+    "hll_union_agg, and the merged estimate must agree with the "
+    "single-pass direct sketch within 1% — NOT exactly: DataSketches "
+    "HLL sketches stay in exact (list/set) mode at low cardinality, "
+    "where merge == direct bit-for-bit (and did, through sf0.01), but "
+    "once shard sketches and the direct sketch cross into estimation "
+    "mode at different cardinalities their estimators see different "
+    "register states (measured at sf0.1: merged 1488 vs direct 1494 "
+    "on 1500 exact — the r12 full-registry sf0.1 sweep caught the "
+    "over-strong equality claim). The 5% relative-error band against "
+    "the exact distinct count is the accuracy contract. Literal "
     "invariant oracle, a8_approx_distinct's pattern.",
 )
 def x15_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2799,7 +2806,12 @@ def x15_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = merged.crossJoin(direct)
     eq = both.select(
-        *_chk("hll_merge_equals_direct", F.col("merged_est") == F.col("direct_est"))
+        *_chk(
+            "hll_merge_close_to_direct_1pct",
+            F.abs(F.col("merged_est") - F.col("direct_est"))
+            / F.greatest(F.col("direct_est").cast("double"), F.lit(1.0))
+            <= 0.01,
+        )
     )
     err = both.select(
         *_chk(
@@ -2810,7 +2822,7 @@ def x15_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pos = both.select(*_chk("hll_estimate_positive", F.col("merged_est") > 0))
-    return eq.unionByName(err).unionByName(pos)
+    return eq.unionByName(err).unionByName(pos).orderBy("chk")
 
 
 @register(
