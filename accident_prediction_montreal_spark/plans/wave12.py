@@ -364,20 +364,24 @@ def _cascade_oracle() -> str:
     "and the output is one row per stage with rows-in/rows-out/"
     "dropped/surviving chars. Fixture plants re-submitted duplicates "
     "(every 29th doc re-added under the collision-proof 2^40 re-id, "
-    "same bytes) so the dedup stage has real work. Plan shape: the "
-    "three predicate stages are CUMULATIVE BOOLEAN COLUMNS in one map "
-    "pass over the scan (no shuffle, no self-joins — a naive "
-    "implementation filters and recounts per stage, scanning the "
-    "corpus 4x); the digest dedup window shuffles ONLY stage-3 "
-    "survivors (dedup placed last because the shuffle is the expensive "
-    "stage — filter-before-shuffle is the cascade's scale property); "
-    "all stage aggregates fold map-side into a single 4-row union. "
-    "Oracle: identical flags + windowed dedup in DuckDB, tokenizer "
-    "convention shared with the text family.",
+    "same bytes) so the dedup stage has real work. Plan shape (r13 "
+    "rewrite — the r12 form scanned the corpus 8x and shuffled every "
+    "row through the dedup window): ONE pass over the corpus. The "
+    "three predicate stages are cumulative boolean columns; every "
+    "stage's n_in/n_out/chars sum AND the dedup survivor pick fold "
+    "into a single groupBy whose key is CASE WHEN c3 THEN dig END — "
+    "all non-survivors collapse MAP-SIDE into one NULL-key partial row "
+    "per task, so the only corpus-width exchange carries exactly the "
+    "stage-3 survivor digests (plus ~numPartitions NULL rows). The "
+    "survivor per digest is min(struct(doc_id, n_chars)) — the same "
+    "skew-immune aggregate-over-window choice as llm_line_dedup. A "
+    "final global aggregate reduces to one row, unpivoted (explode of "
+    "4 structs) into the stage report. Verified by the plan test: 2 "
+    "parquet scans (one per union leg), 1 hash-partitioned exchange, "
+    "no Window, no Join. Oracle: identical flags + windowed dedup in "
+    "DuckDB, tokenizer convention shared with the text family.",
 )
 def llm_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from accident_prediction_montreal_spark.operators.text import tokenize
     from accident_prediction_montreal_spark.plans.snapshot_fixture import (
         REID_SHIFT,
@@ -405,36 +409,64 @@ def llm_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         c3.alias("c3"),
         F.md5("text").alias("dig"),
     )
-    # Dedup rank only among stage-3 survivors: partitioning by (dig, c3)
-    # keeps the expression a single window while the non-survivors get
-    # NULL rank — the shuffle carries survivor rows only after AQE
-    # sees the c3 filter selectivity (and at rest a real pipeline
-    # filters before the exchange; the CASE guard pins the semantics).
-    w = Window.partitionBy("dig", "c3").orderBy("doc_id")
-    dedup = flags.withColumn(
-        "rnk", F.when(F.col("c3"), F.row_number().over(w))
+
+    def gated_chars(cond) -> F.Column:
+        return F.sum(F.when(cond, F.col("n_chars")).otherwise(F.lit(0)))
+
+    # ONE corpus pass. Key = survivor digest or NULL: map-side partial
+    # aggregation folds every non-survivor into the single NULL-key row
+    # per task, so the exchange carries only stage-3 survivor digests.
+    # min(struct(doc_id, n_chars)) picks the first-by-doc_id survivor
+    # per digest (equals the oracle's ROW_NUMBER ... ORDER BY doc_id).
+    per_key = flags.groupBy(
+        F.when(F.col("c3"), F.col("dig")).alias("k")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("c1").cast("long")).alias("n1"),
+        gated_chars(F.col("c1")).alias("ch1"),
+        F.sum(F.col("c2").cast("long")).alias("n2"),
+        gated_chars(F.col("c2")).alias("ch2"),
+        F.sum(F.col("c3").cast("long")).alias("n3"),
+        gated_chars(F.col("c3")).alias("ch3"),
+        F.min(
+            F.when(F.col("c3"), F.struct("doc_id", "n_chars"))
+        ).alias("first"),
+    )
+    tot = per_key.agg(
+        F.sum("cnt").alias("n0"),
+        F.sum("n1").alias("n1"),
+        F.sum("ch1").alias("ch1"),
+        F.sum("n2").alias("n2"),
+        F.sum("ch2").alias("ch2"),
+        F.sum("n3").alias("n3"),
+        F.sum("ch3").alias("ch3"),
+        # non-NULL keys = distinct digests among survivors (stage-4 out)
+        F.count("k").alias("n4"),
+        F.sum("first.n_chars").alias("ch4"),
     )
 
-    def stage(n: int, name: str, cond_in, cond_out):
-        return dedup.agg(
+    def stage(n: int, name: str, n_in: str, n_out: str, ch: str):
+        return F.struct(
             F.lit(n).cast("long").alias("stage"),
             F.lit(name).alias("stage_name"),
-            F.sum(cond_in.cast("long")).cast("long").alias("n_in"),
-            F.sum(cond_out.cast("long")).cast("long").alias("n_out"),
-            (F.sum(cond_in.cast("long")) - F.sum(cond_out.cast("long")))
-            .cast("long")
-            .alias("n_dropped"),
-            F.sum(F.when(cond_out, F.col("n_chars")).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("chars_out"),
+            F.col(n_in).cast("long").alias("n_in"),
+            F.col(n_out).cast("long").alias("n_out"),
+            (F.col(n_in) - F.col(n_out)).cast("long").alias("n_dropped"),
+            F.col(ch).cast("long").alias("chars_out"),
         )
 
-    survived4 = F.col("rnk") == 1
     return (
-        stage(1, "lang_en", F.lit(True), F.col("c1"))
-        .unionByName(stage(2, "len_100_400", F.col("c1"), F.col("c2")))
-        .unionByName(stage(3, "min_20_tokens", F.col("c2"), F.col("c3")))
-        .unionByName(stage(4, "digest_dedup", F.col("c3"), survived4))
+        tot.select(
+            F.explode(
+                F.array(
+                    stage(1, "lang_en", "n0", "n1", "ch1"),
+                    stage(2, "len_100_400", "n1", "n2", "ch2"),
+                    stage(3, "min_20_tokens", "n2", "n3", "ch3"),
+                    stage(4, "digest_dedup", "n3", "n4", "ch4"),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
         .orderBy("stage")
     )
 

@@ -206,29 +206,59 @@ EXTENDED = [
 # regression; canary moved with them = drift.
 CANARY = ["w5_running_sums", "a3_group_max", "j4_semi_anti"]
 
-# Canary reference (r12 verdict ask #6): mean(canary_end) from the r10
-# CLEAN host window, pinned per scale factor — r10 is the last round
-# whose canary readings all three later rounds agreed was unelevated.
-# Artifacts additionally report value_norm = value * (canary_ref /
-# mean(canary_end)), so round-over-round comparison is one column read
+# Canary reference (r12 verdict ask #6): canary_end from the r10 CLEAN
+# host window, pinned PER QUERY per scale factor — r10 is the last
+# round whose canary readings all three later rounds agreed was
+# unelevated. Artifacts additionally report value_norm = value *
+# canary_ratio, so round-over-round comparison is one column read
 # instead of a per-round drift re-derivation (the r9-r11 verdicts each
 # spent space proving "+N% is host drift, not regression"). A sf with
 # no pinned reference emits no _norm fields (normalizing against an
 # unpinned window would manufacture precision).
 CANARY_REF = {
-    0.1: (0.098 + 0.102 + 0.204) / 3,  # BENCH_r10.json canary_end
-    1.0: (0.105 + 0.106 + 0.493) / 3,  # BENCH_sf1_r10.json canary_end
+    0.1: {  # BENCH_r10.json canary_end
+        "w5_running_sums": 0.098,
+        "a3_group_max": 0.102,
+        "j4_semi_anti": 0.204,
+    },
+    1.0: {  # BENCH_sf1_r10.json canary_end
+        "w5_running_sums": 0.105,
+        "a3_group_max": 0.106,
+        "j4_semi_anti": 0.493,
+    },
 }
+
+# Correction clamp (r12 verdict ask #3): a canary_ratio far from 1 means
+# the host window is too turbulent for the tiny canaries to calibrate —
+# dividing the headline by 0.52 (the r12 builder pass) manufactures a
+# 1.9x self-granted discount from three sub-second queries' noise.
+# Outside the band the artifact carries raw value + ratio + the
+# "turbulent" flag and NO _norm fields; regressions in a turbulent
+# window stay judged by the primary rule (did a touched query move
+# alone, or did untouched queries move uniformly with the canaries).
+NORM_BAND = (0.7, 1.4)
 
 
 def canary_normalize(out: dict, sf: float) -> None:
-    """Add value_norm/scale_safe_total_norm/queries_norm in place."""
+    """Add canary_ratios / canary_ratio / *_norm fields in place.
+
+    canary_ratio is the MEDIAN of the three per-query ratios (not the
+    ratio of means): one noisy canary cannot steer it, and the artifact
+    carries all three individual ratios so a reader can see dispersion.
+    """
     ref = CANARY_REF.get(sf)
-    ends = list(out.get("canary_end", {}).values())
-    if ref is None or not ends or sum(ends) == 0:
+    ends = out.get("canary_end", {})
+    if not ref or any(not ends.get(n) for n in ref):
         return
-    ratio = ref / (sum(ends) / len(ends))
+    ratios = {n: round(ref[n] / ends[n], 4) for n in ref}
+    out["canary_ratios"] = ratios
+    ordered = sorted(ratios.values())
+    ratio = ordered[len(ordered) // 2]
     out["canary_ratio"] = round(ratio, 4)
+    if not (NORM_BAND[0] <= ratio <= NORM_BAND[1]):
+        out["canary_window"] = "turbulent"
+        return
+    out["canary_window"] = "normal"
     out["value_norm"] = round(out["value"] * ratio, 3)
     out["scale_safe_total_norm"] = round(out["scale_safe_total"] * ratio, 3)
     out["queries_norm"] = {

@@ -1,0 +1,70 @@
+"""Canary-normalization contract (r12 verdict ask #3): the correction
+is median-of-per-query-ratios, clamped to NORM_BAND — outside the band
+the artifact carries raw + ratio + 'turbulent' and NO _norm fields, so
+a noisy host window can never grant the headline a >1.4x discount."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def _out(ends, value=10.0):
+    return {
+        "value": value,
+        "scale_safe_total": value,
+        "queries": {"q": value},
+        "canary_end": ends,
+    }
+
+
+def test_normal_window_emits_norm_and_per_canary_ratios():
+    out = _out(
+        {"w5_running_sums": 0.117, "a3_group_max": 0.133, "j4_semi_anti": 0.269}
+    )
+    bench.canary_normalize(out, 0.1)
+    assert out["canary_window"] == "normal"
+    assert set(out["canary_ratios"]) == set(bench.CANARY)
+    # median, not mean: the middle of the three sorted ratios
+    assert out["canary_ratio"] == sorted(out["canary_ratios"].values())[1]
+    assert out["value_norm"] == round(10.0 * out["canary_ratio"], 3)
+    assert bench.NORM_BAND[0] <= out["canary_ratio"] <= bench.NORM_BAND[1]
+
+
+def test_turbulent_window_suppresses_norm():
+    # the r12 builder-pass scenario: host ~2x slow -> ratio ~0.51
+    out = _out(
+        {"w5_running_sums": 0.19, "a3_group_max": 0.20, "j4_semi_anti": 0.40}
+    )
+    bench.canary_normalize(out, 0.1)
+    assert out["canary_window"] == "turbulent"
+    assert "value_norm" not in out and "queries_norm" not in out
+    # raw + ratio still present for the reader
+    assert out["canary_ratio"] < bench.NORM_BAND[0]
+    assert set(out["canary_ratios"]) == set(bench.CANARY)
+
+
+def test_single_noisy_canary_cannot_steer_the_median():
+    # two canaries read clean (ratio ~1.0), one reads 5x fast — the
+    # median stays at the clean pair's value
+    out = _out(
+        {"w5_running_sums": 0.098, "a3_group_max": 0.102, "j4_semi_anti": 1.02}
+    )
+    bench.canary_normalize(out, 0.1)
+    assert 0.9 <= out["canary_ratio"] <= 1.1
+    assert out["canary_window"] == "normal"
+
+
+def test_missing_or_zero_canary_emits_nothing():
+    out = _out({"w5_running_sums": 0.0})
+    bench.canary_normalize(out, 0.1)
+    assert "canary_ratio" not in out and "value_norm" not in out
+    out2 = _out(
+        {"w5_running_sums": 0.1, "a3_group_max": 0.1, "j4_semi_anti": 0.2}
+    )
+    bench.canary_normalize(out2, 0.05)  # unpinned sf
+    assert "canary_ratio" not in out2 and "value_norm" not in out2

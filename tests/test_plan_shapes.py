@@ -620,13 +620,26 @@ def test_index_maintenance_checksum_verify_no_band_join(spark):
 
 
 def test_quality_cascade_single_scan_one_shuffle(spark):
-    # predicate stages are cumulative booleans in one map pass; the only
-    # wide operation is the digest-dedup window over stage-3 survivors
+    # r13 contract (the r12 form scanned the corpus 8x and shuffled all
+    # rows through the dedup window — caught by the r12 verdict): ONE
+    # corpus pass, and the only hash-partitioned exchange carries
+    # stage-3 survivor digests — the CASE-WHEN-c3 grouping key folds
+    # every non-survivor into one NULL-key partial row per task.
     plan = plan_of(spark, "llm_quality_cascade")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # one window exchange (dig, c3); the 4 stage aggregates are unions
-    # of map-side-combined global aggregates, not joins
     assert "Join" not in plan
+    # dedup is the min(struct) aggregate, NOT a row_number window (a
+    # window would ship every duplicate-hot digest's occurrence list)
+    assert "Window" not in plan
+    # single corpus pass: one parquet scan per union leg, none extra
+    assert plan.count("Scan parquet") == 2
+    # exactly one corpus-width exchange, and it is fed by a PARTIAL
+    # aggregate (map-side combine) so non-survivors never cross it
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan
+    # the CASE-gated grouping key is below (before) the exchange
+    pre_exchange = plan.split("Exchange hashpartitioning")[1]
+    assert "CASE WHEN c3" in pre_exchange
 
 
 def test_domain_reweight_one_corpus_aggregate(spark):
