@@ -162,3 +162,116 @@ def canonicalize_url_sql(expr: str) -> str:
     rest = f"regexp_replace({rest}, '\\?&', '?')"
     rest = f"regexp_replace({rest}, '/+$', '')"
     return f"({scheme} || '://' || {host} || {rest})"
+
+
+#: Longest rule in any form we accept (the real PSL's longest plain
+#: rules are 4 labels; 6 leaves headroom). Both registrable-domain
+#: forms reject longer rules up front so they can never diverge on a
+#: rule neither would match.
+PSL_MAX_RULE_LABELS = 6
+
+#: Measured head-to-head of the two registrable-domain forms at 2M
+#: hosts (scripts/bench_psl.py, BENCH_psl_r13.json): the broadcast-join
+#: chain is flat ~2.5 s at EVERY list size while the literal-array HOF
+#: scan degrades linearly in |PSL| (16 s at 1k rules, 151 s at 9k — its
+#: array_contains is O(|PSL|) per candidate suffix). Production path is
+#: therefore :func:`registrable_domain_join`; the HOF form stays as the
+#: pure-Column semantic reference (it is what the DuckDB oracle mirrors
+#: and what the property tests hold the join form equal to).
+
+
+def _check_psl(psl: list[str]) -> list[str]:
+    if len(set(psl)) != len(psl):
+        raise ValueError("PSL rules must be unique")
+    too_long = [r for r in psl if r.count(".") + 1 > PSL_MAX_RULE_LABELS]
+    if too_long:
+        raise ValueError(
+            f"PSL rules over {PSL_MAX_RULE_LABELS} labels: {too_long[:3]}"
+        )
+    return psl
+
+
+def registrable_domain_join(
+    df, host_col: str, out_col: str, psl: list[str] | None = None
+):
+    """eTLD+1 via a chain of per-suffix-length BROADCAST left joins —
+    the full-size-PSL form of :func:`registrable_domain` (identical
+    semantics, property-tested equal in tests/test_url.py).
+
+    Why a second form exists: the HOF form embeds the PSL as one
+    literal array and ``array_contains`` scans it linearly — O(|PSL|)
+    comparisons per candidate suffix per row, fine at fixture scale but
+    ~9k rules x ~4 suffixes per host at corpus scale is 36k string
+    compares per row. Here each suffix length L in 1..PSL_MAX_RULE_LABELS
+    gets ONE broadcast hash join (left) against the rule table: O(1)
+    hash probe per suffix, map-side only — NO shuffle of the corpus, no
+    explode, no per-row aggregation. The rule table is deduplicated and
+    bounded (~9k rows), so every join is a broadcast hash join by
+    construction; row multiplicity is preserved (unique build side).
+    """
+    rules_list = _check_psl(psl if psl is not None else PSL_SNAPSHOT)
+    spark = df.sparkSession
+    labels = F.split(F.col(host_col), "\\.")
+    n = F.size(labels)
+    out = df.withColumn("__psl_labels", labels)
+    match_len_cols = []
+    for L in range(1, PSL_MAX_RULE_LABELS + 1):
+        rule_col = f"__psl_r{L}"
+        rules = spark.createDataFrame(
+            [(r,) for r in rules_list], f"{rule_col} string"
+        )
+        suf = F.when(
+            n >= L,
+            F.array_join(F.slice("__psl_labels", n - L + 1, L), "."),
+        )
+        out = out.join(
+            F.broadcast(rules),
+            suf == F.col(rule_col),
+            "left",
+        )
+        match_len_cols.append(
+            F.when(F.col(rule_col).isNotNull(), F.lit(L))
+        )
+    # longest matched suffix; PSL default rule: unknown TLD -> length 1
+    psl_len = F.coalesce(F.greatest(*match_len_cols), F.lit(1))
+    reg = F.when(
+        n > psl_len,
+        F.array_join(
+            F.slice("__psl_labels", n - psl_len, psl_len + 1), "."
+        ),
+    )
+    drop = ["__psl_labels"] + [
+        f"__psl_r{L}" for L in range(1, PSL_MAX_RULE_LABELS + 1)
+    ]
+    return out.withColumn(out_col, reg).drop(*drop)
+
+
+def synthetic_psl(n_rules: int = 9000, seed: int = 13) -> list[str]:
+    """A deterministic PSL-SHAPED rule set for tests and benchmarks.
+
+    Models the real publicsuffix.org list's composition (~9.5k rules:
+    ~1.5k plain TLDs, the bulk two-label country registries like
+    co.uk/ac.jp, a smaller three-label band, plus private-section
+    entries like github.io) without shipping the list itself. Purely
+    synthetic labels — the only real entries used at runtime remain
+    PSL_SNAPSHOT; this builder exists to measure and property-test the
+    two registrable-domain forms at full-size-list scale.
+    """
+    import random
+
+    rng = random.Random(seed)
+    seconds = ["co", "or", "ac", "go", "ne", "ed", "mil", "web", "biz"]
+    rules: list[str] = []
+    tlds: list[str] = []
+    i = 0
+    while len(rules) < n_rules:
+        tld = f"t{i:04d}"
+        i += 1
+        tlds.append(tld)
+        rules.append(tld)
+        # most country registries carry a handful of second-level rules
+        for s in rng.sample(seconds, rng.randrange(0, 6)):
+            rules.append(f"{s}.{tld}")
+            if rng.random() < 0.05:  # sparse three-label band
+                rules.append(f"x{rng.randrange(100)}.{s}.{tld}")
+    return _check_psl(rules[:n_rules])

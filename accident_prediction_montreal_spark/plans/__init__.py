@@ -33,89 +33,35 @@ from accident_prediction_montreal_spark.plans import wave9  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave10  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave11  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave12  # noqa: F401,E402
+from accident_prediction_montreal_spark.plans import wave13  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #
-# Round-12 ROTATION (the r11 verdict's ask #1: with zero reds the
-# window goes to the oldest evidence). Slots 1-14: every query whose
-# code changed this round or is new — the PSL-aware blocklist variant, the
-# tracking-regex fix (llm_url_canonicalize), the size-gated skew lever
-# (llm_source_quota), the shared collision-proof snapshot-B fixture
-# (llm_corpus_diff + the trilogy + st_corpus_diff_stream,
-# dedup_containment's REID_SHIFT), the multiset-checksum verify stages
-# (llm_index_maintenance, llm_embedding_refresh), and the IVF
-# zero-norm-convention alignment (sim_cosine_topk_bucketed) plus the
-# new r12 queries (sim_ann_bucketed_recall, llm_quality_cascade,
-# llm_domain_reweight, llm_line_dedup; x15_hll_shard_merge's contract
-# was corrected by the r12 sf0.1 full-registry sweep) — changed code
-# re-earns its driver evidence the same round. Slots 15-36: the full
-# r6-era latest-green set (the ledger's oldest tail). Slots 37-50:
-# the r7-era set, alphabetical order, first 14.
+# Round-13 ROTATION (the r12 verdict's ask #2: window goes to the
+# oldest remaining evidence). Slots 1-5: every query whose code changed
+# this round or is new — the quality-cascade plan rewrite (single-pass
+# CASE-key aggregate, survivors-only shuffle), the blocklist's
+# registrable-domain step switched to the measured broadcast-join form
+# (BENCH_psl_r13.json), llm_line_dedup's line-ification extracted into
+# the shared doc_line_frames helper, plus the two new r13 queries
+# (llm_line_dedup_best keep-best-quality policy, st_line_dedup_stream
+# stateful first-seen twin) — changed code re-earns its driver
+# evidence the same round. Slots 6-35: the full remaining r7-era set
+# (the ledger's oldest tail after the r12 window refreshed all of r6).
+# Slots 36-50: the r8-era set, alphabetical order, first 15.
 # Every slot verified green locally at sf0.01 this round
 # (scripts/check_oracle.py, vanilla session).
 #
-# Rotated OUT — the r11 refresh set (all driver-green in
-# CORRECTNESS_r11).
+# Rotated OUT — the r12 refresh set (all driver-green in
+# CORRECTNESS_r12).
 _PRIORITY = [
     # --- this round's changed/new code ---
-    "llm_blocklist_filter_psl",
-    "llm_url_canonicalize",
-    "llm_source_quota",
-    "llm_corpus_diff",
-    "llm_index_maintenance",
-    "llm_embedding_refresh",
-    "st_corpus_diff_stream",
-    "dedup_containment",
-    "sim_cosine_topk_bucketed",
-    "sim_ann_bucketed_recall",
     "llm_quality_cascade",
-    "llm_domain_reweight",
+    "llm_blocklist_filter_psl",
     "llm_line_dedup",
-    "x15_hll_shard_merge",
-    # --- evidence refresh: latest green r6 (the full set) ---
-    "sim_embedding_stats",
-    "st_sliding_stream",
-    "st_sliding_window",
-    "st_tumbling_window",
-    "text_quality_deciles",
-    "text_repetition",
-    "text_sequence_pack",
-    "text_token_hash",
-    "tpch_q11_important_stock",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "w5_running_sums",
-    "x5_month_shard_backfill",
-    # --- evidence refresh: latest green r7 (first 14 of 44) ---
-    "a11_cohort_retention",
-    "a12_funnel_steps",
-    "a13_grouping_sets",
-    "a6_idw_seam",
-    "a8_approx_distinct",
-    "dedup_repeated_spans",
-    "f_map_funcs",
-    "f_pandas_grouped_agg",
-    "f_udtf_json_kv",
-    "j10_range_join",
-    "j12_nullsafe_join",
-    "j9_asof_tolerance",
-    "llm_decontaminate",
-    "llm_pretrain_pipeline",
-]
-
-# Positions 51+: the r7-era queries NOT refreshed this round lead (the
-# r13 rotate-in candidates — oldest remaining evidence); everything
-# else follows in deterministic alphabetical order via _reorder().
-_TAIL_HEAD = [
+    "llm_line_dedup_best",
+    "st_line_dedup_stream",
+    # --- evidence refresh: latest green r7 (the full remaining set) ---
     "llm_temperature_mix",
     "m2_random_undersampler",
     "m_calibration_bins",
@@ -146,6 +92,55 @@ _TAIL_HEAD = [
     "x12_backfill_evolution",
     "x8_partitioned_sink_roundtrip",
     "x9_schema_evolution",
+    # --- evidence refresh: latest green r8 (first 15, alphabetical) ---
+    "a15_interval_coverage",
+    "a16_running_distinct",
+    "a17_heavy_hitters",
+    "a18_skyline_pareto",
+    "a19_event_transitions",
+    "a20_attribution_last_touch",
+    "a21_approx_topk_invariant",
+    "a25_session_dynamic_gap",
+    "a27_market_basket",
+    "dedup_editdist",
+    "er_golden_records",
+    "f_variant_json",
+    "g1_pagerank_trade",
+    "g2_triangle_count",
+    "j13_scd2_join",
+]
+
+# Positions 51+: the r8-era queries NOT refreshed this round lead (the
+# r14 rotate-in candidates — oldest remaining evidence); everything
+# else follows in deterministic alphabetical order via _reorder().
+_TAIL_HEAD = [
+    "j14_bloom_semi_join",
+    "j15_point_in_polygon",
+    "j16_interval_overlap",
+    "llm_epoch_schedule",
+    "m12_oof_target_encode",
+    "m14_feature_corr",
+    "mm_audio_frames",
+    "mm_gif_decode",
+    "s12_python_datasource",
+    "sim_kmeans_lloyd",
+    "sql_lateral_topk",
+    "sql_recursive_cte",
+    "st_heavy_hitters_stream",
+    "st_python_stream_source",
+    "text_bm25",
+    "text_lm_perplexity",
+    "text_quality_classifier",
+    "w8_gap_fill_lvcf",
+    "w9_distribution_ranks",
+    "x13_small_files_compaction",
+    "x14_incremental_rollup",
+    "x16_python_sink_roundtrip",
+    "x17_table_profile",
+    "x18_cdc_merge",
+    "x19_dq_expectations",
+    "x20_zorder_layout",
+    "x21_ann_pruned_layout",
 ]
 
 def _reorder() -> None:

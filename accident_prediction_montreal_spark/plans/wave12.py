@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from accident_prediction_montreal_spark.functions.url import (
     PSL_SNAPSHOT,
-    registrable_domain,
+    registrable_domain_join,
     registrable_domain_sql,
 )
 from accident_prediction_montreal_spark.plans.registry import register
@@ -97,11 +97,14 @@ def _blocklist_psl_oracle() -> str:
     "against an offline public-suffix snapshot), so 'example.org' "
     "blocks its whole subtree while bare 'org', 'co.uk' or the PSL "
     "private entry 'github.io' block NOTHING (each label under them "
-    "belongs to a different owner). Plan: the PSL rides into the plan "
-    "as ONE literal array<string> (single serialized Literal at any "
-    "snapshot size — no join, no UDF; the longest-match scan is "
-    "transform/filter/array_max HOFs over <= ~6 suffixes inside "
-    "whole-stage codegen), the host's suffix chain is TRUNCATED at the "
+    "belongs to a different owner). Plan (r13: measured against a "
+    "full-size ~9k-rule snapshot, BENCH_psl_r13.json): the "
+    "registrable-domain step is functions/url.registrable_domain_join "
+    "— one BROADCAST left hash join per suffix length (<= 6), O(labels) "
+    "hash probes per host, map-side only, no shuffle — which beat the "
+    "literal-array HOF scan 60x at 9k rules (the HOF's array_contains "
+    "is O(|PSL|) per suffix; it remains the property-tested semantic "
+    "reference form). The host's suffix chain is then TRUNCATED at the "
     "registrable domain (public-suffix rules are inert by "
     "construction, not by rule-table curation), and the bounded "
     "explode (<= ~4 rows/host) equi-joins the broadcast rule table "
@@ -124,9 +127,7 @@ def llm_blocklist_filter_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     hosts = docs.select("doc_id", host.alias("host"))
     rules = spark.createDataFrame([(r,) for r in _PSL_RULES], ["rule"])
 
-    reghosts = hosts.withColumn(
-        "reg", registrable_domain("host", PSL_SNAPSHOT)
-    )
+    reghosts = registrable_domain_join(hosts, "host", "reg", PSL_SNAPSHOT)
     labels = F.split(F.col("host"), "\\.")
     n = F.size(labels)
     reg_len = F.size(F.split(F.col("reg"), "\\."))
@@ -596,6 +597,38 @@ def llm_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_TOKS = 5  # fixture line-ification: 5-token groups (docs have no newlines)
 
 
+def doc_line_frames(docs: DataFrame, *extra: str):
+    """Shared line-ification (the C4 convention at _LINE_TOKS-token
+    granularity, shared tokenizer): returns ``(toks, n_lines_col,
+    lines)`` — ``toks`` is one row per non-empty doc with its token
+    array ``w``; ``n_lines_col`` computes the per-doc line count from
+    ``w`` (so a totals branch never pays the explode); ``lines`` is the
+    posexploded (doc_id, source, doc_toks, *extra, pos, line) frame.
+    Used by llm_line_dedup (keep-first), llm_line_dedup_best
+    (keep-best-quality, wave13) and st_line_dedup_stream (wave13)."""
+    from accident_prediction_montreal_spark.operators.text import tokenize
+
+    w = tokenize(F.col("text"))
+    toks = docs.select("doc_id", "source", *extra, w.alias("w")).filter(
+        F.size("w") > 0
+    )
+    n_lines_col = F.ceil(F.size("w") / F.lit(float(_LINE_TOKS))).cast("int")
+    line_arr = F.transform(
+        F.sequence(F.lit(0), n_lines_col - 1),
+        lambda i: F.array_join(
+            F.slice("w", i * _LINE_TOKS + 1, _LINE_TOKS), " "
+        ),
+    )
+    lines = toks.select(
+        "doc_id",
+        "source",
+        F.size("w").alias("doc_toks"),
+        *extra,
+        F.posexplode(line_arr).alias("pos", "line"),
+    )
+    return toks, n_lines_col, lines
+
+
 @register(
     "llm_line_dedup",
     oracle=f"""
@@ -652,25 +685,10 @@ _LINE_TOKS = 5  # fixture line-ification: 5-token groups (docs have no newlines)
     "the |sources|-row report tables.",
 )
 def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from accident_prediction_montreal_spark.operators.text import tokenize
-
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "source", "text"
     )
-    w = tokenize(F.col("text"))
-    toks = docs.select("doc_id", "source", w.alias("w")).filter(
-        F.size("w") > 0
-    )
-    n_lines_arr = F.ceil(F.size("w") / F.lit(float(_LINE_TOKS))).cast("int")
-    line_arr = F.transform(
-        F.sequence(F.lit(0), n_lines_arr - 1),
-        lambda i: F.array_join(
-            F.slice("w", i * _LINE_TOKS + 1, _LINE_TOKS), " "
-        ),
-    )
-    lines = toks.select(
-        "doc_id", "source", F.posexplode(line_arr).alias("pos", "line")
-    )
+    toks, n_lines_arr, lines = doc_line_frames(docs)
     per_line = lines.groupBy("line").agg(
         F.min(
             F.struct(

@@ -1,0 +1,297 @@
+"""Wave-13 queries (r13): line-dedup survivor policy + streaming twin.
+
+The r12 verdict's stretch asks: (1) C4 keeps the FIRST occurrence of a
+duplicated line; several modern pipelines (RefinedWeb-style) keep the
+occurrence from the highest-QUALITY document instead —
+llm_line_dedup_best is that policy as the same skew-immune min(struct)
+aggregate with a quality-prefixed struct key. (2) The batch line dedup
+gets its streaming counterpart — st_line_dedup_stream, a stateful
+first-seen filter over exploded lines with hash-sharded state (the
+st_corpus_diff_stream pattern), completing the batch/stream twin set
+the quota and corpus-diff operators already have.
+
+Reference semantics contract: the reference engine has no LLM-corpus
+operators; these extend the engine's curation family (SURVEY.md §2's
+training-data pipeline section) under the shared tokenizer convention
+(operators/text.py::tokenize).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.plans.registry import register
+from accident_prediction_montreal_spark.plans.wave12 import (
+    _LINE_TOKS,
+    doc_line_frames,
+)
+from accident_prediction_montreal_spark.sources.registry import load_table
+
+# DuckDB mirror of the shared line-ification (wave12's convention):
+# 5-token groups under the shared tokenizer, empty docs dropped.
+_SQL_TOKS = (
+    "SELECT doc_id, source, "
+    "regexp_split_to_array(trim(lower(text)), '\\s+') AS w "
+    "FROM documents WHERE trim(lower(text)) <> ''"
+)
+_SQL_LINES = (
+    f"SELECT doc_id, source, len(w) AS doc_toks, i AS pos, "
+    f"array_to_string(w[i*{_LINE_TOKS}+1 : i*{_LINE_TOKS}+{_LINE_TOKS}], ' ')"
+    f" AS line "
+    f"FROM toks, unnest(range(0, CAST(ceil(len(w)/{_LINE_TOKS}.0) AS BIGINT)))"
+    f" r(i)"
+)
+
+
+@register(
+    "llm_line_dedup_best",
+    oracle=f"""
+    WITH toks AS ({_SQL_TOKS}),
+    lines AS ({_SQL_LINES}),
+    kept AS (
+      SELECT doc_id, pos, source, doc_toks, length(line) AS chars
+      FROM lines
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY line ORDER BY doc_toks DESC, doc_id, pos) = 1
+    ),
+    totals AS (
+      SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lines GROUP BY source
+    ),
+    kstats AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        CAST(SUM(chars) AS BIGINT) AS kept_chars,
+        CAST(SUM(doc_toks) AS BIGINT) AS kept_doc_toks,
+        CAST(SUM(doc_id * (pos + 1)) AS BIGINT) AS kept_pos_chk
+      FROM kept GROUP BY source
+    )
+    SELECT t.source, t.n_docs, t.n_lines, k.n_kept,
+      t.n_lines - k.n_kept AS n_removed, k.kept_chars, k.kept_doc_toks,
+      k.kept_pos_chk
+    FROM totals t JOIN kstats k USING (source) ORDER BY t.source
+    """,
+    description="LINE DEDUP, KEEP-BEST-QUALITY POLICY — C4 keeps the "
+    "first occurrence of a duplicated line; modern pipelines often keep "
+    "the occurrence living in the highest-quality document so "
+    "boilerplate survives in the best context. Quality proxy here is "
+    "the document's token count under the shared tokenizer (ties "
+    "broken first-by-(doc_id,pos), so the policy degrades to C4 on "
+    "equal quality). PLAN — identical skew-immune shape to "
+    "llm_line_dedup: survivor = min(struct(-doc_toks, doc_id, pos, "
+    "...)) under groupBy(line) — the quality-PREFIXED struct key turns "
+    "'keep best' into the same partial+final aggregate, so a "
+    "boilerplate line occurring 1e8 times still collapses map-side "
+    "before the exchange (a window over quality DESC would ship every "
+    "occurrence to one reducer); totals branch reads the unexploded "
+    "projection. The kept_doc_toks column evidences the policy: it is "
+    "maximal per line by construction and hash-diverges from the "
+    "keep-first variant on the planted duplicates.",
+)
+def llm_line_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    toks, n_lines_col, lines = doc_line_frames(docs)
+    per_line = lines.groupBy("line").agg(
+        F.min(
+            F.struct(
+                (-F.col("doc_toks")).alias("negq"),
+                F.col("doc_id"),
+                F.col("pos"),
+                F.col("source"),
+                F.length("line").alias("chars"),
+                F.col("doc_toks"),
+            )
+        ).alias("keep")
+    )
+    kstats = per_line.groupBy(F.col("keep.source").alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("keep.chars").cast("long").alias("kept_chars"),
+        F.sum("keep.doc_toks").cast("long").alias("kept_doc_toks"),
+        F.sum(F.col("keep.doc_id") * (F.col("keep.pos") + 1))
+        .cast("long")
+        .alias("kept_pos_chk"),
+    )
+    totals = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_lines_col.cast("long")).cast("long").alias("n_lines"),
+    )
+    return (
+        totals.join(kstats, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_lines",
+            "n_kept",
+            (F.col("n_lines") - F.col("n_kept"))
+            .cast("long")
+            .alias("n_removed"),
+            "kept_chars",
+            "kept_doc_toks",
+            "kept_pos_chk",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "st_line_dedup_stream",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, 1 + doc_id % 2 AS rev,
+        regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE trim(lower(text)) <> ''
+    ),
+    lines AS (
+      SELECT doc_id, source, rev, i AS pos,
+        array_to_string(w[i*{_LINE_TOKS}+1 : i*{_LINE_TOKS}+{_LINE_TOKS}], ' ')
+          AS line
+      FROM toks,
+        unnest(range(0, CAST(ceil(len(w)/{_LINE_TOKS}.0) AS BIGINT))) r(i)
+    ),
+    kept AS (
+      SELECT rev, source, doc_id, pos, length(line) AS chars
+      FROM lines
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY line ORDER BY rev, doc_id, pos) = 1
+    )
+    SELECT CAST(rev AS BIGINT) AS rev, source,
+      CAST(COUNT(*) AS BIGINT) AS n_kept,
+      CAST(SUM(chars) AS BIGINT) AS kept_chars,
+      CAST(SUM(doc_id * (pos + 1)) AS BIGINT) AS kept_pos_chk
+    FROM kept GROUP BY rev, source ORDER BY rev, source
+    """,
+    description="STREAMING LINE DEDUP — the stateful twin of "
+    "llm_line_dedup (the batch/stream twin pattern the quota and "
+    "corpus-diff operators already have): document batches stream in "
+    "(two mtime-pinned micro-batches, even doc_ids then odd — the "
+    "'crawl arrives in waves' shape), each doc explodes into 5-token "
+    "lines, and a stateful FIRST-SEEN filter keeps a line's first "
+    "occurrence across the whole stream. State is hash-SHARDED (the "
+    "st_corpus_diff_stream pattern): groups keyed by xxhash64(line) "
+    "% 64, each shard folding its slice vectorized with one md5-digest "
+    "set per shard — a line's every occurrence lands in ONE shard, so "
+    "first-seen is exact; the per-batch fold sorts (rev, doc_id, pos) "
+    "so the emitted survivors are identical under ANY split of "
+    "rev-ordered delivery into micro-batches (merged delivery folds to "
+    "the same result). State cost is the honest streaming-dedup price: "
+    "O(|distinct lines|) 32-char digests across shards — at 100 TB "
+    "this is 16-byte binary digests in RocksDB state, and the saving "
+    "is downstream stages never reprocessing boilerplate. Full VALUE "
+    "oracle: md5-free report (counts/chars/position checksum per "
+    "(rev, source)) equals the batch QUALIFY row_number SQL ordered by "
+    "(rev, doc_id, pos) exactly.",
+)
+def st_line_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _st_line_dedup_impl(spark, sf_dir, max_files_per_trigger=1)
+
+
+def _st_line_dedup_impl(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None
+) -> DataFrame:
+    """max_files_per_trigger=1 is the registered two-batch delivery;
+    None merges both revisions into one micro-batch — the
+    batching-invariance test (test_wave13.py) holds the two equal."""
+    import os
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from accident_prediction_montreal_spark.plans.llm_ops import (
+        _run_to_memory_sink,
+    )
+    from accident_prediction_montreal_spark.plans.relational_extra import (
+        _scratch,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    base, _ = _scratch("stlined", sf_dir)
+    p1 = os.path.join(base, "rev1.parquet")
+    p2 = os.path.join(base, "rev2.parquet")
+    docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "rev", F.lit(1).cast("long")
+    ).coalesce(1).write.mode("overwrite").parquet(p1)
+    docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "rev", F.lit(2).cast("long")
+    ).coalesce(1).write.mode("overwrite").parquet(p2)
+    # mtime-pinned ascending: maxFilesPerTrigger=1 replays rev1 before
+    # rev2 (the _two_batch_fixture convention); the fold below is
+    # (rev, doc_id, pos)-ordered anyway, so merged delivery is identical.
+    for i, p in enumerate((p1, p2)):
+        for f in os.listdir(p):
+            os.utime(
+                os.path.join(p, f), (1_000_000_000 + i, 1_000_000_000 + i)
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("rev", T.LongType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(os.path.join(base, "rev*.parquet"))
+    _, _, lines = doc_line_frames(stream, "rev")
+    NB = 64
+    lined = lines.select(
+        "rev",
+        "source",
+        "doc_id",
+        "pos",
+        F.length("line").alias("chars"),
+        F.md5("line").alias("dig"),
+        F.pmod(F.xxhash64("line"), F.lit(NB)).cast("int").alias("shard"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("rev", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("chars", T.IntegerType()),
+        ]
+    )
+
+    def first_seen(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        pdf = pd.concat(list(pdfs)).sort_values(["rev", "doc_id", "pos"])
+        # within-batch first occurrence per digest, then cross-batch
+        # filter against the shard's seen-set
+        pdf = pdf.drop_duplicates("dig", keep="first")
+        fresh = pdf[~pdf["dig"].isin(seen)]
+        seen.update(fresh["dig"].tolist())
+        state.update((sorted(seen),))
+        if len(fresh):
+            yield fresh[["rev", "source", "doc_id", "pos", "chars"]]
+
+    kept = lined.groupBy("shard").applyInPandasWithState(
+        first_seen,
+        outputStructType=out_schema,
+        stateStructType="digs ARRAY<STRING>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = _run_to_memory_sink(spark, kept, "append")
+    return (
+        got.groupBy("rev", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("chars").cast("long").alias("kept_chars"),
+            F.sum(F.col("doc_id") * (F.col("pos") + 1))
+            .cast("long")
+            .alias("kept_pos_chk"),
+        )
+        .orderBy("rev", "source")
+    )

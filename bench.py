@@ -194,6 +194,9 @@ EXTENDED = [
     "llm_quality_cascade",
     "llm_domain_reweight",
     "llm_line_dedup",
+    # appended r13:
+    "llm_line_dedup_best",
+    "st_line_dedup_stream",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read

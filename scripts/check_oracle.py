@@ -85,6 +85,13 @@ def main() -> int:
     tuned = "--tuned" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
+    # Unknown names must FAIL loudly: silently skipping them while
+    # counting them in the pass total once reported "5/5 pass" for two
+    # queries that were never registered (r13).
+    unknown = only - set(REGISTRY)
+    if unknown:
+        print(f"FAIL unknown queries (not in REGISTRY): {sorted(unknown)}")
+        return 1
     spark = get_session("oracle-check") if tuned else vanilla_session()
     con = duckdb.connect()
     for t in TABLES:

@@ -588,12 +588,22 @@ def test_url_canonicalize_stays_in_codegen(spark):
 
 def test_blocklist_psl_broadcasts_rules_no_udf(spark):
     plan = plan_of(spark, "llm_blocklist_filter_psl")
-    # PSL longest-match is literal-array HOFs (no join, no UDF for the
-    # registrable-domain step); the rule table joins as a broadcast
+    # r13: the registrable-domain step is the broadcast-join chain (one
+    # left BroadcastHashJoin per suffix length — beat the literal-array
+    # HOF 60x at 9k rules, BENCH_psl_r13.json); rules join broadcast;
+    # still no UDF anywhere and nothing non-equi
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every PSL probe stays a broadcast hash join — the corpus side
+    # never shuffles for the registrable-domain computation
+    from accident_prediction_montreal_spark.functions.url import (
+        PSL_MAX_RULE_LABELS,
+    )
+
+    assert plan.count("BroadcastHashJoin") >= PSL_MAX_RULE_LABELS
 
 
 def test_source_quota_gate_skips_at_smoke_scale(spark):
