@@ -38,17 +38,18 @@ from accident_prediction_montreal_spark.plans import wave13  # noqa: F401,E402
 # First 50 = the driver's check window.
 #
 # Round-13 ROTATION (the r12 verdict's ask #2: window goes to the
-# oldest remaining evidence). Slots 1-5: every query whose code changed
+# oldest remaining evidence). Slots 1-6: every query whose code changed
 # this round or is new — the quality-cascade plan rewrite (single-pass
 # CASE-key aggregate, survivors-only shuffle), the blocklist's
 # registrable-domain step switched to the measured broadcast-join form
 # (BENCH_psl_r13.json), llm_line_dedup's line-ification extracted into
-# the shared doc_line_frames helper, plus the two new r13 queries
+# the shared doc_line_frames helper, plus the three new r13 queries
 # (llm_line_dedup_best keep-best-quality policy, st_line_dedup_stream
-# stateful first-seen twin) — changed code re-earns its driver
-# evidence the same round. Slots 6-35: the full remaining r7-era set
-# (the ledger's oldest tail after the r12 window refreshed all of r6).
-# Slots 36-50: the r8-era set, alphabetical order, first 15.
+# stateful first-seen twin, llm_cluster_safe_split leakage-safe
+# cluster-keyed split) — changed code re-earns its driver evidence the
+# same round. Slots 7-36: the full remaining r7-era set (the ledger's
+# oldest tail after the r12 window refreshed all of r6). Slots 37-50:
+# the r8-era set, alphabetical order, first 14.
 # Every slot verified green locally at sf0.01 this round
 # (scripts/check_oracle.py, vanilla session).
 #
@@ -61,6 +62,7 @@ _PRIORITY = [
     "llm_line_dedup",
     "llm_line_dedup_best",
     "st_line_dedup_stream",
+    "llm_cluster_safe_split",
     # --- evidence refresh: latest green r7 (the full remaining set) ---
     "llm_temperature_mix",
     "m2_random_undersampler",
@@ -107,13 +109,13 @@ _PRIORITY = [
     "f_variant_json",
     "g1_pagerank_trade",
     "g2_triangle_count",
-    "j13_scd2_join",
 ]
 
 # Positions 51+: the r8-era queries NOT refreshed this round lead (the
 # r14 rotate-in candidates — oldest remaining evidence); everything
 # else follows in deterministic alphabetical order via _reorder().
 _TAIL_HEAD = [
+    "j13_scd2_join",
     "j14_bloom_semi_join",
     "j15_point_in_polygon",
     "j16_interval_overlap",

@@ -295,3 +295,143 @@ def _st_line_dedup_impl(
         )
         .orderBy("rev", "source")
     )
+
+
+# --- leakage-safe train/eval split ----------------------------------------------
+
+
+def _cluster_safe_split_oracle() -> str:
+    from accident_prediction_montreal_spark.operators.mixing import (
+        SALT_SPLIT,
+        lcg_uniform_sql,
+    )
+    from accident_prediction_montreal_spark.plans.llm_ops import _JACCARD_CTES
+
+    u_safe = lcg_uniform_sql("skey", SALT_SPLIT)
+    u_naive = lcg_uniform_sql("doc_id", SALT_SPLIT)
+    return f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+      WHERE reach.r < e.b
+    ),
+    comp AS (SELECT node, MIN(r) AS component_id FROM reach GROUP BY node),
+    keyed AS (
+      SELECT d.doc_id, c.component_id,
+        COALESCE(c.component_id, d.doc_id) AS skey
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    assigned AS (
+      SELECT doc_id, component_id,
+        CASE WHEN {u_safe} < 0.75 THEN 'train'
+             WHEN {u_safe} < 0.875 THEN 'val' ELSE 'test' END AS split,
+        CASE WHEN {u_naive} < 0.75 THEN 'train'
+             WHEN {u_naive} < 0.875 THEN 'val' ELSE 'test' END AS naive_split
+      FROM keyed
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN component_id IS NOT NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_clustered_docs,
+      CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_components,
+      CAST(SUM(CASE WHEN split <> naive_split THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_rescued,
+      CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM assigned GROUP BY split ORDER BY split
+    """
+
+
+@register(
+    "llm_cluster_safe_split",
+    oracle=None,  # set below (composed SQL)
+    description="LEAKAGE-SAFE TRAIN/EVAL SPLIT — near-duplicate documents "
+    "must not straddle train and eval (the contamination mechanism the "
+    "GPT-3/C4 overlap analyses measure after the fact): the split key "
+    "is the near-dup CLUSTER, not the document. Pipeline: rare-shingle "
+    "Jaccard pairs (operators/dedup.ngram_jaccard_pairs — inverted-"
+    "index join, max_doc_freq caps quadratic skew, never all-pairs) -> "
+    "alternating-star connected components over the EDGE LIST only "
+    "(operators/components.py, O(log n) rounds; the corpus never "
+    "enters the iteration) -> one narrow left join back to the corpus "
+    "(|component rows| << |corpus|, AQE-broadcastable) -> split = "
+    "cumulative-threshold LCG over COALESCE(component, doc_id), the "
+    "same layout-independent pure-function convention as "
+    "r5_hash_split, weights 0.75/0.125/0.125 so the cuts are float-"
+    "exact for the oracle. Every cluster lands in ONE split by "
+    "construction (split is a function of the key); n_rescued counts "
+    "docs whose naive per-doc split would have differed — the leakage "
+    "the operator eliminates. Oracle: DuckDB recursive min-label "
+    "closure + the shared LCG mirror.",
+)
+def llm_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.operators.components import (
+        connected_components,
+    )
+    from accident_prediction_montreal_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from accident_prediction_montreal_spark.operators.mixing import (
+        SALT_SPLIT,
+        hash_split,
+        lcg_uniform,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, min_jaccard=0.05, max_doc_freq=4
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    keyed = (
+        docs.select("doc_id")
+        .join(
+            comp.select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("component_id"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .withColumn("skey", F.coalesce("component_id", "doc_id"))
+    )
+    assigned = hash_split(keyed, "skey", weights=(0.75, 0.125, 0.125))
+    u_naive = lcg_uniform("doc_id", salt=SALT_SPLIT)
+    naive = (
+        F.when(u_naive < 0.75, F.lit("train"))
+        .when(u_naive < 0.875, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("component_id").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_clustered_docs"),
+            F.countDistinct("component_id").cast("long").alias("n_components"),
+            F.sum((F.col("split") != naive).cast("long"))
+            .cast("long")
+            .alias("n_rescued"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("split")
+    )
+
+
+from accident_prediction_montreal_spark.plans.registry import (  # noqa: E402
+    REGISTRY as _REG,
+)
+from accident_prediction_montreal_spark.plans.registry import (  # noqa: E402
+    QuerySpec as _QS,
+)
+
+_REG["llm_cluster_safe_split"] = _QS(
+    fn=_REG["llm_cluster_safe_split"].fn,
+    oracle=_cluster_safe_split_oracle(),
+    description=_REG["llm_cluster_safe_split"].description,
+)

@@ -197,6 +197,7 @@ EXTENDED = [
     # appended r13:
     "llm_line_dedup_best",
     "st_line_dedup_stream",
+    "llm_cluster_safe_split",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read

@@ -99,3 +99,63 @@ def test_line_dedup_best_plan_shape(spark):
     assert plan.count("Scan parquet") == 2
     assert plan.count("Generate posexplode") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cluster_safe_split_never_straddles_but_naive_does(spark):
+    # structural guarantee: split is a function of the cluster key, so
+    # no component straddles splits; the NAIVE per-doc split must
+    # straddle at least one fixture cluster (else this test is vacuous
+    # and n_rescued could never be nonzero)
+    from accident_prediction_montreal_spark.operators.components import (
+        connected_components,
+    )
+    from accident_prediction_montreal_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from accident_prediction_montreal_spark.operators.mixing import (
+        SALT_SPLIT,
+        hash_split,
+        lcg_uniform,
+    )
+    from accident_prediction_montreal_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, min_jaccard=0.05, max_doc_freq=4
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    keyed = (
+        docs.select("doc_id")
+        .join(
+            comp.select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("component_id"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .withColumn("skey", F.coalesce("component_id", "doc_id"))
+    )
+    assigned = hash_split(
+        keyed, "skey", weights=(0.75, 0.125, 0.125)
+    ).withColumn(
+        "naive",
+        F.when(lcg_uniform("doc_id", salt=SALT_SPLIT) < 0.75, "train")
+        .when(lcg_uniform("doc_id", salt=SALT_SPLIT) < 0.875, "val")
+        .otherwise("test"),
+    )
+    clustered = assigned.filter(F.col("component_id").isNotNull())
+    per_comp = (
+        clustered.groupBy("component_id")
+        .agg(
+            F.countDistinct("split").alias("n_safe"),
+            F.countDistinct("naive").alias("n_naive"),
+        )
+        .collect()
+    )
+    assert len(per_comp) > 0, "fixture has no near-dup clusters"
+    assert all(r["n_safe"] == 1 for r in per_comp)
+    assert any(r["n_naive"] > 1 for r in per_comp), (
+        "naive split never straddled — fixture cannot distinguish the "
+        "policies"
+    )
