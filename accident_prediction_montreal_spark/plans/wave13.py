@@ -435,3 +435,182 @@ _REG["llm_cluster_safe_split"] = _QS(
     oracle=_cluster_safe_split_oracle(),
     description=_REG["llm_cluster_safe_split"].description,
 )
+
+
+# --- cross-document longest common verbatim run ----------------------------------
+
+_RUN_K = 3  # window width (tokens) for run detection
+_RUN_CAP = 6  # max postings per span before it is dropped (skew lever)
+_RUN_MIN_TOKENS = 8  # report runs at least this many tokens long
+
+
+def _longest_run_oracle() -> str:
+    from accident_prediction_montreal_spark.plans.snapshot_fixture import (
+        REID_SHIFT,
+    )
+
+    k, cap, minr = _RUN_K, _RUN_CAP, _RUN_MIN_TOKENS
+    toks_of = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    return f"""
+    WITH planted AS (
+      SELECT doc_id + {REID_SHIFT} AS doc_id,
+        array_to_string(({toks_of})[1:20], ' ') AS text
+      FROM documents
+      WHERE doc_id % 13 = 0 AND trim(lower(text)) <> ''
+        AND len({toks_of}) >= 25
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents UNION ALL SELECT * FROM planted
+    ),
+    toks AS (
+      SELECT doc_id,
+        CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        ELSE {toks_of} END AS w
+      FROM corpus
+    ),
+    spans AS (
+      SELECT doc_id, i AS pos, array_to_string(w[i+1:i+{k}], ' ') AS s
+      FROM toks, unnest(range(0, GREATEST(len(w) - {k - 1}, 0))) t(i)
+    ),
+    rare AS (
+      SELECT * FROM spans
+      QUALIFY COUNT(*) OVER (PARTITION BY s) BETWEEN 2 AND {cap}
+    ),
+    m AS (
+      SELECT a.doc_id AS id_a, a.pos AS pos_a,
+             b.doc_id AS id_b, b.pos AS pos_b
+      FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    chained AS (
+      SELECT id_a, id_b, pos_a, pos_a - pos_b AS diag,
+        pos_a - ROW_NUMBER() OVER (
+          PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM m
+    ),
+    runs AS (
+      SELECT id_a, id_b, COUNT(*) + {k - 1} AS run_tokens,
+        MIN(pos_a) AS start_a
+      FROM chained GROUP BY id_a, id_b, diag, grp
+      HAVING COUNT(*) + {k - 1} >= {minr}
+    )
+    SELECT id_a, id_b,
+      CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens,
+      CAST(COUNT(*) AS BIGINT) AS n_runs,
+      CAST(SUM(start_a) AS BIGINT) AS start_chk
+    FROM runs GROUP BY id_a, id_b ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "dedup_longest_common_run",
+    oracle=None,  # set below (composed SQL)
+    description="CROSS-DOCUMENT LONGEST COMMON VERBATIM RUN — the "
+    "'longest duplicated substring' analysis of Lee et al. 2021 (and "
+    "the quote/plagiarism-detection primitive): for every document "
+    "pair sharing a verbatim token run of >= 8 tokens, report the "
+    "longest run, the run count and a start-position checksum. "
+    "Fixture plants partial copies (first 20 tokens of every 13th "
+    "long doc under the 2^40 re-id) so >= 20-token runs exist by "
+    "construction. PLAN — never all-pairs: 3-token windows posexplode "
+    "once; postings GROUP per span with the pair fan-out CAPPED "
+    "(spans in > 6 postings dropped — boilerplate windows are not "
+    "discriminative but create quadratic skew, the ngram_jaccard "
+    "lever); intra-bucket pairs generated with nested array HOFs (no "
+    "self-join, map stage runs once); run chaining is the classic "
+    "DIAGONAL trick — matches of a pair on one diagonal "
+    "(pos_a - pos_b) chain into maximal runs via grp = pos_a - "
+    "row_number(), so the only windows run over MATCHED PAIRS "
+    "(bounded by cap^2/2 per span, partition size <= doc length), "
+    "never the corpus. Oracle: identical cap + diagonal chaining in "
+    "DuckDB via QUALIFY windows.",
+)
+def dedup_longest_common_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from accident_prediction_montreal_spark.operators.text import tokenize
+    from accident_prediction_montreal_spark.plans.snapshot_fixture import (
+        REID_SHIFT,
+    )
+
+    k, cap, minr = _RUN_K, _RUN_CAP, _RUN_MIN_TOKENS
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    w = tokenize(F.col("text"))
+    planted = docs.filter((F.col("doc_id") % 13 == 0) & (F.size(w) >= 25)).select(
+        (F.col("doc_id") + REID_SHIFT).alias("doc_id"),
+        F.array_join(F.slice(w, 1, 20), " ").alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+
+    # Guarded: sequence(0, size-k) DESCENDS when size < k (Spark's
+    # default step is -1 backwards), producing pos -1 and an ANSI
+    # slice(_, 0, _) error — short docs must yield NO spans instead
+    # (posexplode of the NULL branch emits no rows).
+    span_arr = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+        ),
+    )
+    spans = corpus.select(
+        "doc_id", F.posexplode(span_arr).alias("pos", "s")
+    )
+    posting = (
+        spans.groupBy("s")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("ps"))
+        .filter((F.size("ps") >= 2) & (F.size("ps") <= cap))
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                "ps",
+                lambda a: F.transform(
+                    "ps",
+                    lambda b: F.when(
+                        a["doc_id"] < b["doc_id"],
+                        F.struct(
+                            a["doc_id"].alias("id_a"),
+                            a["pos"].alias("pos_a"),
+                            b["doc_id"].alias("id_b"),
+                            b["pos"].alias("pos_b"),
+                        ),
+                    ),
+                ),
+            )
+        ),
+        lambda x: x.isNotNull(),
+    )
+    m = posting.select(F.explode(pair_arr).alias("p")).select("p.*")
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    wnd = Window.partitionBy("id_a", "id_b", diag).orderBy("pos_a")
+    chained = m.select(
+        "id_a",
+        "id_b",
+        "pos_a",
+        diag,
+        (F.col("pos_a") - F.row_number().over(wnd)).alias("grp"),
+    )
+    runs = (
+        chained.groupBy("id_a", "id_b", "diag", "grp")
+        .agg(
+            (F.count(F.lit(1)) + (k - 1)).alias("run_tokens"),
+            F.min("pos_a").alias("start_a"),
+        )
+        .filter(F.col("run_tokens") >= minr)
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            F.max("run_tokens").cast("long").alias("max_run_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.sum("start_a").cast("long").alias("start_chk"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_REG["dedup_longest_common_run"] = _QS(
+    fn=_REG["dedup_longest_common_run"].fn,
+    oracle=_longest_run_oracle(),
+    description=_REG["dedup_longest_common_run"].description,
+)

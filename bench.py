@@ -198,6 +198,7 @@ EXTENDED = [
     "llm_line_dedup_best",
     "st_line_dedup_stream",
     "llm_cluster_safe_split",
+    "dedup_longest_common_run",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read

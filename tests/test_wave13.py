@@ -159,3 +159,48 @@ def test_cluster_safe_split_never_straddles_but_naive_does(spark):
         "naive split never straddled — fixture cannot distinguish the "
         "policies"
     )
+
+
+def test_longest_common_run_plan_shape(spark):
+    # never all-pairs: pair generation is the nested-HOF postings form
+    # (no self-join, no cartesian); the single Window runs over MATCHED
+    # PAIRS (partitioned by pair+diagonal), never the corpus
+    from tests.test_plan_shapes import plan_of
+
+    plan = plan_of(spark, "dedup_longest_common_run")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the window's partition key is (id_a, id_b, pos_a - pos_b) — the
+    # pair + diagonal, inlined by Catalyst — not a corpus column
+    head = plan.split("Window")[1][:400]
+    assert "id_a" in head and "(pos_a" in head and "pos_b" in head
+
+
+def test_longest_common_run_finds_planted_and_skips_short(spark, tmp_path):
+    # a 12-token verbatim overlap between two docs is found with the
+    # exact run length; 2-token and empty docs produce no spans and no
+    # ANSI slice error (the sequence(0, size-k) descending-range guard)
+    import pyspark.sql.functions as SF
+
+    rows = [
+        (1, "a b"),
+        (2, ""),
+        (3, "one two three four five six seven eight nine ten eleven twelve"),
+        (4, "one two three four five six seven eight nine ten eleven twelve"),
+    ]
+    d = str(tmp_path)
+    (
+        spark.createDataFrame(rows, ["doc_id", "text"])
+        .withColumn("lang", SF.lit("en"))
+        .withColumn("source", SF.lit("s"))
+        .withColumn("n_chars", SF.length("text").cast("long"))
+        .write.mode("overwrite")
+        .parquet(d + "/documents.parquet")
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["max_run_tokens"]
+        for r in REGISTRY["dedup_longest_common_run"].fn(spark, d).collect()
+    }
+    assert got == {(3, 4): 12}
