@@ -614,3 +614,57 @@ _REG["dedup_longest_common_run"] = _QS(
     oracle=_longest_run_oracle(),
     description=_REG["dedup_longest_common_run"].description,
 )
+
+
+# --- ORC source/sink roundtrip ---------------------------------------------------
+
+
+@register(
+    "x26_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        AS qty_sum,
+      CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+    FROM lineitem
+    WHERE l_shipdate < DATE '1998-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    description="ORC SOURCE/SINK roundtrip — the engine's second "
+    "columnar format (Spark ships the ORC reader/writer natively; "
+    "mixed parquet+ORC lakes are the 100-TB migration reality): "
+    "lineitem written to an ORC scratch dir, read back with a shipdate "
+    "predicate that must reach the ORC scan as a PUSHED filter (ORC "
+    "carries min/max stripe statistics exactly like parquet footers — "
+    "the plan test pins PushedFilters on the Scan orc node), "
+    "re-aggregated decimal-exact and value-checked against the SOURCE "
+    "parquet table, so any write/read fidelity loss (row drop, decimal "
+    "precision drift, date timezone shift) hash-mismatches. Overwrite "
+    "mode keeps the query idempotent across driver reruns.",
+)
+def x26_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accident_prediction_montreal_spark.plans.relational_extra import (
+        _scratch,
+    )
+
+    base, _ = _scratch("orc", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_linestatus",
+        "l_shipdate",
+    )
+    li.write.mode("overwrite").orc(base)
+    back = spark.read.orc(base).filter(
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("date")
+    )
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty_sum"),
+            F.sum("l_orderkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -199,6 +199,7 @@ EXTENDED = [
     "st_line_dedup_stream",
     "llm_cluster_safe_split",
     "dedup_longest_common_run",
+    "x26_orc_roundtrip",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read

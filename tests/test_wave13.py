@@ -204,3 +204,16 @@ def test_longest_common_run_finds_planted_and_skips_short(spark, tmp_path):
         for r in REGISTRY["dedup_longest_common_run"].fn(spark, d).collect()
     }
     assert got == {(3, 4): 12}
+
+
+def test_orc_roundtrip_scan_pushdown(spark):
+    # the read-back side must be a native ORC scan with the shipdate
+    # predicate pushed to the stripe statistics, and only the five
+    # written columns in the read schema
+    from tests.test_plan_shapes import plan_of
+
+    plan = plan_of(spark, "x26_orc_roundtrip")
+    assert plan.count("Scan orc") == 1
+    scan = plan[plan.index("Scan orc"):]
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in scan
+    assert "l_extendedprice" not in scan  # column pruning holds
