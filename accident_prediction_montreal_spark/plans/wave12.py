@@ -443,7 +443,12 @@ def llm_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ch3").alias("ch3"),
         # non-NULL keys = distinct digests among survivors (stage-4 out)
         F.count("k").alias("n4"),
-        F.sum("first.n_chars").alias("ch4"),
+        # coalesce: with ZERO stage-3 survivors the sum is over all-NULL
+        # `first` structs -> NULL, while the oracle's SUM(CASE .. ELSE 0)
+        # yields 0 (caught by the r13 generative cross-engine fuzz —
+        # the sf fixtures always have survivors, so the driver harness
+        # could never see this divergence)
+        F.coalesce(F.sum("first.n_chars"), F.lit(0)).alias("ch4"),
     )
 
     def stage(n: int, name: str, n_in: str, n_out: str, ch: str):

@@ -1,0 +1,104 @@
+"""Generative WHOLE-QUERY cross-engine fuzzing (the r12 lesson
+generalized): fixed fixtures can't cover the input space, and a bug
+shared by both the Spark query and its DuckDB oracle is invisible to
+the driver harness. These tests draw random `documents` tables from a
+constrained grammar — duplicated texts, empty strings, whitespace-only,
+NULL text/lang, short docs — and require Spark == oracle on every draw
+for the r13 queries whose aggregate rewrites are the subtlest
+(llm_quality_cascade's CASE-key single-pass form, llm_line_dedup's
+min-struct survivor, dedup_longest_common_run's diagonal chaining)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from accident_prediction_montreal_spark.plans import REGISTRY
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+
+_WORD = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "x", "Y", "zz", "one", "two"]
+)
+_TEXT = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("   "),
+    st.lists(_WORD, min_size=1, max_size=30).map(" ".join),
+)
+_LANG = st.sampled_from(["en", "fr", None])
+
+_DOCS = st.lists(
+    st.tuples(_TEXT, _LANG, st.sampled_from(["s1", "s2"])),
+    min_size=1,
+    max_size=24,
+).map(
+    # duplicate every third text on purpose so dedup stages have work;
+    # doc_ids are positions (unique, deterministic)
+    lambda rows: [
+        (i, (rows[i // 3 * 3][0] if i % 3 == 2 else t), lang, src)
+        for i, (t, lang, src) in enumerate(rows)
+    ]
+)
+
+
+def _materialize(spark, tmpdir: str, rows) -> str:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "n_chars", F.coalesce(F.length("text"), F.lit(0)).cast("long")
+    )
+    path = os.path.join(tmpdir, "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _both(spark, name: str, tmpdir: str):
+    sdf = REGISTRY[name].fn(spark, tmpdir)
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    # Spark writes documents.parquet as a DIRECTORY of part files —
+    # DuckDB needs the glob (the testdata fixtures are single files,
+    # which is why check_oracle.py can point at the bare path)
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(tmpdir, 'documents.parquet', '*.parquet')}'"
+    )
+    orows = sorted(tuple(r) for r in con.sql(REGISTRY[name].oracle).fetchall())
+    return srows, orows
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["llm_quality_cascade", "llm_line_dedup", "dedup_longest_common_run"],
+)
+@settings(**_SETTINGS)
+@given(rows=_DOCS)
+def test_query_matches_oracle_on_random_docs(spark, tmp_path_factory, name, rows):
+    tmpdir = str(tmp_path_factory.mktemp("gen"))
+    _materialize(spark, tmpdir, rows)
+    srows, orows = _both(spark, name, tmpdir)
+    assert srows == orows, (
+        f"{name}: Spark {srows[:5]}... != oracle {orows[:5]}... "
+        f"on generated input {rows[:6]}..."
+    )
