@@ -88,9 +88,23 @@ def _both(spark, name: str, tmpdir: str):
     return srows, orows
 
 
+# The standing fuzz set: the r13 aggregate rewrites plus the cheap
+# dedup/text/reweight queries (a one-off triage additionally held
+# dedup_ngram_jaccard, dedup_repeated_spans, text_repetition,
+# text_token_hash, llm_source_quota and llm_cluster_safe_split equal
+# to their oracles on null/all-dup/all-empty tables — kept out of the
+# per-run set only for suite wall time).
 @pytest.mark.parametrize(
     "name",
-    ["llm_quality_cascade", "llm_line_dedup", "dedup_longest_common_run"],
+    [
+        "llm_quality_cascade",
+        "llm_line_dedup",
+        "dedup_longest_common_run",
+        "llm_line_dedup_best",
+        "dedup_exact",
+        "dedup_containment",
+        "llm_domain_reweight",
+    ],
 )
 @settings(**_SETTINGS)
 @given(rows=_DOCS)
