@@ -217,3 +217,15 @@ def test_orc_roundtrip_scan_pushdown(spark):
     scan = plan[plan.index("Scan orc"):]
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in scan
     assert "l_extendedprice" not in scan  # column pruning holds
+
+
+def test_cluster_safe_split_plan_shape(spark):
+    # the corpus side must never cartesian or drop to Python; the
+    # component table joins back as a hash join (AQE broadcasts the
+    # small side at scale), and the split is pure column arithmetic
+    from tests.test_plan_shapes import plan_of
+
+    plan = plan_of(spark, "llm_cluster_safe_split")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
