@@ -668,3 +668,78 @@ def x26_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# --- CSV sink fidelity roundtrip -------------------------------------------------
+
+
+@register(
+    "x27_csv_roundtrip",
+    oracle="""
+    WITH adv AS (
+      SELECT doc_id, source,
+        'a,"b"\\' || chr(10) || COALESCE(text, '') || ' ,x' AS adv
+      FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(length(adv)) AS BIGINT) AS chars_sum,
+      CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM adv GROUP BY source ORDER BY source
+    """,
+    description="CSV SINK fidelity roundtrip — the classic lossy-sink "
+    "bug class (quote/escape/embedded-newline handling) made "
+    "driver-checkable, the x8 pattern for the text-format sink: every "
+    "document's text is wrapped in an ADVERSARIAL envelope (embedded "
+    "comma, double quote, backslash, bare LF, trailing space) built "
+    "identically in both engines, written to a CSV scratch dir with "
+    "RFC-4180 doubled-quote escaping (quoteAll + escape='\"'), read "
+    "back with multiLine (embedded newlines span physical lines) under "
+    "an ENFORCED schema, and re-aggregated. The oracle computes the "
+    "same aggregate from the SOURCE table directly — the roundtrip "
+    "must be the identity, so any quoting, escaping, newline or "
+    "null-vs-empty fidelity loss shifts counts or character sums and "
+    "hash-mismatches. Overwrite mode keeps reruns idempotent.",
+)
+def x27_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from accident_prediction_montreal_spark.plans.relational_extra import (
+        _scratch,
+    )
+
+    base, _ = _scratch("csvsink", sf_dir)
+    adv = F.concat(
+        F.lit('a,"b"\\'),
+        F.lit("\n"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" ,x"),
+    )
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", adv.alias("adv")
+    )
+    (
+        docs.write.mode("overwrite")
+        .options(header=True, quoteAll=True, escape='"')
+        .csv(base)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("adv", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .options(header=True, multiLine=True, quote='"', escape='"')
+        .csv(base)
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.length("adv")).cast("long").alias("chars_sum"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("source")
+    )

@@ -200,6 +200,7 @@ EXTENDED = [
     "llm_cluster_safe_split",
     "dedup_longest_common_run",
     "x26_orc_roundtrip",
+    "x27_csv_roundtrip",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read
