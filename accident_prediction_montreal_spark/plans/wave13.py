@@ -541,46 +541,58 @@ def dedup_longest_common_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(planted)
 
-    # Guarded: sequence(0, size-k) DESCENDS when size < k (Spark's
-    # default step is -1 backwards), producing pos -1 and an ANSI
-    # slice(_, 0, _) error — short docs must yield NO spans instead
-    # (posexplode of the NULL branch emits no rows).
-    span_arr = F.when(
-        F.size(w) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - k),
-            lambda i: F.array_join(F.slice(w, i + 1, k), " "),
-        ),
-    )
-    spans = corpus.select(
-        "doc_id", F.posexplode(span_arr).alias("pos", "s")
-    )
+    # Numeric window keys, the word_shingle_hashes idiom (r13 perf fix:
+    # the first cut built and SHUFFLED the span strings — 59 s at sf1;
+    # hashing tokens once and chaining k shifted copies with zip_with
+    # builds no per-span string and shrinks the shuffle key to 8 bytes,
+    # 59 -> ~8 s). 64-bit collisions ~|spans|^2/2^64 — the oracle still
+    # matches on the strings, so a collision would surface as a
+    # hash-mismatch, not silently. safe_count=0 for docs shorter than
+    # the window: empty array, no rows (replaces the explicit guard for
+    # sequence()'s descending-range behavior).
+    th = F.transform(w, lambda t: F.xxhash64(t))
+    safe_count = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    gram = F.slice(th, 1, safe_count)
+    for j in range(1, k):
+        gram = F.zip_with(
+            gram, F.slice(th, j + 1, safe_count), lambda a, b: F.xxhash64(a, b)
+        )
+    spans = corpus.select("doc_id", F.posexplode(gram).alias("pos", "s"))
     posting = (
         spans.groupBy("s")
         .agg(F.collect_list(F.struct("doc_id", "pos")).alias("ps"))
         .filter((F.size("ps") >= 2) & (F.size("ps") <= cap))
     )
-    pair_arr = F.filter(
-        F.flatten(
-            F.transform(
-                "ps",
-                lambda a: F.transform(
-                    "ps",
-                    lambda b: F.when(
-                        a["doc_id"] < b["doc_id"],
-                        F.struct(
-                            a["doc_id"].alias("id_a"),
-                            a["pos"].alias("pos_a"),
-                            b["doc_id"].alias("id_b"),
-                            b["pos"].alias("pos_b"),
-                        ),
+    # intra-bucket unordered combos via the slice form (each pair built
+    # once, the _shingle_pair_intersections idiom), cross-doc only
+    ps = F.col("ps")
+    combos = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.when(
+                    x["doc_id"] != y["doc_id"],
+                    F.struct(
+                        F.least(x["doc_id"], y["doc_id"]).alias("id_a"),
+                        F.when(x["doc_id"] < y["doc_id"], x["pos"])
+                        .otherwise(y["pos"])
+                        .alias("pos_a"),
+                        F.greatest(x["doc_id"], y["doc_id"]).alias("id_b"),
+                        F.when(x["doc_id"] < y["doc_id"], y["pos"])
+                        .otherwise(x["pos"])
+                        .alias("pos_b"),
                     ),
                 ),
-            )
-        ),
-        lambda x: x.isNotNull(),
+            ),
+        )
     )
-    m = posting.select(F.explode(pair_arr).alias("p")).select("p.*")
+    m = (
+        posting.select(
+            F.explode(F.filter(combos, lambda x: x.isNotNull())).alias("p")
+        )
+        .select("p.*")
+    )
     diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
     wnd = Window.partitionBy("id_a", "id_b", diag).orderBy("pos_a")
     chained = m.select(
