@@ -29,12 +29,16 @@ _SETTINGS = dict(
 )
 
 _WORD = st.sampled_from(
-    ["alpha", "beta", "gamma", "delta", "x", "Y", "zz", "one", "two"]
+    ["alpha", "beta", "gamma", "delta", "x", "Y", "zz", "one", "two",
+     # adversarial tokens: CSV/quoting/escaping hazards and non-ASCII —
+     # the x27 roundtrip must survive these INSIDE the text too
+     'a"b', "c,d", "e\\f", "héllo", "'q'"]
 )
 _TEXT = st.one_of(
     st.none(),
     st.just(""),
     st.just("   "),
+    st.just('line1\nline2, "x" \\'),  # embedded LF + CSV hazards
     st.lists(_WORD, min_size=1, max_size=30).map(" ".join),
 )
 _LANG = st.sampled_from(["en", "fr", None])
@@ -104,6 +108,7 @@ def _both(spark, name: str, tmpdir: str):
         "dedup_exact",
         "dedup_containment",
         "llm_domain_reweight",
+        "x27_csv_roundtrip",
     ],
 )
 @settings(**_SETTINGS)
