@@ -38,20 +38,20 @@ from accident_prediction_montreal_spark.plans import wave13  # noqa: F401,E402
 # First 50 = the driver's check window.
 #
 # Round-13 ROTATION (the r12 verdict's ask #2: window goes to the
-# oldest remaining evidence). Slots 1-9: every query whose code changed
+# oldest remaining evidence). Slots 1-10: every query whose code changed
 # this round or is new — the quality-cascade plan rewrite (single-pass
 # CASE-key aggregate, survivors-only shuffle), the blocklist's
 # registrable-domain step switched to the measured broadcast-join form
 # (BENCH_psl_r13.json), llm_line_dedup's line-ification extracted into
-# the shared doc_line_frames helper, plus the six new r13 queries
+# the shared doc_line_frames helper, plus the seven new r13 queries
 # (llm_line_dedup_best keep-best-quality policy, st_line_dedup_stream
 # stateful first-seen twin, llm_cluster_safe_split leakage-safe
 # cluster-keyed split, dedup_longest_common_run cross-doc verbatim-run
 # detection, x26_orc_roundtrip ORC source/sink, x27_csv_roundtrip CSV sink
-# fidelity) — changed code re-earns its driver evidence the
-# same round. Slots 10-39: the full remaining r7-era set (the ledger's
-# oldest tail after the r12 window refreshed all of r6). Slots 40-50:
-# the r8-era set, alphabetical order, first 11.
+# fidelity, llm_line_dedup_incremental O(|delta|) state maintenance) — changed code re-earns its driver evidence the
+# same round. Slots 11-40: the full remaining r7-era set (the ledger's
+# oldest tail after the r12 window refreshed all of r6). Slots 41-50:
+# the r8-era set, alphabetical order, first 10.
 # Every slot verified green locally at sf0.01 this round
 # (scripts/check_oracle.py, vanilla session).
 #
@@ -68,6 +68,7 @@ _PRIORITY = [
     "dedup_longest_common_run",
     "x26_orc_roundtrip",
     "x27_csv_roundtrip",
+    "llm_line_dedup_incremental",
     # --- evidence refresh: latest green r7 (the full remaining set) ---
     "llm_temperature_mix",
     "m2_random_undersampler",
@@ -99,7 +100,7 @@ _PRIORITY = [
     "x12_backfill_evolution",
     "x8_partitioned_sink_roundtrip",
     "x9_schema_evolution",
-    # --- evidence refresh: latest green r8 (first 11, alphabetical) ---
+    # --- evidence refresh: latest green r8 (first 10, alphabetical) ---
     "a15_interval_coverage",
     "a16_running_distinct",
     "a17_heavy_hitters",
@@ -110,13 +111,13 @@ _PRIORITY = [
     "a25_session_dynamic_gap",
     "a27_market_basket",
     "dedup_editdist",
-    "er_golden_records",
 ]
 
 # Positions 51+: the r8-era queries NOT refreshed this round lead (the
 # r14 rotate-in candidates — oldest remaining evidence); everything
 # else follows in deterministic alphabetical order via _reorder().
 _TAIL_HEAD = [
+    "er_golden_records",
     "f_variant_json",
     "g1_pagerank_trade",
     "g2_triangle_count",

@@ -755,3 +755,118 @@ def x27_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- incremental line-dedup maintenance ------------------------------------------
+
+
+def _line_dedup_incremental_impl(
+    base_docs: DataFrame,
+    delta_docs: DataFrame,
+    timings: dict | None = None,
+) -> DataFrame:
+    """Delta-only line-dedup maintenance: given the at-rest digest STATE
+    of the base corpus's lines, admit only the delta's first-seen-new
+    lines — the base corpus is never re-exploded per delta (the
+    llm_index_maintenance O(|delta|) pattern applied to C4 line dedup).
+    ``timings`` receives state_build_s (one-off in production — the
+    state is a bucketed digest table at rest) vs maintain_s (the
+    per-delta cost the operator exists to bound)."""
+    import time as _time
+
+    _, _, base_lines = doc_line_frames(base_docs)
+    state = base_lines.select(F.xxhash64("line").alias("dig")).distinct()
+    if timings is not None:
+        _t0 = _time.perf_counter()
+        state = state.persist()
+        state.count()
+        timings["state_build_s"] = round(_time.perf_counter() - _t0, 3)
+        _t0 = _time.perf_counter()
+    _, _, delta_lines = doc_line_frames(delta_docs)
+    # collapse the delta to ONE candidate row per line BEFORE the state
+    # join (min(struct) — the skew-immune survivor pick), so the
+    # anti-join's probe side is |distinct delta lines|, not |delta rows|
+    cand = (
+        delta_lines.select(
+            F.xxhash64("line").alias("dig"),
+            F.struct(
+                "doc_id", "pos", "source", F.length("line").alias("chars")
+            ).alias("k"),
+        )
+        .groupBy("dig")
+        .agg(F.min("k").alias("keep"))
+    )
+    admitted = cand.join(state, "dig", "left_anti")
+    out = (
+        admitted.groupBy(F.col("keep.source").alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new_kept"),
+            F.sum("keep.chars").cast("long").alias("kept_chars"),
+            F.sum(F.col("keep.doc_id") * (F.col("keep.pos") + 1))
+            .cast("long")
+            .alias("kept_pos_chk"),
+        )
+        .orderBy("source")
+    )
+    if timings is not None:
+        rows = out.collect()
+        timings["maintain_s"] = round(_time.perf_counter() - _t0, 3)
+        timings["n_report_rows"] = len(rows)
+    return out
+
+
+@register(
+    "llm_line_dedup_incremental",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, 1 + doc_id % 2 AS rev,
+        regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE trim(lower(text)) <> ''
+    ),
+    lines AS (
+      SELECT doc_id, source, rev, i AS pos,
+        array_to_string(w[i*{_LINE_TOKS}+1 : i*{_LINE_TOKS}+{_LINE_TOKS}], ' ')
+          AS line
+      FROM toks,
+        unnest(range(0, CAST(ceil(len(w)/{_LINE_TOKS}.0) AS BIGINT))) r(i)
+    ),
+    delta_kept AS (
+      SELECT source, doc_id, pos, length(line) AS chars
+      FROM lines
+      WHERE rev = 2
+        AND line NOT IN (SELECT DISTINCT line FROM lines WHERE rev = 1)
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY line ORDER BY doc_id, pos) = 1
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new_kept,
+      CAST(SUM(chars) AS BIGINT) AS kept_chars,
+      CAST(SUM(doc_id * (pos + 1)) AS BIGINT) AS kept_pos_chk
+    FROM delta_kept GROUP BY source ORDER BY source
+    """,
+    description="INCREMENTAL LINE-DEDUP MAINTENANCE — the trilogy's "
+    "O(|delta|) pattern (llm_index_maintenance, llm_embedding_refresh) "
+    "applied to C4 line dedup: the base corpus's lines live at rest as "
+    "a DIGEST STATE table, and a new crawl wave pays only its own "
+    "explode + a collapse to one candidate per distinct line (the "
+    "skew-immune min(struct) pick, BEFORE the join so the probe side "
+    "is |distinct delta lines|) + one anti-join against the state — "
+    "the base corpus is NEVER re-exploded per delta. Semantics equal "
+    "the streaming twin's rev-2 admissions by construction (same "
+    "first-seen-across-(rev, doc_id, pos) contract, so batch "
+    "incremental == stream state fold — the property the quota and "
+    "corpus-diff families also pin). Base = even doc_ids, delta = odd "
+    "(the st_line_dedup_stream convention). 64-bit digest keys follow "
+    "the word_shingle_hashes collision note; the oracle matches on the "
+    "line STRINGS, so a collision surfaces as a hash-mismatch. Scale "
+    "measurement: scripts/bench_line_maint.py holds the delta fixed "
+    "and grows the base 10x — maintain wall is bounded by the delta, "
+    "not the corpus.",
+)
+def llm_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    return _line_dedup_incremental_impl(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )

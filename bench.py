@@ -201,6 +201,7 @@ EXTENDED = [
     "dedup_longest_common_run",
     "x26_orc_roundtrip",
     "x27_csv_roundtrip",
+    "llm_line_dedup_incremental",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read

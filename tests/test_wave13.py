@@ -229,3 +229,31 @@ def test_cluster_safe_split_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_line_dedup_incremental_matches_stream_rev2(spark):
+    # batch incremental == stream state fold: the delta's admissions
+    # must equal the streaming twin's rev-2 rows exactly
+    inc = sorted(
+        tuple(r)
+        for r in REGISTRY["llm_line_dedup_incremental"].fn(spark, SF).collect()
+    )
+    stream_rev2 = sorted(
+        (r["source"], r["n_kept"], r["kept_chars"], r["kept_pos_chk"])
+        for r in REGISTRY["st_line_dedup_stream"].fn(spark, SF).collect()
+        if r["rev"] == 2
+    )
+    assert inc == stream_rev2 and len(inc) > 0
+
+
+def test_line_dedup_incremental_plan_shape(spark):
+    # delta collapses to one candidate per line BEFORE the state
+    # anti-join (partial_min feeds the join), no window, no python
+    from tests.test_plan_shapes import plan_of
+
+    plan = plan_of(spark, "llm_line_dedup_incremental")
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
