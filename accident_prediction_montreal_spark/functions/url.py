@@ -211,14 +211,31 @@ def registrable_domain_join(
     """
     rules_list = _check_psl(psl if psl is not None else PSL_SNAPSHOT)
     spark = df.sparkSession
+    reserved = {"__psl_labels"} | {
+        f"__psl_r{L}" for L in range(1, PSL_MAX_RULE_LABELS + 1)
+    }
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"registrable_domain_join temp columns clash with input "
+            f"columns {sorted(clash)}; rename them first"
+        )
+    # Only rules with exactly L labels can match the length-L suffix —
+    # bucket the list once so each join broadcasts ONLY its own band
+    # (a real PSL is ~70% two-label rules; shipping all ~9k rows to all
+    # six joins was 6x the broadcast bytes for zero extra matches) and
+    # suffix lengths with no rules at all cost nothing.
+    by_len: dict[int, list[str]] = {}
+    for r in rules_list:
+        by_len.setdefault(r.count(".") + 1, []).append(r)
     labels = F.split(F.col(host_col), "\\.")
     n = F.size(labels)
     out = df.withColumn("__psl_labels", labels)
     match_len_cols = []
-    for L in range(1, PSL_MAX_RULE_LABELS + 1):
+    for L, band in sorted(by_len.items()):
         rule_col = f"__psl_r{L}"
         rules = spark.createDataFrame(
-            [(r,) for r in rules_list], f"{rule_col} string"
+            [(r,) for r in band], f"{rule_col} string"
         )
         suf = F.when(
             n >= L,
@@ -233,7 +250,15 @@ def registrable_domain_join(
             F.when(F.col(rule_col).isNotNull(), F.lit(L))
         )
     # longest matched suffix; PSL default rule: unknown TLD -> length 1
-    psl_len = F.coalesce(F.greatest(*match_len_cols), F.lit(1))
+    # (greatest() needs >=2 args; a one-band PSL degenerates to that
+    # band's match column, an empty one to the default)
+    if len(match_len_cols) >= 2:
+        longest = F.greatest(*match_len_cols)
+    elif match_len_cols:
+        longest = match_len_cols[0]
+    else:
+        longest = F.lit(None).cast("int")
+    psl_len = F.coalesce(longest, F.lit(1))
     reg = F.when(
         n > psl_len,
         F.array_join(

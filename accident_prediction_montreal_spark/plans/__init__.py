@@ -37,86 +37,27 @@ from accident_prediction_montreal_spark.plans import wave13  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #
-# Round-13 ROTATION (the r12 verdict's ask #2: window goes to the
-# oldest remaining evidence). Slots 1-10: every query whose code changed
-# this round or is new — the quality-cascade plan rewrite (single-pass
-# CASE-key aggregate, survivors-only shuffle), the blocklist's
-# registrable-domain step switched to the measured broadcast-join form
-# (BENCH_psl_r13.json), llm_line_dedup's line-ification extracted into
-# the shared doc_line_frames helper, plus the seven new r13 queries
-# (llm_line_dedup_best keep-best-quality policy, st_line_dedup_stream
-# stateful first-seen twin, llm_cluster_safe_split leakage-safe
-# cluster-keyed split, dedup_longest_common_run cross-doc verbatim-run
-# detection, x26_orc_roundtrip ORC source/sink, x27_csv_roundtrip CSV sink
-# fidelity, llm_line_dedup_incremental O(|delta|) state maintenance) — changed code re-earns its driver evidence the
-# same round. Slots 11-40: the full remaining r7-era set (the ledger's
-# oldest tail after the r12 window refreshed all of r6). Slots 41-50:
-# the r8-era set, alphabetical order, first 10.
+# Round-14 ROTATION (the r13 verdict's ask #5: window goes to the
+# oldest remaining evidence — the r8/r9-era tail). Slots 1-2: the two
+# queries whose code changed this round — llm_quality_cascade (the
+# NULL-flag stage-count fix: SUM(CASE WHEN c THEN 1 ELSE 0 END) form
+# at wave12.py, the r13 verdict's headline correctness ask) and
+# llm_blocklist_filter_psl (registrable_domain_join now buckets PSL
+# rules per suffix length so each broadcast carries only its own band
+# — ADVICE r13). Changed code re-earns its driver evidence the same
+# round. Slots 3-34: the full r8-era set (latest green r8, the
+# ledger's oldest). Slots 35-50: the r9-era set, alphabetical order,
+# first 16.
 # Every slot verified green locally at sf0.01 this round
 # (scripts/check_oracle.py, vanilla session).
 #
-# Rotated OUT — the r12 refresh set (all driver-green in
-# CORRECTNESS_r12).
+# Rotated OUT — the r13 refresh set (all driver-green in
+# CORRECTNESS_r13).
 _PRIORITY = [
-    # --- this round's changed/new code ---
+    # --- this round's changed code ---
     "llm_quality_cascade",
     "llm_blocklist_filter_psl",
-    "llm_line_dedup",
-    "llm_line_dedup_best",
-    "st_line_dedup_stream",
-    "llm_cluster_safe_split",
-    "dedup_longest_common_run",
-    "x26_orc_roundtrip",
-    "x27_csv_roundtrip",
-    "llm_line_dedup_incremental",
-    # --- evidence refresh: latest green r7 (the full remaining set) ---
-    "llm_temperature_mix",
-    "m2_random_undersampler",
-    "m_calibration_bins",
-    "m_rf_pipeline_invariants",
-    "mm_bmp_decode",
-    "mm_frame_sample",
-    "mm_pgm_decode",
-    "mm_png_decode",
-    "mm_ppm_resize",
-    "p12_unpivot",
-    "r2_seeded_sample",
-    "r3_random_split",
-    "r5_hash_split",
-    "sim_ann_ivf",
-    "sim_ann_lsh",
-    "sim_ann_recall",
-    "st_foreachbatch_sink",
-    "st_late_data_eviction",
-    "st_stream_range_join",
-    "st_stream_static_join",
-    "st_time_rollup",
-    "text_pii_scrub",
-    "text_vocab_coverage",
-    "tpch_q9_product_profit",
-    "w7_range_frame",
-    "x10_permissive_csv",
-    "x11_bucketed_join",
-    "x12_backfill_evolution",
-    "x8_partitioned_sink_roundtrip",
-    "x9_schema_evolution",
-    # --- evidence refresh: latest green r8 (first 10, alphabetical) ---
-    "a15_interval_coverage",
-    "a16_running_distinct",
-    "a17_heavy_hitters",
-    "a18_skyline_pareto",
-    "a19_event_transitions",
-    "a20_attribution_last_touch",
-    "a21_approx_topk_invariant",
-    "a25_session_dynamic_gap",
-    "a27_market_basket",
-    "dedup_editdist",
-]
-
-# Positions 51+: the r8-era queries NOT refreshed this round lead (the
-# r14 rotate-in candidates — oldest remaining evidence); everything
-# else follows in deterministic alphabetical order via _reorder().
-_TAIL_HEAD = [
+    # --- evidence refresh: latest green r8 (the full set) ---
     "er_golden_records",
     "f_variant_json",
     "g1_pagerank_trade",
@@ -149,6 +90,60 @@ _TAIL_HEAD = [
     "x19_dq_expectations",
     "x20_zorder_layout",
     "x21_ann_pruned_layout",
+    # --- evidence refresh: latest green r9 (first 16, alphabetical) ---
+    "a22_weighted_sample",
+    "a23_time_weighted_avg",
+    "a24_ohlc_bars",
+    "a26_rfm_segmentation",
+    "a26_rfm_segmentation_exact",
+    "a28_seasonal_anomaly",
+    "a29_robust_zscore",
+    "a30_autocorr",
+    "a31_sequence_pattern",
+    "a34_funnel_timing",
+    "a35_grouped_quantiles",
+    "a36_cusum_changepoint",
+    "dedup_incremental",
+    "dedup_minhash_pairs",
+    "dedup_ppjoin",
+    "dedup_semantic",
+]
+
+# Positions 51+: the r9-era queries NOT refreshed this round lead (the
+# r15 rotate-in candidates — oldest remaining evidence); everything
+# else follows in deterministic alphabetical order via _reorder().
+_TAIL_HEAD = [
+    "f_array_hof",
+    "g3_label_propagation",
+    "g4_bfs_khop",
+    "j8_knn_join_grid",
+    "j8_knn_seam_polar",
+    "j9_asof_forward",
+    "j9_asof_nearest",
+    "llm_curation_pipeline",
+    "m15_psi_drift",
+    "m16_gains_table",
+    "m17_bootstrap_ci",
+    "m18_isotonic_calibration",
+    "mm_image_dedup",
+    "p13_k_anonymity",
+    "p14_dp_counts",
+    "p15_generalization_ladder",
+    "p16_l_diversity",
+    "privacy_release_pipeline",
+    "s13_jsonl_roundtrip",
+    "st_cdc_upsert_stream",
+    "st_checkpoint_resume",
+    "st_pipeline_capstone",
+    "st_stream_stream_outer",
+    "text_bpe_merges",
+    "text_quality_deciles_exact",
+    "tpch_q8_market_share",
+    "w10_rolling_median",
+    "w11_regex_sequence",
+    "x22_dynamic_partition_overwrite",
+    "x23_global_index",
+    "x25_time_travel",
 ]
 
 def _reorder() -> None:

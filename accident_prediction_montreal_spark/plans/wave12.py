@@ -423,11 +423,17 @@ def llm_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c3"), F.col("dig")).alias("k")
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("c1").cast("long")).alias("n1"),
+        # SUM(CASE WHEN c THEN 1 ELSE 0 END), NOT sum(c::long): when the
+        # flag is NULL for every row in a group (e.g. lang IS NULL makes
+        # c1 NULL), sum-over-casts returns NULL where the oracle returns
+        # 0 (the r13 verdict's fuzz repro: a corpus whose every row has
+        # NULL lang). when/otherwise(0) can never produce NULL, at either
+        # aggregation level.
+        F.sum(F.when(F.col("c1"), 1).otherwise(0)).alias("n1"),
         gated_chars(F.col("c1")).alias("ch1"),
-        F.sum(F.col("c2").cast("long")).alias("n2"),
+        F.sum(F.when(F.col("c2"), 1).otherwise(0)).alias("n2"),
         gated_chars(F.col("c2")).alias("ch2"),
-        F.sum(F.col("c3").cast("long")).alias("n3"),
+        F.sum(F.when(F.col("c3"), 1).otherwise(0)).alias("n3"),
         gated_chars(F.col("c3")).alias("ch3"),
         F.min(
             F.when(F.col("c3"), F.struct("doc_id", "n_chars"))

@@ -4,8 +4,11 @@ string compares per row) vs the per-suffix-length broadcast-join chain
 (O(labels) hash probes per row), across PSL sizes from the fixture's 11
 rules to a real-snapshot-sized 9k, over distributed synthetic hosts.
 
-Writes BENCH_psl_r13.json and prints one JSON line. The crossover
-feeds functions/url.PSL_HOF_MAX_RULES (the auto-gate threshold).
+Writes BENCH_psl_r13.json and prints one JSON line. There is no
+auto-gate: callers choose the form explicitly, and the measured
+crossover here is the documentation for that choice (the join form is
+flat in |PSL|, so it is the production default for any real list; the
+HOF form remains the oracle-mirrored reference at fixture scale).
 
 Usage: python scripts/bench_psl.py [n_hosts]
 """
@@ -51,13 +54,19 @@ def synthetic_hosts(spark, n: int):
     return spark.range(n).select(host.alias("host"))
 
 
-def consume(df) -> tuple[int, int]:
+def consume(df) -> tuple[int, int, int]:
     # count(reg) + sum(length(reg)) force the column's computation —
-    # a bare .count() would let Catalyst prune the whole expression
+    # a bare .count() would let Catalyst prune the whole expression.
+    # sum(xxhash64(reg)) is the order-insensitive value checksum: per-row
+    # divergences between the two forms can't cancel in (count, chars)
+    # AND a 64-bit hash sum (the hypothesis suite covers exact equality,
+    # but only at small host counts).
     row = df.agg(
-        F.count("reg").alias("n"), F.sum(F.length("reg")).alias("c")
+        F.count("reg").alias("n"),
+        F.sum(F.length("reg")).alias("c"),
+        F.sum(F.xxhash64("reg")).alias("h"),
     ).collect()[0]
-    return row["n"], row["c"]
+    return row["n"], row["c"], row["h"]
 
 
 def main() -> None:
@@ -102,7 +111,7 @@ def main() -> None:
     out["agree_checks"] = checks
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_psl_r13.json",
+        "BENCH_psl_r14.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

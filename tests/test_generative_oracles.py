@@ -14,19 +14,36 @@ import os
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from accident_prediction_montreal_spark.plans import REGISTRY
 
+# r14 hardening (the r13 verdict's ask #2): max_examples=6 let a real
+# NULL-lang bug ship inside a green run. 25 draws per query is the new
+# floor, and four explicit edge-case seeds run FIRST on every query so
+# the known-dangerous corners (all-NULL lang, all-NULL text, all-empty
+# text, all-duplicates) are covered deterministically, not by luck.
 _SETTINGS = dict(
-    max_examples=6,
+    max_examples=25,
     deadline=None,
     suppress_health_check=[
         HealthCheck.function_scoped_fixture,
         HealthCheck.too_slow,
     ],
 )
+
+# Explicit regression seeds (post-map shape: (doc_id, text, lang, source)).
+# Seed 1 is the exact r13 verdict repro: every row NULL-lang made
+# llm_quality_cascade's SUM(c1::long) return NULL vs the oracle's 0.
+_SEED_ALL_NULL_LANG = [(0, None, None, "s1")]
+_SEED_ALL_NULL_TEXT = [(0, None, "en", "s1"), (1, None, "fr", "s2")]
+_SEED_ALL_EMPTY_TEXT = [(0, "", "en", "s1"), (1, "   ", "en", "s2")]
+_SEED_ALL_DUPLICATES = [
+    (0, "alpha beta gamma", "en", "s1"),
+    (1, "alpha beta gamma", "en", "s1"),
+    (2, "alpha beta gamma", "fr", "s2"),
+]
 
 _WORD = st.sampled_from(
     ["alpha", "beta", "gamma", "delta", "x", "Y", "zz", "one", "two",
@@ -93,25 +110,42 @@ def _both(spark, name: str, tmpdir: str):
 
 
 # The standing fuzz set: the r13 aggregate rewrites plus the cheap
-# dedup/text/reweight queries (a one-off triage additionally held
-# dedup_ngram_jaccard, dedup_repeated_spans, text_repetition,
-# text_token_hash, llm_source_quota and llm_cluster_safe_split equal
-# to their oracles on null/all-dup/all-empty tables — kept out of the
-# per-run set only for suite wall time).
+# dedup/text/reweight queries, PLUS a rotating 2-of-6 slot from the
+# triage families (r13 verdict stretch #8) so every oracle-mirrored
+# document-table family gets periodic cross-engine fuzz coverage
+# without paying the full wall-time every round.
+#
+# Rotation protocol: _FUZZ_ROUND is bumped each build round; the slot
+# takes _TRIAGE_PAIRS[_FUZZ_ROUND % 3]. History: the one-off r13 triage
+# ran all six once (green); r14 = pair 0 (ngram_jaccard,
+# repeated_spans); r15 -> pair 1 (text_repetition, text_token_hash);
+# r16 -> pair 2 (llm_source_quota, llm_cluster_safe_split); repeat.
+_FUZZ_ROUND = 14
+_TRIAGE_PAIRS = [
+    ("dedup_ngram_jaccard", "dedup_repeated_spans"),
+    ("text_repetition", "text_token_hash"),
+    ("llm_source_quota", "llm_cluster_safe_split"),
+]
+_STANDING = [
+    "llm_quality_cascade",
+    "llm_line_dedup",
+    "dedup_longest_common_run",
+    "llm_line_dedup_best",
+    "dedup_exact",
+    "dedup_containment",
+    "llm_domain_reweight",
+    "x27_csv_roundtrip",
+]
+
+
 @pytest.mark.parametrize(
-    "name",
-    [
-        "llm_quality_cascade",
-        "llm_line_dedup",
-        "dedup_longest_common_run",
-        "llm_line_dedup_best",
-        "dedup_exact",
-        "dedup_containment",
-        "llm_domain_reweight",
-        "x27_csv_roundtrip",
-    ],
+    "name", _STANDING + list(_TRIAGE_PAIRS[_FUZZ_ROUND % 3])
 )
 @settings(**_SETTINGS)
+@example(rows=_SEED_ALL_NULL_LANG)
+@example(rows=_SEED_ALL_NULL_TEXT)
+@example(rows=_SEED_ALL_EMPTY_TEXT)
+@example(rows=_SEED_ALL_DUPLICATES)
 @given(rows=_DOCS)
 def test_query_matches_oracle_on_random_docs(spark, tmp_path_factory, name, rows):
     tmpdir = str(tmp_path_factory.mktemp("gen"))
