@@ -38,16 +38,17 @@ from accident_prediction_montreal_spark.plans import wave13  # noqa: F401,E402
 # First 50 = the driver's check window.
 #
 # Round-14 ROTATION (the r13 verdict's ask #5: window goes to the
-# oldest remaining evidence — the r8/r9-era tail). Slots 1-2: the two
+# oldest remaining evidence — the r8/r9-era tail). Slots 1-3: the
 # queries whose code changed this round — llm_quality_cascade (the
 # NULL-flag stage-count fix: SUM(CASE WHEN c THEN 1 ELSE 0 END) form
-# at wave12.py, the r13 verdict's headline correctness ask) and
+# at wave12.py, the r13 verdict's headline correctness ask),
 # llm_blocklist_filter_psl (registrable_domain_join now buckets PSL
 # rules per suffix length so each broadcast carries only its own band
-# — ADVICE r13). Changed code re-earns its driver evidence the same
-# round. Slots 3-34: the full r8-era set (latest green r8, the
-# ledger's oldest). Slots 35-50: the r9-era set, alphabetical order,
-# first 16.
+# — ADVICE r13), and j12_nullsafe_join (self-lineage join key renamed
+# to silence the trivially-true-predicate WARN — r13 verdict ask #4).
+# Changed code re-earns its driver evidence the same round.
+# Slots 4-35: the full r8-era set (latest green r8, the ledger's
+# oldest). Slots 36-50: the r9-era set, alphabetical order, first 15.
 # Every slot verified green locally at sf0.01 this round
 # (scripts/check_oracle.py, vanilla session).
 #
@@ -57,6 +58,7 @@ _PRIORITY = [
     # --- this round's changed code ---
     "llm_quality_cascade",
     "llm_blocklist_filter_psl",
+    "j12_nullsafe_join",
     # --- evidence refresh: latest green r8 (the full set) ---
     "er_golden_records",
     "f_variant_json",
@@ -90,7 +92,7 @@ _PRIORITY = [
     "x19_dq_expectations",
     "x20_zorder_layout",
     "x21_ann_pruned_layout",
-    # --- evidence refresh: latest green r9 (first 16, alphabetical) ---
+    # --- evidence refresh: latest green r9 (first 15, alphabetical) ---
     "a22_weighted_sample",
     "a23_time_weighted_avg",
     "a24_ohlc_bars",
@@ -106,13 +108,13 @@ _PRIORITY = [
     "dedup_incremental",
     "dedup_minhash_pairs",
     "dedup_ppjoin",
-    "dedup_semantic",
 ]
 
 # Positions 51+: the r9-era queries NOT refreshed this round lead (the
 # r15 rotate-in candidates — oldest remaining evidence); everything
 # else follows in deterministic alphabetical order via _reorder().
 _TAIL_HEAD = [
+    "dedup_semantic",
     "f_array_hof",
     "g3_label_propagation",
     "g4_bfs_khop",

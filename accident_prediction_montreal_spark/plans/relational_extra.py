@@ -2162,12 +2162,19 @@ def j12_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.col("c_nationkey") % 5).cast("long"))
         .alias("bucket"),
     )
-    dim = keyed.select("bucket").distinct().withColumn(
+    # the dim is DERIVED from keyed, so `keyed.bucket <=> dim.bucket`
+    # compares two same-lineage attributes — Spark resolves the self-join
+    # correctly but logs "trivially true equals predicate, 'bucket ==
+    # bucket'" (the r13 verdict's stray-WARN hunt, sibling of the x21
+    # emitter). Renaming the build side's key removes the ambiguity.
+    dim = keyed.select(F.col("bucket").alias("dim_bucket")).distinct().withColumn(
         "bucket_name",
-        F.coalesce(F.col("bucket").cast("string"), F.lit("unbucketed")),
+        F.coalesce(F.col("dim_bucket").cast("string"), F.lit("unbucketed")),
     )
     return (
-        keyed.join(F.broadcast(dim), keyed.bucket.eqNullSafe(dim.bucket))
+        keyed.join(
+            F.broadcast(dim), F.col("bucket").eqNullSafe(F.col("dim_bucket"))
+        )
         .groupBy("bucket_name")
         .agg(F.count(F.lit(1)).alias("n"))
     )

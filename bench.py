@@ -212,7 +212,13 @@ EXTENDED = [
 # readings, so a slow host window is visible (and a genuine regression
 # falsifiable) from one artifact alone: canary flat + queries slow =
 # regression; canary moved with them = drift.
-CANARY = ["w5_running_sums", "a3_group_max", "j4_semi_anti"]
+# a1_pricing_summary joined the set in r14 (r13 verdict ask #3): the
+# three originals are all sub-0.3 s, where scheduler/page-cache noise
+# is proportionally largest — the r14 order-counterbalanced A/B showed
+# position-in-pair effects alone moving totals 15-20% on a turbulent
+# host, more signal than any code delta. A mid-cost (~0.4 s, full
+# lineitem scan+agg) canary averages over more tasks per reading.
+CANARY = ["w5_running_sums", "a3_group_max", "j4_semi_anti", "a1_pricing_summary"]
 
 # Canary reference (r12 verdict ask #6): canary_end from the r10 CLEAN
 # host window, pinned PER QUERY per scale factor — r10 is the last
@@ -228,11 +234,16 @@ CANARY_REF = {
         "w5_running_sums": 0.098,
         "a3_group_max": 0.102,
         "j4_semi_anti": 0.204,
+        # headline-phase min-of-3 from the same r10 window (a1 was not
+        # a canary in r10, so no canary_end reading exists; the
+        # headline protocol is identical — min-of-3, cache cleared)
+        "a1_pricing_summary": 0.359,
     },
     1.0: {  # BENCH_sf1_r10.json canary_end
         "w5_running_sums": 0.105,
         "a3_group_max": 0.106,
         "j4_semi_anti": 0.493,
+        "a1_pricing_summary": 0.405,  # headline-phase, same caveat
     },
 }
 
@@ -261,7 +272,14 @@ def canary_normalize(out: dict, sf: float) -> None:
     ratios = {n: round(ref[n] / ends[n], 4) for n in ref}
     out["canary_ratios"] = ratios
     ordered = sorted(ratios.values())
-    ratio = ordered[len(ordered) // 2]
+    mid = len(ordered) // 2
+    # true median (even counts average the middle two — with 4 canaries
+    # the old upper-middle pick would bias the ratio up)
+    ratio = (
+        ordered[mid]
+        if len(ordered) % 2
+        else (ordered[mid - 1] + ordered[mid]) / 2
+    )
     out["canary_ratio"] = round(ratio, 4)
     if not (NORM_BAND[0] <= ratio <= NORM_BAND[1]):
         out["canary_window"] = "turbulent"

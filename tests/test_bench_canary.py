@@ -24,13 +24,19 @@ def _out(ends, value=10.0):
 
 def test_normal_window_emits_norm_and_per_canary_ratios():
     out = _out(
-        {"w5_running_sums": 0.117, "a3_group_max": 0.133, "j4_semi_anti": 0.269}
+        {
+            "w5_running_sums": 0.117,
+            "a3_group_max": 0.133,
+            "j4_semi_anti": 0.269,
+            "a1_pricing_summary": 0.43,
+        }
     )
     bench.canary_normalize(out, 0.1)
     assert out["canary_window"] == "normal"
     assert set(out["canary_ratios"]) == set(bench.CANARY)
-    # median, not mean: the middle of the three sorted ratios
-    assert out["canary_ratio"] == sorted(out["canary_ratios"].values())[1]
+    # true median: with four canaries, the mean of the middle two
+    rs = sorted(out["canary_ratios"].values())
+    assert out["canary_ratio"] == (rs[1] + rs[2]) / 2
     assert out["value_norm"] == round(10.0 * out["canary_ratio"], 3)
     assert bench.NORM_BAND[0] <= out["canary_ratio"] <= bench.NORM_BAND[1]
 
@@ -38,7 +44,12 @@ def test_normal_window_emits_norm_and_per_canary_ratios():
 def test_turbulent_window_suppresses_norm():
     # the r12 builder-pass scenario: host ~2x slow -> ratio ~0.51
     out = _out(
-        {"w5_running_sums": 0.19, "a3_group_max": 0.20, "j4_semi_anti": 0.40}
+        {
+            "w5_running_sums": 0.19,
+            "a3_group_max": 0.20,
+            "j4_semi_anti": 0.40,
+            "a1_pricing_summary": 0.72,
+        }
     )
     bench.canary_normalize(out, 0.1)
     assert out["canary_window"] == "turbulent"
@@ -49,10 +60,15 @@ def test_turbulent_window_suppresses_norm():
 
 
 def test_single_noisy_canary_cannot_steer_the_median():
-    # two canaries read clean (ratio ~1.0), one reads 5x fast — the
-    # median stays at the clean pair's value
+    # three canaries read clean (ratio ~1.0), one reads 5x fast — the
+    # median stays at the clean majority's value
     out = _out(
-        {"w5_running_sums": 0.098, "a3_group_max": 0.102, "j4_semi_anti": 1.02}
+        {
+            "w5_running_sums": 0.098,
+            "a3_group_max": 0.102,
+            "j4_semi_anti": 1.02,
+            "a1_pricing_summary": 0.36,
+        }
     )
     bench.canary_normalize(out, 0.1)
     assert 0.9 <= out["canary_ratio"] <= 1.1
@@ -64,7 +80,12 @@ def test_missing_or_zero_canary_emits_nothing():
     bench.canary_normalize(out, 0.1)
     assert "canary_ratio" not in out and "value_norm" not in out
     out2 = _out(
-        {"w5_running_sums": 0.1, "a3_group_max": 0.1, "j4_semi_anti": 0.2}
+        {
+            "w5_running_sums": 0.1,
+            "a3_group_max": 0.1,
+            "j4_semi_anti": 0.2,
+            "a1_pricing_summary": 0.4,
+        }
     )
     bench.canary_normalize(out2, 0.05)  # unpinned sf
     assert "canary_ratio" not in out2 and "value_norm" not in out2
