@@ -212,13 +212,21 @@ EXTENDED = [
 # readings, so a slow host window is visible (and a genuine regression
 # falsifiable) from one artifact alone: canary flat + queries slow =
 # regression; canary moved with them = drift.
-# a1_pricing_summary joined the set in r14 (r13 verdict ask #3): the
-# three originals are all sub-0.3 s, where scheduler/page-cache noise
-# is proportionally largest — the r14 order-counterbalanced A/B showed
-# position-in-pair effects alone moving totals 15-20% on a turbulent
-# host, more signal than any code delta. A mid-cost (~0.4 s, full
-# lineitem scan+agg) canary averages over more tasks per reading.
-CANARY = ["w5_running_sums", "a3_group_max", "j4_semi_anti", "a1_pricing_summary"]
+CANARY = ["w5_running_sums", "a3_group_max", "j4_semi_anti"]
+
+# r14 (r13 verdict ask #3): a FOURTH ratio from a mid-cost query. The
+# three start/end canaries are all sub-0.3 s, where scheduler/page-
+# cache noise is proportionally largest — the r14 order-counterbalanced
+# A/B showed position-in-pair effects alone moving totals 15-20% on a
+# turbulent host, more signal than any code delta. a1_pricing_summary
+# (~0.4 s, full lineitem scan+agg, averages over ~10x more tasks) is
+# already measured in the HEADLINE phase; its ratio reuses that
+# reading against a same-position r10 reference — readings taken at
+# different points in the process lifetime are NOT comparable (an
+# end-position read of a1 is ~2x faster than its headline-position
+# read on the same window: JIT + page cache), so each ratio must pair
+# same-position measurements. No extra measurement cost.
+HEADLINE_CANARY = ["a1_pricing_summary"]
 
 # Canary reference (r12 verdict ask #6): canary_end from the r10 CLEAN
 # host window, pinned PER QUERY per scale factor — r10 is the last
@@ -230,20 +238,17 @@ CANARY = ["w5_running_sums", "a3_group_max", "j4_semi_anti", "a1_pricing_summary
 # no pinned reference emits no _norm fields (normalizing against an
 # unpinned window would manufacture precision).
 CANARY_REF = {
-    0.1: {  # BENCH_r10.json canary_end
+    0.1: {  # BENCH_r10.json: canary_end for the three, headline for a1
         "w5_running_sums": 0.098,
         "a3_group_max": 0.102,
         "j4_semi_anti": 0.204,
-        # headline-phase min-of-3 from the same r10 window (a1 was not
-        # a canary in r10, so no canary_end reading exists; the
-        # headline protocol is identical — min-of-3, cache cleared)
-        "a1_pricing_summary": 0.359,
+        "a1_pricing_summary": 0.359,  # headline-phase (same position)
     },
-    1.0: {  # BENCH_sf1_r10.json canary_end
+    1.0: {  # BENCH_sf1_r10.json, same positions
         "w5_running_sums": 0.105,
         "a3_group_max": 0.106,
         "j4_semi_anti": 0.493,
-        "a1_pricing_summary": 0.405,  # headline-phase, same caveat
+        "a1_pricing_summary": 0.405,  # headline-phase (same position)
     },
 }
 
@@ -266,10 +271,14 @@ def canary_normalize(out: dict, sf: float) -> None:
     carries all three individual ratios so a reader can see dispersion.
     """
     ref = CANARY_REF.get(sf)
-    ends = out.get("canary_end", {})
-    if not ref or any(not ends.get(n) for n in ref):
+    # per-query POSITION-MATCHED readings: end-position for the three
+    # bracketing canaries, headline-position for the mid-cost one
+    obs = dict(out.get("canary_end", {}))
+    for n in HEADLINE_CANARY:
+        obs[n] = out.get("queries", {}).get(n)
+    if not ref or any(not obs.get(n) for n in ref):
         return
-    ratios = {n: round(ref[n] / ends[n], 4) for n in ref}
+    ratios = {n: round(ref[n] / obs[n], 4) for n in ref}
     out["canary_ratios"] = ratios
     ordered = sorted(ratios.values())
     mid = len(ordered) // 2

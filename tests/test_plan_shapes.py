@@ -598,12 +598,15 @@ def test_blocklist_psl_broadcasts_rules_no_udf(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # every PSL probe stays a broadcast hash join — the corpus side
-    # never shuffles for the registrable-domain computation
-    from accident_prediction_montreal_spark.functions.url import (
-        PSL_MAX_RULE_LABELS,
-    )
+    # never shuffles for the registrable-domain computation. r14: rules
+    # are bucketed per label count and lengths with NO rules cost
+    # nothing, so the join count equals the number of distinct rule
+    # lengths in the snapshot, not PSL_MAX_RULE_LABELS.
+    from accident_prediction_montreal_spark.functions.url import PSL_SNAPSHOT
 
-    assert plan.count("BroadcastHashJoin") >= PSL_MAX_RULE_LABELS
+    n_bands = len({r.count(".") + 1 for r in PSL_SNAPSHOT})
+    # + 1: the blocklist membership probe is itself a broadcast join
+    assert plan.count("BroadcastHashJoin") == n_bands + 1
 
 
 def test_source_quota_gate_skips_at_smoke_scale(spark):
