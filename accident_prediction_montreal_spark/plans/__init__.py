@@ -46,9 +46,12 @@ from accident_prediction_montreal_spark.plans import wave13  # noqa: F401,E402
 # rules per suffix length so each broadcast carries only its own band
 # — ADVICE r13), and j12_nullsafe_join (self-lineage join key renamed
 # to silence the trivially-true-predicate WARN — r13 verdict ask #4).
-# Changed code re-earns its driver evidence the same round.
-# Slots 4-35: the full r8-era set (latest green r8, the ledger's
-# oldest). Slots 36-50: the r9-era set, alphabetical order, first 15.
+# w10_rolling_median also changed (the events-table fuzz found an
+# ANSI element_at(arr, 0) crash on all-NULL-value frames; wave6.py now
+# has an explicit empty-frame NULL branch). Changed code re-earns its
+# driver evidence the same round.
+# Slots 5-36: the full r8-era set (latest green r8, the ledger's
+# oldest). Slots 37-50: the r9-era set, alphabetical order, first 14.
 # Every slot verified green locally at sf0.01 this round
 # (scripts/check_oracle.py, vanilla session).
 #
@@ -59,6 +62,7 @@ _PRIORITY = [
     "llm_quality_cascade",
     "llm_blocklist_filter_psl",
     "j12_nullsafe_join",
+    "w10_rolling_median",
     # --- evidence refresh: latest green r8 (the full set) ---
     "er_golden_records",
     "f_variant_json",
@@ -92,7 +96,7 @@ _PRIORITY = [
     "x19_dq_expectations",
     "x20_zorder_layout",
     "x21_ann_pruned_layout",
-    # --- evidence refresh: latest green r9 (first 15, alphabetical) ---
+    # --- evidence refresh: latest green r9 (first 14, alphabetical) ---
     "a22_weighted_sample",
     "a23_time_weighted_avg",
     "a24_ohlc_bars",
@@ -107,13 +111,13 @@ _PRIORITY = [
     "a36_cusum_changepoint",
     "dedup_incremental",
     "dedup_minhash_pairs",
-    "dedup_ppjoin",
 ]
 
 # Positions 51+: the r9-era queries NOT refreshed this round lead (the
 # r15 rotate-in candidates — oldest remaining evidence); everything
 # else follows in deterministic alphabetical order via _reorder().
 _TAIL_HEAD = [
+    "dedup_ppjoin",
     "dedup_semantic",
     "f_array_hof",
     "g3_label_propagation",
@@ -141,7 +145,6 @@ _TAIL_HEAD = [
     "text_bpe_merges",
     "text_quality_deciles_exact",
     "tpch_q8_market_share",
-    "w10_rolling_median",
     "w11_regex_sequence",
     "x22_dynamic_partition_overwrite",
     "x23_global_index",

@@ -313,9 +313,16 @@ def w10_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(arr)
     mid_hi = (n / 2 + 1).cast("int")  # 1-based upper middle
     mid_lo = (n / 2).cast("int")
-    med = F.when(
-        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
-    ).otherwise((F.element_at(arr, mid_lo) + F.element_at(arr, mid_hi)) / 2)
+    # n == 0 branch FIRST: collect_list skips NULLs, so a frame whose
+    # every value is NULL yields an empty array — without the guard the
+    # even-length branch evaluates element_at(arr, 0), a runtime error
+    # under ANSI (found by the r14 events-table fuzz; DuckDB's median
+    # returns NULL on an all-NULL set, so the mirrors now agree).
+    med = (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int")))
+        .otherwise((F.element_at(arr, mid_lo) + F.element_at(arr, mid_hi)) / 2)
+    )
     return ev.select(
         "event_id", F.round(med, 6).alias("rolling_med")
     ).orderBy("event_id")

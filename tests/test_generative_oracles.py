@@ -98,13 +98,16 @@ def _both(spark, name: str, tmpdir: str):
     sdf = REGISTRY[name].fn(spark, tmpdir)
     srows = sorted(tuple(r) for r in sdf.collect())
     con = duckdb.connect()
-    # Spark writes documents.parquet as a DIRECTORY of part files —
-    # DuckDB needs the glob (the testdata fixtures are single files,
-    # which is why check_oracle.py can point at the bare path)
-    con.sql(
-        f"CREATE VIEW documents AS SELECT * FROM "
-        f"'{os.path.join(tmpdir, 'documents.parquet', '*.parquet')}'"
-    )
+    # Spark writes each table as a DIRECTORY of part files — DuckDB
+    # needs the glob (the testdata fixtures are single files, which is
+    # why check_oracle.py can point at the bare path)
+    for table in ("documents", "events"):
+        path = os.path.join(tmpdir, f"{table}.parquet")
+        if os.path.isdir(path):
+            con.sql(
+                f"CREATE VIEW {table} AS SELECT * FROM "
+                f"'{os.path.join(path, '*.parquet')}'"
+            )
     orows = sorted(tuple(r) for r in con.sql(REGISTRY[name].oracle).fetchall())
     return srows, orows
 
@@ -150,6 +153,146 @@ _STANDING = [
 def test_query_matches_oracle_on_random_docs(spark, tmp_path_factory, name, rows):
     tmpdir = str(tmp_path_factory.mktemp("gen"))
     _materialize(spark, tmpdir, rows)
+    srows, orows = _both(spark, name, tmpdir)
+    assert srows == orows, (
+        f"{name}: Spark {srows[:5]}... != oracle {orows[:5]}... "
+        f"on generated input {rows[:6]}..."
+    )
+
+
+# ---------------------------------------------------------------------
+# Events-table grammar (new r14): the documents fuzz above can't reach
+# the time-series family, whose danger zone is different — DUPLICATE
+# TIMESTAMPS (every survivor/open/close/lead-lag pick must fall back to
+# the (ts, event_id) total order), zero-variance series (corr/stddev
+# NULL vs NaN semantics), single-row users, and NULL values. The
+# fixtures' generator never produces tied timestamps, so tie-break
+# correctness in both mirrors was previously luck-of-the-layout (the
+# determinism audit covers Spark-side partitioning, not the oracle).
+
+_EVENT_TYPE = st.sampled_from(["click", "view", "purchase", "signup", "error"])
+# second-offsets on a coarse grid spanning ~4 hour buckets, with heavy
+# collision probability (ties are the point)
+_TS_OFFSET = st.sampled_from(
+    [0, 1, 2, 59, 60, 3599, 3600, 3601, 7200, 7201, 10800, 10801, 14399]
+)
+_VALUE = st.one_of(
+    st.none(),  # NULL value: the cascade-class NULL-semantics probe
+    st.sampled_from([0.0, 1.0, -1.0, 2.5, 100.0]),
+)
+
+_EVENTS = st.lists(
+    st.tuples(_TS_OFFSET, st.integers(1, 2), _EVENT_TYPE, _VALUE),
+    min_size=1,
+    max_size=24,
+).map(
+    # duplicate every third row's timestamp AND user on purpose so
+    # window tie-breaks have work; event_ids are positions (unique)
+    lambda rows: [
+        (
+            i,
+            (rows[i // 3 * 3][0] if i % 3 == 2 else off),
+            (rows[i // 3 * 3][1] if i % 3 == 2 else uid),
+            et,
+            v,
+        )
+        for i, (off, uid, et, v) in enumerate(rows)
+    ]
+)
+
+# Explicit edge seeds (post-map shape: (event_id, ts_offset_s, user_id,
+# event_type, value)).
+_SEED_ALL_SAME_TS = [
+    (0, 0, 1, "click", 1.0),
+    (1, 0, 1, "click", 1.0),
+    (2, 0, 1, "error", 2.0),
+]
+_SEED_SINGLE_EVENT = [(0, 0, 1, "view", 0.0)]
+# one event per hour, identical hourly counts -> zero-variance series
+# for the autocorr/cusum family
+_SEED_ZERO_VARIANCE = [
+    (0, 0, 1, "click", 1.0),
+    (1, 3600, 1, "click", 1.0),
+    (2, 7200, 1, "click", 1.0),
+    (3, 10800, 1, "click", 1.0),
+]
+_SEED_NULL_VALUES = [
+    (0, 0, 1, "click", None),
+    (1, 1, 1, "purchase", None),
+    (2, 3600, 2, "error", None),
+]
+
+
+def _materialize_events(spark, tmpdir: str, rows) -> str:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("off_s", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    df = (
+        spark.createDataFrame(
+            [(i, o, u, et, v) for i, o, u, et, v in rows], schema
+        )
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + F.col("off_s")
+            ),
+        )
+        .withColumn(
+            "props", F.concat(F.lit('{"k": '), F.col("event_id"), F.lit("}"))
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    path = os.path.join(tmpdir, "events.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+# Tie-break-sensitive time-series queries: every one uses a
+# (ts, event_id) total order in BOTH mirrors — these draws verify that
+# claim holds on inputs where it actually matters.
+#
+# w10_rolling_median earned its standing slot on the grammar's FIRST
+# outing: an all-NULL-value frame makes collect_list return an empty
+# array, and the even-length median branch then evaluated
+# element_at(arr, 0) — an ANSI runtime error (INVALID_INDEX_OF_ZERO)
+# where DuckDB's median returns NULL (fixed in wave6.py the same
+# round). A one-off triage additionally held a34_funnel_timing and
+# a16_running_distinct green over the same seeds + 10 deterministic
+# draws (kept out of the per-run set for suite wall time).
+_EVENTS_SET = [
+    "a24_ohlc_bars",
+    "a23_time_weighted_avg",
+    "a25_session_dynamic_gap",
+    "a19_event_transitions",
+    "a30_autocorr",
+    "a36_cusum_changepoint",
+    "w10_rolling_median",
+]
+
+_EVENTS_SETTINGS = dict(_SETTINGS, max_examples=15)
+
+
+@pytest.mark.parametrize("name", _EVENTS_SET)
+@settings(**_EVENTS_SETTINGS)
+@example(rows=_SEED_ALL_SAME_TS)
+@example(rows=_SEED_SINGLE_EVENT)
+@example(rows=_SEED_ZERO_VARIANCE)
+@example(rows=_SEED_NULL_VALUES)
+@given(rows=_EVENTS)
+def test_query_matches_oracle_on_random_events(
+    spark, tmp_path_factory, name, rows
+):
+    tmpdir = str(tmp_path_factory.mktemp("genev"))
+    _materialize_events(spark, tmpdir, rows)
     srows, orows = _both(spark, name, tmpdir)
     assert srows == orows, (
         f"{name}: Spark {srows[:5]}... != oracle {orows[:5]}... "
