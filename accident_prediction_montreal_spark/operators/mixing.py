@@ -159,7 +159,7 @@ def temperature_mix_rates(
         "pw", F.round(raw, 12).cast("decimal(20,12)")
     )
     denom = F.sum("pw").over(everything).cast("double")
-    p_tau = F.col("pw").cast("double") / denom
+    p_tau = F.try_divide(F.col("pw").cast("double"), denom)
     n_total = F.sum("n_docs").over(everything).cast("double")
     rate = F.least(
         F.lit(1.0),
@@ -405,20 +405,25 @@ def epoch_schedule(
     )
     everything = Window.partitionBy()
     total = F.sum("units").over(everything).cast("double")
-    p_share = F.col("units").cast("double") / total
+    # try_divide throughout: a zero-unit corpus (every doc empty) makes
+    # total/denom/units 0, where plain `/` is an ANSI DIVIDE_BY_ZERO
+    # runtime error and DuckDB (the oracle) returns NULL — r14
+    # registry-wide fuzz triage.
+    p_share = F.try_divide(F.col("units").cast("double"), total)
     if temperature == 0.5:
         raw = F.sqrt(p_share)  # IEEE-exact, engine-independent
     else:
         raw = F.pow(p_share, F.lit(float(temperature)))
     weighted = stats.withColumn("pw", F.round(raw, 12).cast("decimal(20,12)"))
     denom = F.sum("pw").over(everything).cast("double")
-    p_tau = F.col("pw").cast("double") / denom
+    p_tau = F.try_divide(F.col("pw").cast("double"), denom)
     budget = F.lit(float(budget_frac)) * F.sum("units").over(everything).cast(
         "double"
     )
     target = budget * p_tau
     epochs = F.least(
-        F.lit(float(max_epochs)), target / F.col("units").cast("double")
+        F.lit(float(max_epochs)),
+        F.try_divide(target, F.col("units").cast("double")),
     )
     realized = epochs * F.col("units").cast("double")
     return weighted.select(

@@ -512,12 +512,22 @@ def payload_stats(
 
     def stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [p if p is not None else b"" for p in pdf[payload_col]]
+            # NULL payload -> NULL stats (SQL NULL propagation; the old
+            # b"" coalesce reported (0, md5-of-empty) for a MISSING blob,
+            # indistinguishable from a real empty one — r14 fuzz triage).
+            # pandas nullable Int64 keeps the Arrow column a long.
+            payloads = list(pdf[payload_col])
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "n_bytes": [len(p) for p in payloads],
-                    "payload_md5": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "n_bytes": pd.array(
+                        [len(p) if p is not None else None for p in payloads],
+                        dtype="Int64",
+                    ),
+                    "payload_md5": [
+                        hashlib.md5(p).hexdigest() if p is not None else None
+                        for p in payloads
+                    ],
                 }
             )
 

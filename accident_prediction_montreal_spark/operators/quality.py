@@ -39,23 +39,34 @@ def uniqueness(col: str) -> Check:
     return Check(f"uniqueness_{col}", ratio, ratio == 1.0)
 
 
+def _count_if(cond: Column) -> Column:
+    # SUM(CASE WHEN c THEN 1 ELSE 0 END), NOT sum(c::long): a NULL
+    # predicate row (e.g. a bounds check over a NULL value) must count
+    # as not-violating/not-matching, exactly like the oracle's CASE —
+    # the cast form returns NULL when EVERY row's predicate is NULL
+    # (ok became NULL==0 = NULL; found by the r14 events-table fuzz on
+    # an all-NULL `value` column, the same class as the r13 quality-
+    # cascade stage counts).
+    return F.sum(F.when(cond, 1).otherwise(0))
+
+
 def bounded(col: str, lo: float, hi: float) -> Check:
-    viol = F.sum(((F.col(col) < lo) | (F.col(col) > hi)).cast("long"))
+    viol = _count_if((F.col(col) < lo) | (F.col(col) > hi))
     return Check(f"bounded_{col}", viol, viol == 0)
 
 
 def in_set(col: str, allowed: list[str]) -> Check:
-    viol = F.sum((~F.col(col).isin(allowed)).cast("long"))
+    viol = _count_if(~F.col(col).isin(allowed))
     return Check(f"in_set_{col}", viol, viol == 0)
 
 
 def matches(col: str, pattern: str, at_least: float) -> Check:
-    frac = F.sum(F.col(col).rlike(pattern).cast("long")) / F.count(F.lit(1))
+    frac = _count_if(F.col(col).rlike(pattern)) / F.count(F.lit(1))
     return Check(f"matches_{col}", frac, frac >= at_least)
 
 
 def min_fraction(name: str, cond: Column, at_least: float) -> Check:
-    frac = F.sum(cond.cast("long")) / F.count(F.lit(1))
+    frac = _count_if(cond) / F.count(F.lit(1))
     return Check(name, frac, frac >= at_least)
 
 

@@ -32,7 +32,12 @@ def tokenize(text: Column | str) -> Column:
 
 
 def token_count(text: Column | str) -> Column:
-    return F.size(tokenize(text)).cast("long")
+    # NULL text counts ZERO tokens (size(NULL array) is NULL): keeps
+    # NULLs out of every downstream ordering/deciling — Spark sorts
+    # NULLS FIRST, DuckDB NULLS LAST, so a NULL token count silently
+    # splits otherwise-identical ntile assignments between the mirrors
+    # (r14 registry-wide fuzz triage).
+    return F.coalesce(F.size(tokenize(text)), F.lit(0)).cast("long")
 
 
 def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -92,7 +97,13 @@ def language_id(text: Column | str) -> Column:
     best = scored[0]
     for cand in scored[1:]:
         best = F.when(cand["hits"] > best["hits"], cand).otherwise(best)
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    text_col = F.col(text) if isinstance(text, str) else text
+    # NULL text -> NULL (SQL-function NULL propagation; the oracle's
+    # CASE chain yields NULL there too — r14 registry-wide fuzz triage).
+    # 'und' stays the answer for present-but-matchless text.
+    return F.when(text_col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -37,33 +37,54 @@ from accident_prediction_montreal_spark.plans import wave13  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #
-# Round-14 ROTATION (the r13 verdict's ask #5: window goes to the
-# oldest remaining evidence — the r8/r9-era tail). Slots 1-3: the
-# queries whose code changed this round — llm_quality_cascade (the
-# NULL-flag stage-count fix: SUM(CASE WHEN c THEN 1 ELSE 0 END) form
-# at wave12.py, the r13 verdict's headline correctness ask),
-# llm_blocklist_filter_psl (registrable_domain_join now buckets PSL
-# rules per suffix length so each broadcast carries only its own band
-# — ADVICE r13), and j12_nullsafe_join (self-lineage join key renamed
-# to silence the trivially-true-predicate WARN — r13 verdict ask #4).
-# w10_rolling_median also changed (the events-table fuzz found an
-# ANSI element_at(arr, 0) crash on all-NULL-value frames; wave6.py now
-# has an explicit empty-frame NULL branch). Changed code re-earns its
-# driver evidence the same round.
-# Slots 5-36: the full r8-era set (latest green r8, the ledger's
-# oldest). Slots 37-50: the r9-era set, alphabetical order, first 14.
+# Round-14 ROTATION, final form. This round's fuzz campaign (the new
+# events-table grammar + the registry-wide single-table triage,
+# scripts/fuzz_triage.py) found latent edge bugs in a broad slice of
+# the registry — NULL-flag sums, ANSI DIVIDE_BY_ZERO/element_at(0)
+# crashes where DuckDB returns NULL, vacuous invariants aggregating
+# empty sets, NULL-ordering ntile splits — all fixed this round (see
+# PERF.md r14). Changed code re-earns its driver evidence the same
+# round, so slots 1-25 are the full changed set: the r13-ask fixes
+# (quality cascade NULL counts, PSL banding, j12 WARN), the events-fuzz
+# finds (w10, m15, m17, x12, a21, a30, x13, x19), the documents-triage
+# finds (language_id/token_count/payload_stats NULL propagation, the
+# dq-check count-if forms, epoch/reweight try_divide, dedup invariant
+# vacuous-pass coalesces, dataset-card/deciles NULL-token semantics)
+# plus every query those shared operators feed (curation pipeline,
+# token_hash, sequence_pack — the latter two via token_count's new
+# NULL->0 convention). Slots 27-50: r8-era unchanged queries,
+# alphabetical (the ledger's oldest evidence).
 # Every slot verified green locally at sf0.01 this round
 # (scripts/check_oracle.py, vanilla session).
-#
-# Rotated OUT — the r13 refresh set (all driver-green in
-# CORRECTNESS_r13).
 _PRIORITY = [
-    # --- this round's changed code ---
+    # --- this round's changed code (25: see comment above) ---
     "llm_quality_cascade",
     "llm_blocklist_filter_psl",
     "j12_nullsafe_join",
     "w10_rolling_median",
-    # --- evidence refresh: latest green r8 (the full set) ---
+    "m15_psi_drift",
+    "m17_bootstrap_ci",
+    "x12_backfill_evolution",
+    "a21_approx_topk_invariant",
+    "a30_autocorr",
+    "x13_small_files_compaction",
+    "x19_dq_expectations",
+    "x21_ann_pruned_layout",
+    "text_quality_classifier",
+    "llm_epoch_schedule",
+    "text_language_id",
+    "mm_payload_stats",
+    "llm_domain_reweight",
+    "llm_dataset_card",
+    "text_quality_deciles",
+    "text_quality_deciles_exact",
+    "dedup_simhash",
+    "dedup_minhash_pairs",
+    "dedup_near_invariants",
+    "llm_curation_pipeline",
+    "text_token_hash",
+    "text_sequence_pack",
+    # --- evidence refresh: latest green r8, unchanged, alphabetical ---
     "er_golden_records",
     "f_variant_json",
     "g1_pagerank_trade",
@@ -72,7 +93,6 @@ _PRIORITY = [
     "j14_bloom_semi_join",
     "j15_point_in_polygon",
     "j16_interval_overlap",
-    "llm_epoch_schedule",
     "m12_oof_target_encode",
     "m14_feature_corr",
     "mm_audio_frames",
@@ -85,18 +105,18 @@ _PRIORITY = [
     "st_python_stream_source",
     "text_bm25",
     "text_lm_perplexity",
-    "text_quality_classifier",
     "w8_gap_fill_lvcf",
     "w9_distribution_ranks",
-    "x13_small_files_compaction",
     "x14_incremental_rollup",
     "x16_python_sink_roundtrip",
+]
+
+# Positions 51+: the r8/r9-era queries NOT refreshed this round lead
+# (the r15 rotate-in candidates — oldest remaining evidence);
+# everything else follows in deterministic alphabetical order via
+# _reorder().
+_TAIL_HEAD = [
     "x17_table_profile",
-    "x18_cdc_merge",
-    "x19_dq_expectations",
-    "x20_zorder_layout",
-    "x21_ann_pruned_layout",
-    # --- evidence refresh: latest green r9 (first 14, alphabetical) ---
     "a22_weighted_sample",
     "a23_time_weighted_avg",
     "a24_ohlc_bars",
@@ -104,19 +124,11 @@ _PRIORITY = [
     "a26_rfm_segmentation_exact",
     "a28_seasonal_anomaly",
     "a29_robust_zscore",
-    "a30_autocorr",
     "a31_sequence_pattern",
     "a34_funnel_timing",
     "a35_grouped_quantiles",
     "a36_cusum_changepoint",
     "dedup_incremental",
-    "dedup_minhash_pairs",
-]
-
-# Positions 51+: the r9-era queries NOT refreshed this round lead (the
-# r15 rotate-in candidates — oldest remaining evidence); everything
-# else follows in deterministic alphabetical order via _reorder().
-_TAIL_HEAD = [
     "dedup_ppjoin",
     "dedup_semantic",
     "f_array_hof",
@@ -126,10 +138,7 @@ _TAIL_HEAD = [
     "j8_knn_seam_polar",
     "j9_asof_forward",
     "j9_asof_nearest",
-    "llm_curation_pipeline",
-    "m15_psi_drift",
     "m16_gains_table",
-    "m17_bootstrap_ci",
     "m18_isotonic_calibration",
     "mm_image_dedup",
     "p13_k_anonymity",
@@ -143,9 +152,10 @@ _TAIL_HEAD = [
     "st_pipeline_capstone",
     "st_stream_stream_outer",
     "text_bpe_merges",
-    "text_quality_deciles_exact",
     "tpch_q8_market_share",
     "w11_regex_sequence",
+    "x18_cdc_merge",
+    "x20_zorder_layout",
     "x22_dynamic_partition_overwrite",
     "x23_global_index",
     "x25_time_travel",

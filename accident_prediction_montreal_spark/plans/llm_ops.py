@@ -323,8 +323,11 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH sized AS (
       SELECT source AS shard, doc_id,
-        CASE WHEN trim(lower(text)) = '' THEN 0
-             ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tokens
+        -- COALESCE: NULL text packs as 0 tokens, the token_count
+        -- convention (r14 fuzz triage)
+        COALESCE(CASE WHEN trim(lower(text)) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END,
+             0) AS n_tokens
       FROM documents
     ),
     packed AS (
@@ -530,13 +533,18 @@ def dedup_near_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_checks = minhash_stats.select(
         F.explode(
             F.array(
+                # coalesce: a corpus with no plantable docs leaves the
+                # full-outer join EMPTY and the sums NULL — vacuous pass
+                # (r14 registry-wide fuzz triage)
                 F.struct(
                     F.lit("minhash_planted_pairs_found").alias("chk"),
-                    (F.col("n_missing") == 0).cast("long").alias("ok"),
+                    (F.coalesce(F.col("n_missing"), F.lit(0)) == 0)
+                    .cast("long").alias("ok"),
                 ),
                 F.struct(
                     F.lit("minhash_est_range").alias("chk"),
-                    (F.col("n_bad") == 0).cast("long").alias("ok"),
+                    (F.coalesce(F.col("n_bad"), F.lit(0)) == 0)
+                    .cast("long").alias("ok"),
                 ),
             )
         ).alias("c")
@@ -717,11 +725,20 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted_ok = missing.agg(F.count(F.lit(1)).alias("n_miss")).select(
         *_chk("minhash_planted_pairs_found_est_1", F.col("n_miss") == 0)
     )
+    # coalesce: min over an EMPTY pair set is NULL, and NULL==1 is NULL
+    # where the oracle expects the vacuous 1 (r14 fuzz triage — a corpus
+    # where no doc reaches 3 tokens emits zero candidate pairs)
     stats = pairs.agg(
-        F.min(
-            ((F.col("est_jaccard") >= 0.5) & (F.col("est_jaccard") <= 1.0)).cast("long")
+        F.coalesce(
+            F.min(
+                ((F.col("est_jaccard") >= 0.5) & (F.col("est_jaccard") <= 1.0))
+                .cast("long")
+            ),
+            F.lit(1),
         ).alias("rng"),
-        F.min((F.col("id_a") < F.col("id_b")).cast("long")).alias("ordr"),
+        F.coalesce(
+            F.min((F.col("id_a") < F.col("id_b")).cast("long")), F.lit(1)
+        ).alias("ordr"),
     )
     rng_ok = stats.select(
         *_chk("minhash_est_jaccard_in_threshold_range", F.col("rng") == 1)
@@ -804,25 +821,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.avg(F.bit_count(F.col("h").bitwiseXOR(F.col("h_trunc")))).alias("d_near"),
         F.avg(F.bit_count(F.col("h").bitwiseXOR(F.col("h_other")))).alias("d_rand"),
+        F.count(F.lit(1)).alias("n_paired"),
     )
     return stats.select(
         F.explode(
             F.array(
+                # coalesce: aggregating an EMPTY qualified set (every
+                # doc under 8 tokens) leaves the sums/avgs NULL, and
+                # NULL==0 is NULL where the oracle's expected constant
+                # is 1 — a vacuously-true invariant must report 1
+                # (r14 registry-wide fuzz triage).
                 F.struct(
                     F.lit("simhash_range_0_2pow62").alias("chk"),
-                    (F.col("n_out_of_range") == 0).cast("long").alias("ok"),
+                    (F.coalesce(F.col("n_out_of_range"), F.lit(0)) == 0)
+                    .cast("long").alias("ok"),
                 ),
                 F.struct(
                     F.lit("simhash_identical_text_same_hash").alias("chk"),
-                    (F.col("n_identical_mismatch") == 0).cast("long").alias("ok"),
+                    (F.coalesce(F.col("n_identical_mismatch"), F.lit(0)) == 0)
+                    .cast("long").alias("ok"),
                 ),
                 F.struct(
                     F.lit("simhash_odd_repetition_invariant").alias("chk"),
-                    (F.col("n_rep_variant") == 0).cast("long").alias("ok"),
+                    (F.coalesce(F.col("n_rep_variant"), F.lit(0)) == 0)
+                    .cast("long").alias("ok"),
                 ),
+                # locality is a STATISTICAL property of realistic
+                # corpora: the truncated-vs-random margin concentrates
+                # as the paired count grows, but a handful of tiny
+                # word-salad docs can legitimately invert it (r14 fuzz
+                # triage drew one) — assert it only in the regime where
+                # it is a claim, vacuous-pass below 32 paired docs
+                # (every sf fixture is far above; the check keeps its
+                # bite where it means something).
                 F.struct(
                     F.lit("simhash_locality_near_lt_random").alias("chk"),
-                    (F.col("d_near") + 5.0 < F.col("d_rand")).cast("long").alias("ok"),
+                    F.when(F.coalesce(F.col("n_paired"), F.lit(0)) < 32, F.lit(1))
+                    .otherwise(
+                        (F.col("d_near") + 5.0 < F.col("d_rand")).cast("long")
+                    ).alias("ok"),
                 ),
             )
         ).alias("c")
@@ -1413,7 +1450,7 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_deciles",
     oracle=f"""
     WITH sized AS (
-      SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens FROM documents
+      SELECT doc_id, COALESCE(len({_SQL_TOKENS}), 0) AS n_tokens FROM documents
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
@@ -1490,7 +1527,7 @@ def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_deciles_exact",
     oracle=f"""
     WITH sized AS (
-      SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens FROM documents
+      SELECT doc_id, COALESCE(len({_SQL_TOKENS}), 0) AS n_tokens FROM documents
     ),
     tiled AS (
       SELECT doc_id, n_tokens,
@@ -3268,6 +3305,16 @@ def x12_backfill_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined = backfill_month_shards(
         spark, out_dir, days, shard_v2, partition_col="day_key", merge_schema=True
     )
+    # Consumer-side schema-evolution fallback: when EVERY day predates
+    # the evolution cutoff (day-of-month <= 15), no v2 shard exists and
+    # the mergeSchema read has no evolved_sum column at all — the
+    # column reads as NULL, exactly like a pre-evolution shard does
+    # once a v2 shard exists (r14 events-table fuzz: a corpus spanning
+    # only Jan 1 left phase 2 empty and the aggregate unresolvable).
+    if "evolved_sum" not in combined.columns:
+        combined = combined.withColumn(
+            "evolved_sum", F.lit(None).cast("decimal(38,6)")
+        )
     return combined.groupBy("event_type").agg(
         F.sum("n").cast("long").alias("n"),
         F.sum("vsum").cast("double").alias("value_sum"),

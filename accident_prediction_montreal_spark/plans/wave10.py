@@ -289,7 +289,7 @@ def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH per AS (
       SELECT source, n_chars,
-        len({_SQL_TOKS}) AS n_tokens,
+        COALESCE(len({_SQL_TOKS}), 0) AS n_tokens,
         CASE WHEN trim(text) = '' THEN 1 ELSE 0 END AS is_empty
       FROM documents
     ),
@@ -336,7 +336,12 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         token_count(F.col("text")).alias("n_tokens"),
-        (F.trim(F.col("text")) == "").cast("long").alias("is_empty"),
+        # when/otherwise, not a bare cast: NULL text is NOT the empty
+        # string — the oracle's CASE yields 0 there, the bare cast gave
+        # NULL and poisoned the sum (r14 registry-wide fuzz triage)
+        F.when(F.trim(F.col("text")) == "", 1).otherwise(0)
+        .cast("long")
+        .alias("is_empty"),
     )
     return (
         docs.rollup("source")

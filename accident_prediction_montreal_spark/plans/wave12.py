@@ -570,7 +570,9 @@ def llm_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     units_all = F.sum("units").over(everything).cast("double")
     loss_all = F.sum("loss_milli_sum").over(everything).cast("double")
     docs_all = F.sum("n_docs").over(everything).cast("double")
-    p_share = F.col("units").cast("double") / units_all
+    # try_divide: an all-empty corpus has units_all = 0; plain `/` is an
+    # ANSI DIVIDE_BY_ZERO error, DuckDB returns NULL (r14 fuzz triage)
+    p_share = F.try_divide(F.col("units").cast("double"), units_all)
     excess = (
         F.col("loss_milli_sum").cast("double") / F.col("n_docs") - loss_all / docs_all
     ) / F.lit(1_000_000.0)
@@ -596,7 +598,10 @@ def llm_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("excess", 6) + 0.0).alias("excess"),
         (
             F.round(
-                F.col("raw_w").cast("double") / w_all.cast("double"), 6
+                F.try_divide(
+                    F.col("raw_w").cast("double"), w_all.cast("double")
+                ),
+                6,
             )
             + 0.0
         ).alias("weight"),

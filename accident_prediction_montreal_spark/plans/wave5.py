@@ -340,8 +340,16 @@ def m15_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("is_ref")).cast("long").alias("cur_cnt"),
     )
     w = Window.partitionBy()
-    p_ref = F.col("ref_cnt") / F.sum("ref_cnt").over(w).cast("double")
-    p_cur = F.col("cur_cnt") / F.sum("cur_cnt").over(w).cast("double")
+    # try_divide: an all-current (or all-reference) corpus makes a
+    # normalizer 0, where plain `/` is an ANSI DIVIDE_BY_ZERO error and
+    # DuckDB returns NULL (r14 events-table fuzz find) — try_divide is
+    # exactly DuckDB's zero-divisor semantics.
+    p_ref = F.try_divide(
+        F.col("ref_cnt"), F.sum("ref_cnt").over(w).cast("double")
+    )
+    p_cur = F.try_divide(
+        F.col("cur_cnt"), F.sum("cur_cnt").over(w).cast("double")
+    )
     psi = (p_cur - p_ref) * F.log(
         F.greatest(p_cur, F.lit(1e-6)) / F.greatest(p_ref, F.lit(1e-6))
     )

@@ -192,10 +192,25 @@ def a30_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("cnt", 2).over(w).alias("l2"),
         F.lag("cnt", 3).over(w).alias("l3"),
     )
+    # NOT the corr aggregate: Spark 4's ANSI `corr` THROWS
+    # DIVIDE_BY_ZERO on a zero-variance series where DuckDB's returns
+    # NULL (found by the r14 events-table fuzz: identical hourly
+    # counts). Same Pearson estimator composed from the pairwise
+    # co-moments with try_divide, which yields NULL exactly where
+    # DuckDB does — zero variance, and n<2 pairs (stddev_samp NULL).
+    # The x-side moments must use only pairwise-COMPLETE rows (corr's
+    # pairwise deletion), hence the when(lk notnull, cnt) columns.
+    def acf(lk: str):
+        x = F.when(F.col(lk).isNotNull(), F.col("cnt"))
+        return F.try_divide(
+            F.covar_samp(x, F.col(lk)),
+            F.stddev_samp(x) * F.stddev_samp(F.col(lk)),
+        )
+
     acfs = lagged.agg(
-        F.corr("cnt", "l1").alias("a1"),
-        F.corr("cnt", "l2").alias("a2"),
-        F.corr("cnt", "l3").alias("a3"),
+        acf("l1").alias("a1"),
+        acf("l2").alias("a2"),
+        acf("l3").alias("a3"),
     )
     return (
         acfs.select(

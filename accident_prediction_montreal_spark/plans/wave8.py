@@ -132,8 +132,17 @@ def m17_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("replicate")
         .agg(
             F.sum("w").cast("long").alias("n_eff"),
-            F.round(F.sum(F.col("w") * F.col("cents")) / (100.0 * F.sum("w")), 6)
-            .alias("boot_mean"),
+            # try_divide: a replicate whose every Poisson weight drew 0
+            # has SUM(w)=0 — plain `/` is an ANSI DIVIDE_BY_ZERO error,
+            # DuckDB returns NULL (r14 events-table fuzz find on a
+            # 1-row corpus; vanishingly rare at fixture size, certain
+            # somewhere at fuzz size)
+            F.round(
+                F.try_divide(
+                    F.sum(F.col("w") * F.col("cents")), 100.0 * F.sum("w")
+                ),
+                6,
+            ).alias("boot_mean"),
         )
         .orderBy("replicate")
     )

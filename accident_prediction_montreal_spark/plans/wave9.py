@@ -312,6 +312,10 @@ _SQL_QC_TOKENS = (
     WITH toks AS (SELECT doc_id, {_SQL_QC_TOKENS} AS w FROM documents),
     per AS (
       SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        -- NULL text -> NULL score (mirrors Spark's aggregate-over-NULL-
+        -- array; DuckDB's list_prepend(0, NULL) would otherwise yield
+        -- [0] and score 0 -- r14 registry-wide fuzz triage)
+        CASE WHEN w IS NULL THEN NULL ELSE
         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
           list_transform(w, t ->
             ((list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -319,7 +323,7 @@ _SQL_QC_TOKENS = (
                                i -> CAST(ascii(t[i]) AS BIGINT))),
               (h, c) -> (h * 31 + c) % 1000003) % 64)
              * 2654435761) % 2001 - 1000)),
-          (a, b) -> a + b) AS BIGINT) AS score_milli
+          (a, b) -> a + b) AS BIGINT) END AS score_milli
       FROM toks
     )
     SELECT doc_id, n_tokens, score_milli,
@@ -366,6 +370,10 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     qc AS (
       SELECT doc_id, source, n_chars,
+        -- NULL text -> NULL score, same convention as the standalone
+        -- classifier oracle above (r14 fuzz triage); kept then drops
+        -- the doc (NULL >= 0 is not true), matching Spark
+        CASE WHEN w IS NULL THEN NULL ELSE
         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
           list_transform(w, t ->
             ((list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -373,7 +381,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                                i -> CAST(ascii(t[i]) AS BIGINT))),
               (h, c) -> (h * 31 + c) % 1000003) % 64)
              * 2654435761) % 2001 - 1000)),
-          (a, b) -> a + b) AS BIGINT) AS score_milli
+          (a, b) -> a + b) AS BIGINT) END AS score_milli
       FROM toks
     ),
     kept AS (SELECT doc_id, source, n_chars FROM qc WHERE score_milli >= 0),

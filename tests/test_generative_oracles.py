@@ -94,9 +94,27 @@ def _materialize(spark, tmpdir: str, rows) -> str:
     return path
 
 
+def _row_key(row: tuple):
+    # total order over heterogeneous, NULL-able rows: plain sorted()
+    # raises TypeError on None-vs-str (NULL grouping keys, NULL window
+    # starts). Partition by (is-null, type family), compare numbers as
+    # floats so an int from one engine and a float from the other sort
+    # identically (tuple EQUALITY still uses ==, where 1 == 1.0).
+    def k(v):
+        if v is None:
+            return (0, "", "")
+        if isinstance(v, bool):
+            return (1, "bool", str(v))
+        if isinstance(v, (int, float)):
+            return (1, "num", float(v))
+        return (1, type(v).__name__, str(v))
+
+    return tuple(k(v) for v in row)
+
+
 def _both(spark, name: str, tmpdir: str):
     sdf = REGISTRY[name].fn(spark, tmpdir)
-    srows = sorted(tuple(r) for r in sdf.collect())
+    srows = sorted((tuple(r) for r in sdf.collect()), key=_row_key)
     con = duckdb.connect()
     # Spark writes each table as a DIRECTORY of part files — DuckDB
     # needs the glob (the testdata fixtures are single files, which is
@@ -108,7 +126,10 @@ def _both(spark, name: str, tmpdir: str):
                 f"CREATE VIEW {table} AS SELECT * FROM "
                 f"'{os.path.join(path, '*.parquet')}'"
             )
-    orows = sorted(tuple(r) for r in con.sql(REGISTRY[name].oracle).fetchall())
+    orows = sorted(
+        (tuple(r) for r in con.sql(REGISTRY[name].oracle).fetchall()),
+        key=_row_key,
+    )
     return srows, orows
 
 
@@ -242,9 +263,14 @@ def _materialize_events(spark, tmpdir: str, rows) -> str:
         )
         .withColumn(
             "ts",
+            # timestamp_ntz, NOT ltz: the sf fixtures store ts as
+            # TIMESTAMP_NTZ (parquet isAdjustedToUTC=false), and
+            # schema-pinned readers (the streaming twins) hard-fail on
+            # an LTZ parquet column with PARQUET_COLUMN_DATA_TYPE_
+            # MISMATCH — the grammar must match the fixture schema.
             F.timestamp_seconds(
                 F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + F.col("off_s")
-            ),
+            ).cast("timestamp_ntz"),
         )
         .withColumn(
             "props", F.concat(F.lit('{"k": '), F.col("event_id"), F.lit("}"))
