@@ -235,6 +235,21 @@ def semantic_contamination(
             f"semantic_contamination: ragged eval embeddings in "
             f"{vec_col!r} (dims seen: {sorted(dims)})"
         )
+    if not ev_rows:
+        # Empty eval side: nothing can be contaminated — an empty result
+        # with the contract schema, not an np.stack crash (r14 fuzz).
+        from pyspark.sql import types as T2
+
+        return train.sparkSession.createDataFrame(
+            [],
+            T2.StructType(
+                [
+                    T2.StructField(train_id, train.schema[train_id].dataType),
+                    T2.StructField(eval_id, eval_df.schema[eval_id].dataType),
+                    T2.StructField("cosine", T2.DoubleType()),
+                ]
+            ),
+        )
     # Sorted ascending by eval_id: numpy argmax returns the FIRST max,
     # which is then exactly the (cosine DESC, eval_id ASC) tie-break.
     # dtype inferred: numeric ids become int64, string ids stay objects —

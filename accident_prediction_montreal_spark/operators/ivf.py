@@ -49,19 +49,79 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    vecs = corpus.select(
-        id_col, vec_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v")
+    # NULL embeddings are unencodable (array_to_vector NPEs on them) and
+    # drop here — the engine-wide degenerate-vector contract
+    # (functions/vectors.valid_vectors; r14 embeddings fuzz find).
+    # when() guard: Catalyst can merge this filter into a downstream
+    # UDF-bearing predicate where subexpression elimination evaluates
+    # array_to_vector before the null check; conditional branches stay
+    # conditional in codegen.
+    vecs = corpus.filter(F.col(vec_col).isNotNull()).select(
+        id_col,
+        vec_col,
+        F.when(
+            F.col(vec_col).isNotNull(),
+            array_to_vector(F.col(vec_col).cast("array<double>")),
+        ).alias("__v"),
     )
     fit_on = (
         vecs
         if sample_fraction >= 1.0
         else vecs.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
     )
-    model = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter,
-        featuresCol="__v", predictionCol="cell_id",
-    ).fit(fit_on)
-    centroids = model.clusterCenters()
+    # MLlib KMeans crashes when k exceeds the point count (tiny or
+    # heavily-filtered corpora). limit(k).count() bounds the probe at
+    # O(k) rows read — never a full scan at 100 TB.
+    n_avail = fit_on.limit(n_cells).count()
+    if n_avail == 0 and sample_fraction < 1.0:
+        fit_on = vecs  # degenerate sample on a tiny corpus: fit on all
+        n_avail = fit_on.limit(n_cells).count()
+    if n_avail == 0:
+        spark = corpus.sparkSession
+        empty_cents = spark.createDataFrame(
+            [], "cell_id INT, centroid ARRAY<DOUBLE>"
+        )
+        return (
+            vecs.select(id_col, vec_col, F.lit(0).cast("int").alias("cell_id")),
+            empty_cents,
+        )
+    if n_avail == 1:
+        # MLlib requires k > 1; a single-vector corpus needs no fit —
+        # that vector IS the (only) centroid. Bounded 1-row collect.
+        centroids = [
+            fit_on.select(F.col(vec_col).cast("array<double>")).head()[0]
+        ]
+    else:
+        n_cells = min(n_cells, n_avail)
+
+        def _fit(k: int):
+            return KMeans(
+                k=k, seed=seed, maxIter=max_iter,
+                featuresCol="__v", predictionCol="cell_id",
+            ).fit(fit_on)
+
+        try:
+            model = _fit(n_cells)
+            centroids = model.clusterCenters()
+        except Exception:
+            # Duplicate-heavy tiny corpus: MLlib's k-means|| init crashes
+            # when k exceeds the DISTINCT point count. The distinct probe
+            # runs ONLY on this exception path — never on the normal
+            # (large, continuous-valued) corpus, where distinct would be
+            # a full shuffle.
+            n_distinct = (
+                fit_on.select(F.col(vec_col).cast("array<double>"))
+                .distinct()
+                .limit(n_cells)
+                .count()
+            )
+            if n_distinct <= 1:
+                centroids = [
+                    fit_on.select(F.col(vec_col).cast("array<double>")).head()[0]
+                ]
+            else:
+                model = _fit(n_distinct)
+                centroids = model.clusterCenters()
     spark = corpus.sparkSession
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],

@@ -1,0 +1,205 @@
+"""Product quantization (PQ) for embedding compression + ADC top-k.
+
+Beyond-reference capability (SURVEY §2.14 training-data-pipeline
+family; Jégou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011): the vector column is split into ``m`` contiguous
+subspaces; each subspace gets its own small k-means codebook; a vector
+is then stored as ``m`` small integer codes instead of ``dim`` floats —
+at the canonical m=4/k=8 over 64-dim float32 that is 256 bytes → 4
+codes, the compression that makes a 100 TB embedding corpus fit the
+page cache of a modest cluster. Queries stay uncompressed: ADC
+(asymmetric distance computation) builds, per query, one lookup table
+of query-subvector→centroid distances per subspace, and the scan cost
+per corpus row is ``m`` table lookups + ``m-1`` additions — no vector
+math touches the corpus at query time.
+
+Engine-reproducible by construction, like operators/kmeans.py (whose
+assign/update steps this module composes per-subspace): deterministic
+rank-based seeding, sequential-fold distances, DECIMAL-exact centroid
+means — so the full PQ pipeline (train → encode → ADC scan → top-k)
+has a literal ANSI-SQL value oracle (plans/wave14.py).
+
+Scale design (100 TB):
+  * train: each subspace's Lloyd update shuffles K×sub_dim rows —
+    independent of corpus size; assignment is a zero-shuffle map pass
+    against ONE broadcast packed-codebook row per subspace.
+  * encode: a single projection computes all ``m`` argmins per row;
+    the corpus at rest keeps only (id, code_0..code_{m-1}) — the
+    vectors themselves are never read again by the ADC path.
+  * query: LUTs are Q×m maps of K entries each — a broadcast, never a
+    shuffle; the ADC scan is codes ⋈ broadcast(LUTs), candidate rows
+    carry no arrays. Composes with the IVF coarse quantizer
+    (operators/ivf.py) by running the same scan inside probed cells
+    only (IVF-PQ, the standard billion-scale layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from accident_prediction_montreal_spark.functions.vectors import dot_product
+from accident_prediction_montreal_spark.operators.kmeans import (
+    assign_cells,
+    pack_centroids,
+    update_centroids,
+)
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    sub_dim: int | None = None,
+) -> list[DataFrame]:
+    """Fit one deterministic-Lloyd codebook per subspace.
+
+    Returns ``m`` centroid DataFrames (cell, cvec), subspace ``i``
+    covering vector components [i·sub_dim, (i+1)·sub_dim). Seeds are
+    the ``k`` smallest-id vectors' subvectors (rank-based, no RNG);
+    ``n_iter`` total assignment passes with ``n_iter − 1`` DECIMAL-exact
+    centroid updates between them — identical semantics to
+    operators/kmeans.lloyd_kmeans, replayed per subspace by the SQL
+    oracle. Subspace width is derived from the first row's length; the
+    fixture contract (TESTDATA.md) fixes dim, so this is a plan-time
+    constant passed by the caller via ``sub_dim`` instead of a scan —
+    see pq_sub_dim().
+    """
+    if sub_dim is None:
+        sub_dim = pq_sub_dim(emb, m, vec_col)
+    books: list[DataFrame] = []
+    for mi in range(m):
+        vecs = emb.select(
+            id_col, F.slice(F.col(vec_col), mi * sub_dim + 1, sub_dim).alias("vec")
+        )
+        cents = (
+            vecs.orderBy(F.col(id_col).asc())
+            .limit(k)
+            .select(F.col(id_col).alias("cell"), F.col("vec").alias("cvec"))
+        )
+        for _ in range(n_iter - 1):
+            assigned = assign_cells(vecs, cents, id_col=id_col, vec_col="vec")
+            cents = update_centroids(assigned, vec_col="vec")
+        books.append(cents)
+    return books
+
+
+def pq_sub_dim(emb: DataFrame, m: int, vec_col: str = "vec") -> int:
+    """Subspace width from the column's declared element count when the
+    caller knows it, else a bounded 1-row peek (plan-time constant; the
+    schema itself does not carry array length)."""
+    row = emb.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
+    dim = int(row[0]["n"]) if row else 0
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    return dim // m
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[DataFrame],
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """One projection → (id, code_0..code_{m-1}); zero shuffle.
+
+    Every codebook is packed to a single array-of-structs row
+    (pack_centroids) and broadcast; the per-subspace argmin is
+    array_min over transform with the (d² ASC, cell ASC) tie-break —
+    the compressed corpus representation, 1 small int per subspace.
+    """
+    df = emb
+    for mi, cents in enumerate(codebooks):
+        packed = pack_centroids(cents).select(
+            F.col("__cents").alias(f"__cents_{mi}")
+        )
+        df = df.crossJoin(F.broadcast(packed))
+    def _argmin(sub, dvv):
+        def body(c):
+            return F.struct(
+                (dvv - F.lit(2.0) * dot_product(sub, c["cvec"]) + c["dcc"]).alias(
+                    "d2"
+                ),
+                c["cell"].alias("cell"),
+            )
+
+        return body
+
+    outs = [F.col(id_col)]
+    for mi in range(len(codebooks)):
+        sub = F.slice(F.col(vec_col), mi * sub_dim + 1, sub_dim)
+        dvv = dot_product(sub, sub)
+        best = F.array_min(
+            F.transform(F.col(f"__cents_{mi}"), _argmin(sub, dvv))
+        )
+        outs.append(best["cell"].alias(f"code_{mi}"))
+    return df.select(*outs)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[DataFrame],
+    sub_dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ADC scan: per-query distance LUTs, then top-k over code lookups.
+
+    LUT build: queries × packed codebooks (broadcast, Q rows out), one
+    map<cell, d²(q_sub, centroid)> per subspace. Scan: codes ⋈
+    broadcast(LUT rows); the approximate distance is the fixed-order
+    sum of ``m`` map lookups (element_at), mirrored left-to-right by
+    the oracle so IEEE addition order is identical. Top-k per query by
+    (adc ASC, id ASC) row_number.
+    """
+    m = len(codebooks)
+    q = queries
+    for mi, cents in enumerate(codebooks):
+        packed = pack_centroids(cents).select(
+            F.col("__cents").alias(f"__cents_{mi}")
+        )
+        q = q.crossJoin(F.broadcast(packed))
+    def _lut_entry(sub, dqq):
+        def body(c):
+            return F.struct(
+                c["cell"].alias("cell"),
+                (dqq - F.lit(2.0) * dot_product(sub, c["cvec"]) + c["dcc"]).alias(
+                    "d"
+                ),
+            )
+
+        return body
+
+    luts = [F.col(query_id_col)]
+    for mi in range(m):
+        sub = F.slice(F.col(query_vec_col), mi * sub_dim + 1, sub_dim)
+        dqq = dot_product(sub, sub)
+        luts.append(
+            F.map_from_entries(
+                F.transform(F.col(f"__cents_{mi}"), _lut_entry(sub, dqq))
+            ).alias(f"__lut_{mi}")
+        )
+    lut_rows = q.select(*luts)
+
+    paired = codes.crossJoin(F.broadcast(lut_rows))
+    adc = F.element_at(F.col("__lut_0"), F.col("code_0"))
+    for mi in range(1, m):
+        adc = adc + F.element_at(F.col(f"__lut_{mi}"), F.col(f"code_{mi}"))
+    scored = paired.select(
+        query_id_col, id_col, adc.alias("adc_d2")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_d2").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_d2", "rank")
+    )

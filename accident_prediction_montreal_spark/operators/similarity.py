@@ -20,6 +20,7 @@ from accident_prediction_montreal_spark.functions.vectors import (
     cosine_similarity,
     dot_product,
     l2_norm,
+    valid_vectors,
 )
 
 
@@ -44,8 +45,13 @@ def cosine_topk(
     once per query. Same fold + multiplication order as
     cosine_similarity, so values are bit-identical.
     """
-    cn = corpus.withColumn("_c_norm", l2_norm(corpus_vec))
-    qn = queries.withColumn("_q_norm", l2_norm(query_vec))
+    # Degenerate-vector contract (functions/vectors.valid_vectors): NULL
+    # and zero-norm vectors drop from both sides — cosine is undefined
+    # for them (found by the r14 embeddings-table cross-engine fuzz:
+    # under ANSI the 0/0 was a DIVIDE_BY_ZERO crash). Oracles mirror
+    # with WHERE embedding IS NOT NULL AND list_dot_product(v,v) > 0.
+    cn = valid_vectors(corpus, corpus_vec).withColumn("_c_norm", l2_norm(corpus_vec))
+    qn = valid_vectors(queries, query_vec).withColumn("_q_norm", l2_norm(query_vec))
     joined = (
         cn.crossJoin(F.broadcast(qn))
         .withColumn(
@@ -92,6 +98,7 @@ def embedding_cosine_pairs(
                 f"{max_rows}: the exact all-pairs form is quadratic; use "
                 "brp_lsh_ann / ivf_cosine_topk, or pass max_rows=None"
             )
+    df = valid_vectors(df, vec_col)  # cosine undefined for NULL/zero-norm
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("va"),
@@ -127,8 +134,31 @@ def brp_lsh_ann(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    prep = lambda df, idc: df.select(  # noqa: E731
-        F.col(idc), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    # NULL embeddings crash array_to_vector (JVM NPE); zero vectors are
+    # KEPT — euclidean distance is defined for them. The when() guard is
+    # load-bearing even though the rows are filtered: Catalyst can merge
+    # the isNotNull filter with downstream UDF-bearing predicates, and
+    # codegen's subexpression elimination then evaluates the UDF before
+    # the null conjunct — conditional branches are never hoisted.
+    # The trailing monotonically_increasing_id() filter is a PUSHDOWN
+    # BARRIER, not a row filter (always true): approxSimilarityJoin's
+    # hash-equality/distance predicates carry MLlib's hash UDF, and
+    # Catalyst otherwise pushes them into the SAME Filter node as the
+    # isNotNull check, where codegen's subexpression elimination
+    # evaluates the UDF chain BEFORE the null conjunct — an NPE on
+    # pre-filter NULL rows. A nondeterministic predicate cannot be
+    # reordered, so everything above stays above. Zero cost: no
+    # shuffle, no materialization, one long comparison per row.
+    prep = lambda df, idc: (  # noqa: E731
+        valid_vectors(df, vec_col, positive_norm=False)
+        .select(
+            F.col(idc),
+            F.when(
+                F.col(vec_col).isNotNull(),
+                array_to_vector(F.col(vec_col).cast("array<double>")),
+            ).alias("features"),
+        )
+        .where(F.monotonically_increasing_id() >= 0)
     )
     corpus_v = prep(corpus, corpus_id)
     queries_v = prep(queries, "query_id")

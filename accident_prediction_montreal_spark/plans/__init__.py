@@ -34,6 +34,7 @@ from accident_prediction_montreal_spark.plans import wave10  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave11  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave12  # noqa: F401,E402
 from accident_prediction_montreal_spark.plans import wave13  # noqa: F401,E402
+from accident_prediction_montreal_spark.plans import wave14  # noqa: F401,E402
 
 # First 50 = the driver's check window.
 #
@@ -52,10 +53,14 @@ from accident_prediction_montreal_spark.plans import wave13  # noqa: F401,E402
 # vacuous-pass coalesces, dataset-card/deciles NULL-token semantics)
 # plus every query those shared operators feed (curation pipeline,
 # token_hash, sequence_pack — the latter two via token_count's new
-# NULL->0 convention). Slots 27-50: r8-era unchanged queries,
-# alphabetical (the ledger's oldest evidence).
-# Every slot verified green locally at sf0.01 this round
-# (scripts/check_oracle.py, vanilla session).
+# NULL->0 convention). Slots 27-41: the EMBEDDINGS-table fuzz campaign
+# (session 2): the degenerate-vector contract rewrote NULL/zero-norm
+# handling across the whole similarity/ANN family, and sim_pq_adc_topk
+# is NEW (product quantization, full value oracle). Slots 42-50:
+# r8-era unchanged queries, alphabetical (the ledger's oldest
+# evidence; the 14 displaced by the embeddings set lead _TAIL_HEAD
+# for r15). Every slot verified green locally at sf0.01 this round
+# (scripts/check_oracle.py, vanilla session — 263/263 full sweep).
 _PRIORITY = [
     # --- this round's changed code (25: see comment above) ---
     "llm_quality_cascade",
@@ -84,6 +89,28 @@ _PRIORITY = [
     "llm_curation_pipeline",
     "text_token_hash",
     "text_sequence_pack",
+    # --- the embeddings-table fuzz campaign's changed set (r14, second
+    # half of the session): the degenerate-vector contract (NULL/zero-
+    # norm handling) touched the whole similarity/ANN family, and
+    # sim_pq_adc_topk is NEW (product-quantization ADC top-k). Changed
+    # code re-earns driver evidence the same round, so these take
+    # refresh slots; the displaced r8-era queries lead _TAIL_HEAD for
+    # the r15 rotation instead.
+    "sim_pq_adc_topk",
+    "sim_cosine_topk",
+    "sim_cosine_topk_bucketed",
+    "sim_embedding_stats",
+    "sim_kmeans_lloyd",
+    "dedup_semantic",
+    "dedup_embedding_cosine",
+    "llm_decontaminate_semantic",
+    "llm_decontaminate_semantic_bucketed",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_recall",
+    "sim_ann_invariants",
+    "sim_ann_bucketed_recall",
+    "f_array_hof",
     # --- evidence refresh: latest green r8, unchanged, alphabetical ---
     "er_golden_records",
     "f_variant_json",
@@ -94,11 +121,19 @@ _PRIORITY = [
     "j15_point_in_polygon",
     "j16_interval_overlap",
     "m12_oof_target_encode",
+]
+
+# Positions 51+: the r8/r9-era queries NOT refreshed this round lead
+# (the r15 rotate-in candidates — oldest remaining evidence);
+# everything else follows in deterministic alphabetical order via
+# _reorder().
+_TAIL_HEAD = [
+    # r8-era queries displaced from the r14 refresh slots by the
+    # embeddings-fuzz changed set — first in line for r15:
     "m14_feature_corr",
     "mm_audio_frames",
     "mm_gif_decode",
     "s12_python_datasource",
-    "sim_kmeans_lloyd",
     "sql_lateral_topk",
     "sql_recursive_cte",
     "st_heavy_hitters_stream",
@@ -109,13 +144,6 @@ _PRIORITY = [
     "w9_distribution_ranks",
     "x14_incremental_rollup",
     "x16_python_sink_roundtrip",
-]
-
-# Positions 51+: the r8/r9-era queries NOT refreshed this round lead
-# (the r15 rotate-in candidates — oldest remaining evidence);
-# everything else follows in deterministic alphabetical order via
-# _reorder().
-_TAIL_HEAD = [
     "x17_table_profile",
     "a22_weighted_sample",
     "a23_time_weighted_avg",

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from accident_prediction_montreal_spark import cachereg
 from accident_prediction_montreal_spark.functions.money import dsum
-from accident_prediction_montreal_spark.functions.vectors import l2_norm
+from accident_prediction_montreal_spark.functions.vectors import l2_norm, valid_vectors
 from accident_prediction_montreal_spark.operators.components import connected_components
 from accident_prediction_montreal_spark.operators.dedup import (
     exact_dedup,
@@ -592,7 +592,8 @@ def sim_ann_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     k = 5
-    emb = load_table(spark, "embeddings", sf_dir)
+    # cosine-based contracts: degenerate vectors drop (r14 contract)
+    emb = valid_vectors(load_table(spark, "embeddings", sf_dir))
     queries_lsh = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -613,10 +614,13 @@ def sim_ann_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("query_id")
             .agg(
                 F.count(F.lit(1)).alias("n"),
+                # self-hit at ANY rank <= k, not rank 1: exact duplicate
+                # vectors tie at distance 0 and the (score, id ASC)
+                # tie-break hands rank 1 to the smallest id (r14 fuzz,
+                # all-duplicates corpus). Distance-0-ness is pinned by
+                # sim_ann_lsh / sim_ann_ivf's own self-hit contracts.
                 F.max(
-                    F.when(
-                        (F.col("rank") == 1) & (F.col("query_id") == F.col("vec_id")), 1
-                    ).otherwise(0)
+                    F.when(F.col("query_id") == F.col("vec_id"), 1).otherwise(0)
                 ).alias("self_hit"),
                 F.sum(F.when(F.col("in_corpus").isNull(), 1).otherwise(0)).alias(
                     "n_stray"
@@ -871,17 +875,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_cosine_topk",
     oracle="""
-    WITH q AS (
-      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id < 10
+    WITH e AS (
+      -- degenerate-vector contract (functions/vectors.valid_vectors):
+      -- NULL and zero-norm vectors can never be cosine neighbors
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
     ),
     pairs AS (
       SELECT q.query_id, e.vec_id,
-        list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+        list_dot_product(q.qv, e.v)
         / (sqrt(list_dot_product(q.qv, q.qv))
-           * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                   CAST(e.embedding AS DOUBLE[])))) AS cosine
-      FROM embeddings e CROSS JOIN q
+           * sqrt(list_dot_product(e.v, e.v))) AS cosine
+      FROM e CROSS JOIN q
     )
     SELECT query_id, vec_id, ROUND(cosine, 6) + 0.0 AS cosine, CAST(rn AS BIGINT) AS "rank"
     FROM (
@@ -925,7 +935,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "seed 42. Measured recall is pinned separately by sim_ann_recall.",
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
+    # NULL embeddings drop (unencodable); zero-norm KEPT — euclidean
+    # distances are defined for them (degenerate-vector contract, r14).
+    emb = valid_vectors(
+        load_table(spark, "embeddings", sf_dir), positive_norm=False
+    )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -956,7 +970,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_cosine_topk,
     )
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    # cosine metric: NULL and zero-norm vectors drop (self-hit at
+    # cosine 1 is undefined for them; degenerate-vector contract, r14)
+    emb = valid_vectors(load_table(spark, "embeddings", sf_dir))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1045,12 +1061,19 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Norm computed ONCE per row (a transform lambda referencing l2_norm
     # would re-evaluate the whole fold per element — O(d^2) per vector).
     emb = (
-        load_table(spark, "embeddings", sf_dir)
+        valid_vectors(load_table(spark, "embeddings", sf_dir))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
         .withColumn("_n", l2_norm("_v"))
         .select(
             "vec_id",
-            F.transform("_v", lambda x: x / F.col("_n")).alias("embedding"),
+            # try_divide, though zero norms are filtered: Catalyst can
+            # hoist this transform into a broadcast-side Filter predicate
+            # evaluated BEFORE the positive-norm conjunct (the r14 fuzz
+            # caught the ANSI crash); values on surviving rows are
+            # identical, pre-filter rows get harmless NULLs.
+            F.transform("_v", lambda x: F.try_divide(x, F.col("_n"))).alias(
+                "embedding"
+            ),
         )
     )
     q_filter = F.col("vec_id") % 10 == 0
@@ -1078,16 +1101,41 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["query_id", "vec_id"],
         "left",
     )
+    # Denominator = |exact top-k| = n_q * min(k, |corpus|), NOT n_q * k:
+    # a corpus smaller than k has fewer than k exact neighbors per
+    # query, and the old denominator made a PERFECT approximate result
+    # read recall < 1 (r14 embeddings fuzz, single-vector corpus).
+    # Anchoring on a literal 2-row method table keeps the contract
+    # 2-row even when the corpus is empty (vacuous pass, like the
+    # degenerate-input conventions of x13/a21).
     n_q = queries_v.select(F.count(F.lit(1)).alias("n_q"))
+    n_c = emb.select(F.count(F.lit(1)).alias("n_c"))
+    methods = spark.createDataFrame([("ivf",), ("lsh",)], "method STRING")
     per_method = (
-        matched.groupBy("method")
-        .agg(F.sum(F.coalesce("in_exact", F.lit(0))).alias("n_match"))
+        methods.join(
+            matched.groupBy("method").agg(
+                F.sum(F.coalesce("in_exact", F.lit(0))).alias("n_match")
+            ),
+            "method",
+            "left",
+        )
         .crossJoin(F.broadcast(n_q))
-        .withColumn("recall", F.col("n_match") / (F.col("n_q") * k))
+        .crossJoin(F.broadcast(n_c))
+        .withColumn(
+            "recall",
+            F.try_divide(
+                F.coalesce("n_match", F.lit(0)),
+                F.col("n_q") * F.least(F.lit(k), F.col("n_c")),
+            ),
+        )
     )
     return per_method.select(
         F.concat(F.col("method"), F.lit(f"_recall_at_{k}_ge_{floor}")).alias("chk"),
-        F.when(F.col("recall") >= floor, 1).otherwise(0).cast("long").alias("ok"),
+        F.when(F.col("n_q") == 0, 1)
+        .when(F.col("recall") >= floor, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("ok"),
     ).orderBy("chk")
 
 
@@ -1095,11 +1143,17 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_embedding_stats",
     oracle="""
     SELECT label, COUNT(*) AS n,
-      ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                      CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
+      -- CASE guard: NULL embeddings stay in n (corpus accounting) but
+      -- have no norm; DuckDB 1.0.0's list_dot_product also ERRORS on
+      -- unguarded parquet-read NULL lists
+      ROUND(AVG(CASE WHEN embedding IS NOT NULL THEN
+        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) END), 6) AS avg_norm
     FROM embeddings GROUP BY label
     """,
-    description="Per-label embedding norm statistics (vector column hygiene check)",
+    description="Per-label embedding norm statistics (vector column hygiene "
+    "check). NULL embeddings count toward n but contribute no norm (Spark's "
+    "avg skips the NULL fold result; the oracle's CASE mirrors it).",
 )
 def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
@@ -1112,12 +1166,19 @@ def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     oracle="""
-    WITH planted AS (
+    WITH valid AS (
+      -- degenerate-vector contract: NULL/zero-norm can't be near-dups
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0
+    ),
+    planted AS (
       SELECT vec_id + 10000000 AS vec_id, embedding
-      FROM embeddings WHERE vec_id % 50 = 0
+      FROM valid WHERE vec_id % 50 = 0
     ),
     corpus AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM valid
       UNION ALL
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM planted
     )

@@ -3388,7 +3388,14 @@ def x22_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     "ONCE and reused by name, never re-derived per use.",
 )
 def f_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    # NULL embeddings drop (degenerate-vector contract): the oracle's
+    # unnest yields no rows for a NULL list, so the mirrored semantics
+    # is absence, not a row of NULL statistics (r14 embeddings fuzz).
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
     e = F.transform("embedding", lambda x: x.cast("double"))
     out = emb.select(
         "vec_id",

@@ -931,13 +931,20 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_decontaminate_semantic",
     oracle="""
-    WITH ev AS (
-      SELECT vec_id + 20000000 AS eval_id, CAST(embedding AS DOUBLE[]) AS ev_v
-      FROM embeddings WHERE vec_id % 37 = 0
+    WITH valid AS (
+      -- degenerate-vector contract (r14): cosine undefined for
+      -- NULL/zero-norm vectors; both screen sides drop them
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0
+    ),
+    ev AS (
+      SELECT vec_id + 20000000 AS eval_id, v AS ev_v
+      FROM valid WHERE vec_id % 37 = 0
     ),
     tr AS (
-      SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS tr_v
-      FROM embeddings
+      SELECT vec_id AS train_id, v AS tr_v FROM valid
     ),
     hits AS (
       SELECT train_id, eval_id,
@@ -979,7 +986,13 @@ def llm_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_contamination,
     )
 
-    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    from accident_prediction_montreal_spark.functions.vectors import valid_vectors
+
+    # degenerate vectors drop (r14 contract; the operator itself REFUSES
+    # NULL embeddings by design — the plan guarantees it never sees one)
+    emb = valid_vectors(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding"
+    )
     eval_set = emb.filter(F.col("vec_id") % 37 == 0).select(
         (F.col("vec_id") + 20_000_000).alias("eval_id"), "embedding"
     )
@@ -993,13 +1006,20 @@ def llm_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_decontaminate_semantic_bucketed",
     oracle="""
-    WITH ev AS (
-      SELECT vec_id + 20000000 AS eval_id, CAST(embedding AS DOUBLE[]) AS ev_v
-      FROM embeddings WHERE vec_id % 37 = 0
+    WITH valid AS (
+      -- degenerate-vector contract (r14): cosine undefined for
+      -- NULL/zero-norm vectors; both screen sides drop them
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0
+    ),
+    ev AS (
+      SELECT vec_id + 20000000 AS eval_id, v AS ev_v
+      FROM valid WHERE vec_id % 37 = 0
     ),
     tr AS (
-      SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS tr_v
-      FROM embeddings
+      SELECT vec_id AS train_id, v AS tr_v FROM valid
     ),
     hits AS (
       SELECT train_id, eval_id,
@@ -1042,7 +1062,13 @@ def llm_decontaminate_semantic_bucketed(
         semantic_contamination,
     )
 
-    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    from accident_prediction_montreal_spark.functions.vectors import valid_vectors
+
+    # degenerate vectors drop (r14 contract; the operator itself REFUSES
+    # NULL embeddings by design — the plan guarantees it never sees one)
+    emb = valid_vectors(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding"
+    )
     eval_set = emb.filter(F.col("vec_id") % 37 == 0).select(
         (F.col("vec_id") + 20_000_000).alias("eval_id"), "embedding"
     )

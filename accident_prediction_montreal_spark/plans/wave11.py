@@ -1007,7 +1007,12 @@ _REG["llm_blocklist_filter"] = _QS(
     "sim_cosine_topk_bucketed",
     oracle="""
     WITH e AS (
+      -- degenerate-vector contract (r14): NULL/zero-norm drop — cosine
+      -- is undefined for them
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0
     ),
     n AS (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e
@@ -1052,7 +1057,12 @@ def sim_cosine_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_cosine_topk_bucketed,
     )
 
-    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    from accident_prediction_montreal_spark.functions.vectors import valid_vectors
+
+    # cosine metric: degenerate vectors drop (r14 contract; oracle WHERE)
+    emb = valid_vectors(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding"
+    )
     queries = emb.filter(F.col("vec_id") % 20 == 7).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),

@@ -214,14 +214,25 @@ def sim_ann_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from accident_prediction_montreal_spark.plans.registry import chk_row as _chk
 
+    from accident_prediction_montreal_spark.functions.vectors import valid_vectors
+
     k, floor, n_probe = 10, 0.8, 5
+    # degenerate vectors drop BEFORE the normalize: x / ||v|| on a zero
+    # vector is an ANSI DIVIDE_BY_ZERO crash (r14 embeddings fuzz)
     emb = (
-        load_table(spark, "embeddings", sf_dir)
+        valid_vectors(load_table(spark, "embeddings", sf_dir))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
         .withColumn("_n", l2_norm("_v"))
         .select(
             "vec_id",
-            F.transform("_v", lambda x: x / F.col("_n")).alias("embedding"),
+            # try_divide, though zero norms are filtered: Catalyst can
+            # hoist this transform into a broadcast-side Filter predicate
+            # evaluated BEFORE the positive-norm conjunct (the r14 fuzz
+            # caught the ANSI crash); values on surviving rows are
+            # identical, pre-filter rows get harmless NULLs.
+            F.transform("_v", lambda x: F.try_divide(x, F.col("_n"))).alias(
+                "embedding"
+            ),
         )
     )
     # FIXED-SIZE query sample (~50 at any scale): recall estimation
@@ -262,14 +273,27 @@ def sim_ann_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["query_id", "vec_id"],
         "left",
     )
+    # Denominator = n_q * min(k, |corpus|), not n_q * k: on a corpus
+    # smaller than k a PERFECT result would read recall < 1 (r14
+    # embeddings fuzz). try_divide + the n_q=0 branch make the gate
+    # vacuously true on an empty/all-degenerate corpus.
     n_q = queries.select(F.count(F.lit(1)).alias("n_q"))
+    n_c = emb.select(F.count(F.lit(1)).alias("n_c"))
     recall_ok = (
         matched.agg(F.sum(F.coalesce("in_exact", F.lit(0))).alias("n_match"))
         .crossJoin(F.broadcast(n_q))
+        .crossJoin(F.broadcast(n_c))
         .select(
             *_chk(
                 f"bucketed_recall_at_{k}_ge_{floor}",
-                F.col("n_match") / (F.col("n_q") * k) >= floor,
+                (F.col("n_q") == 0)
+                | (
+                    F.try_divide(
+                        F.col("n_match"),
+                        F.col("n_q") * F.least(F.lit(k), F.col("n_c")),
+                    )
+                    >= floor
+                ),
             )
         )
     )

@@ -19,7 +19,17 @@ _K = 8  # k-means cells: seeds = vec_id < 8
 # assignment pass. Distance = ‖v‖² − 2·v·c + ‖c‖² from sequential-fold
 # dot products — bit-identical to the Spark side's zip_with/aggregate
 # folds (see operators/kmeans.py module docstring).
-_SQL_V = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings"
+_SQL_V = (
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings "
+    "WHERE embedding IS NOT NULL"  # degenerate-vector contract (r14)
+)
+# Cosine-based queries additionally drop zero-norm vectors (cos is 0/0):
+_SQL_V_COS = (
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings "
+    "WHERE embedding IS NOT NULL AND "
+    "list_dot_product(CAST(embedding AS DOUBLE[]), "
+    "CAST(embedding AS DOUBLE[])) > 0"
+)
 _SQL_D2 = (
     "list_dot_product(v.vec, v.vec)"
     " - 2.0 * list_dot_product(v.vec, c.cvec)"
@@ -100,8 +110,12 @@ _LLOYD_ROUNDS = 3
 def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from accident_prediction_montreal_spark.operators.kmeans import lloyd_kmeans
 
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    # NULL embeddings drop (unencodable; _SQL_V mirrors); zero vectors
+    # stay — squared-euclidean k-means is defined for them (r14 contract)
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
     )
     assigned = lloyd_kmeans(emb, k=_K, n_iter=_LLOYD_ROUNDS)
     return (
@@ -157,7 +171,7 @@ def _adaptive_seeds(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
 @register(
     "dedup_semantic",
     oracle=f"""
-    WITH base AS ({_SQL_V}),
+    WITH base AS ({_SQL_V_COS}),
     corpus AS (
       SELECT vec_id, vec FROM base
       UNION ALL
@@ -215,7 +229,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell_cosine_pairs,
     )
 
-    base = load_table(spark, "embeddings", sf_dir).select(
+    from accident_prediction_montreal_spark.functions.vectors import valid_vectors
+
+    # cosine-based near-dup: degenerate vectors drop (r14 contract;
+    # oracle mirrors via _SQL_V_COS) — a zero-norm "copy" pair would
+    # otherwise be 0/0: NaN in Spark, NULL in DuckDB, and DuckDB orders
+    # NaN ABOVE all values so the >= threshold predicate diverges.
+    base = valid_vectors(load_table(spark, "embeddings", sf_dir)).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     planted = base.filter(F.col("vec_id") < _SEM_PLANT).select(
@@ -496,8 +516,15 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         qc.filter(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
     )
 
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    # NULL embeddings drop (degenerate-vector contract, r14; the
+    # oracle's v CTE = _SQL_V carries the same WHERE). Zero vectors may
+    # stay: assignment is L2 and the pair stage's 0-cosine (numpy
+    # zero-norm guard) / NULL-cosine (DuckDB 0/0) both fail the >=
+    # threshold filter identically.
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
     )
     kv = kept.select("doc_id").join(
         emb, emb["vec_id"] == F.col("doc_id") % 100000

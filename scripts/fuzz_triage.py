@@ -10,7 +10,7 @@ element_at(arr, 0) on all-NULL frames) in a query the fixtures, the
 driver harness, and the determinism audit had all certified — this
 sweep asks which other queries have the same class of latent edge.
 
-Usage: python scripts/fuzz_triage.py [events|documents] [n_draws]
+Usage: python scripts/fuzz_triage.py [events|documents|embeddings] [n_draws]
 Prints one line per query: ok / MISMATCH / ERROR, then a summary.
 """
 
@@ -123,6 +123,41 @@ def documents_cases(n_draws: int):
     return G._materialize, seeds + [draw() for _ in range(n_draws)]
 
 
+def embeddings_cases(n_draws: int):
+    import test_generative_oracles as G
+
+    rng = random.Random(14)
+    comps = [-2.0, -1.0, -0.5, 0.0, 0.25, 0.5, 1.0, 2.0]
+    dim = G._DIM
+
+    def draw():
+        rows = []
+        for _ in range(rng.randint(1, 16)):
+            kind = rng.randint(0, 9)
+            vec = (
+                None
+                if kind == 0
+                else [0.0] * dim
+                if kind == 1
+                else G._emb_vec(
+                    *(rng.choice(comps) for _ in range(rng.randint(4, 12)))
+                )
+            )
+            rows.append((vec, rng.choice([None, 0, 1, 2])))
+        return [
+            (i, rows[i // 3 * 3][0] if i % 3 == 2 else v, lab)
+            for i, (v, lab) in enumerate(rows)
+        ]
+
+    seeds = [
+        G._SEED_EMB_SINGLE,
+        G._SEED_EMB_ZERO,
+        G._SEED_EMB_NULL,
+        G._SEED_EMB_DUPS,
+    ]
+    return G._materialize_embeddings, seeds + [draw() for _ in range(n_draws)]
+
+
 def main() -> int:
     table = sys.argv[1] if len(sys.argv) > 1 else "events"
     n_draws = int(sys.argv[2]) if len(sys.argv) > 2 else 5
@@ -140,9 +175,11 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    materialize, cases = (
-        events_cases(n_draws) if table == "events" else documents_cases(n_draws)
-    )
+    materialize, cases = {
+        "events": events_cases,
+        "documents": documents_cases,
+        "embeddings": embeddings_cases,
+    }[table](n_draws)
     names = single_table_queries(REGISTRY, table)
     print(f"{len(names)} {table}-only oracle queries x {len(cases)} cases",
           flush=True)

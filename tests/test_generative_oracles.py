@@ -119,7 +119,7 @@ def _both(spark, name: str, tmpdir: str):
     # Spark writes each table as a DIRECTORY of part files — DuckDB
     # needs the glob (the testdata fixtures are single files, which is
     # why check_oracle.py can point at the bare path)
-    for table in ("documents", "events"):
+    for table in ("documents", "events", "embeddings"):
         path = os.path.join(tmpdir, f"{table}.parquet")
         if os.path.isdir(path):
             con.sql(
@@ -319,6 +319,110 @@ def test_query_matches_oracle_on_random_events(
 ):
     tmpdir = str(tmp_path_factory.mktemp("genev"))
     _materialize_events(spark, tmpdir, rows)
+    srows, orows = _both(spark, name, tmpdir)
+    assert srows == orows, (
+        f"{name}: Spark {srows[:5]}... != oracle {orows[:5]}... "
+        f"on generated input {rows[:6]}..."
+    )
+
+
+# --- Embeddings-table grammar (new r14, third table) -------------------
+#
+# The events grammar found an ANSI crash on its first outing; the same
+# question for the similarity/ANN family: what happens on inputs the
+# fixture never contains — a ZERO vector (norm 0 → cosine is 0/0), a
+# NULL embedding, a single-row corpus, all-duplicate vectors (ties
+# everywhere in top-k)? Components are drawn from EXACT binary
+# fractions so dot products and norms are bit-identical double math in
+# both engines and the only tolerated divergence is the mirrored
+# ROUND(x, 5/6). Dim is 64, the fixture contract — the lloyd oracle's
+# centroid-update CTE literally enumerates range(1, 65).
+_DIM = 64
+
+
+def _emb_vec(*head: float) -> list[float]:
+    """A 64-dim vector with the given leading components, zero-padded."""
+    return list(head) + [0.0] * (_DIM - len(head))
+
+
+_SEED_EMB_SINGLE = [(0, _emb_vec(1.0), 0)]
+_SEED_EMB_ZERO = [
+    (0, [0.0] * _DIM, 0),
+    (1, _emb_vec(1.0, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, -1.0), 1),
+]
+_SEED_EMB_NULL = [
+    (0, None, None),
+    (1, _emb_vec(0.5, 0.5, 0.5, 0.5, -0.5, -0.5, -0.5, -0.5), 2),
+]
+_SEED_EMB_DUPS = [
+    (0, _emb_vec(1.0, 2.0, -1.0, 0.5), 0),
+    (1, _emb_vec(1.0, 2.0, -1.0, 0.5), 1),
+    (2, _emb_vec(1.0, 2.0, -1.0, 0.5), None),
+]
+
+_COMP = st.sampled_from([-2.0, -1.0, -0.5, 0.0, 0.25, 0.5, 1.0, 2.0])
+_VEC = st.one_of(
+    st.none(),
+    st.just([0.0] * _DIM),  # zero-norm: cosine denominator is 0
+    # random exact-fraction head, zero tail: keeps draw size small
+    # while still exercising all-64-dim folds
+    st.lists(_COMP, min_size=4, max_size=12).map(lambda h: _emb_vec(*h)),
+)
+_EMBS = st.lists(
+    st.tuples(_VEC, st.sampled_from([None, 0, 1, 2])),
+    min_size=1,
+    max_size=16,
+).map(
+    # duplicate every third vector so near-dup/top-k stages see ties;
+    # vec_ids are positions (unique, dense, deterministic)
+    lambda rows: [
+        (i, (rows[i // 3 * 3][0] if i % 3 == 2 else v), lab)
+        for i, (v, lab) in enumerate(rows)
+    ]
+)
+
+
+def _materialize_embeddings(spark, tmpdir: str, rows) -> str:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    path = os.path.join(tmpdir, "embeddings.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+# Standing set: the three cheapest value-oracle similarity queries.
+# (The ANN contract queries — sim_ann_ivf/lsh/recall — run k-means /
+# MLlib fits per draw and live in scripts/fuzz_triage.py's embeddings
+# mode instead, where wall time is a one-off, not a per-round tax.)
+_EMB_SET = [
+    "sim_cosine_topk",
+    "dedup_embedding_cosine",
+    "sim_embedding_stats",
+]
+
+_EMB_SETTINGS = dict(_SETTINGS, max_examples=15)
+
+
+@pytest.mark.parametrize("name", _EMB_SET)
+@settings(**_EMB_SETTINGS)
+@example(rows=_SEED_EMB_SINGLE)
+@example(rows=_SEED_EMB_ZERO)
+@example(rows=_SEED_EMB_NULL)
+@example(rows=_SEED_EMB_DUPS)
+@given(rows=_EMBS)
+def test_query_matches_oracle_on_random_embeddings(
+    spark, tmp_path_factory, name, rows
+):
+    tmpdir = str(tmp_path_factory.mktemp("genem"))
+    _materialize_embeddings(spark, tmpdir, rows)
     srows, orows = _both(spark, name, tmpdir)
     assert srows == orows, (
         f"{name}: Spark {srows[:5]}... != oracle {orows[:5]}... "
