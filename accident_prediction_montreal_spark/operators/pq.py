@@ -104,13 +104,18 @@ def pq_encode(
     sub_dim: int,
     id_col: str = "vec_id",
     vec_col: str = "vec",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """One projection → (id, code_0..code_{m-1}); zero shuffle.
+    """One projection → (id, [keep_cols...,] code_0..code_{m-1}); zero
+    shuffle.
 
     Every codebook is packed to a single array-of-structs row
     (pack_centroids) and broadcast; the per-subspace argmin is
     array_min over transform with the (d² ASC, cell ASC) tie-break —
     the compressed corpus representation, 1 small int per subspace.
+    ``keep_cols`` rides extra columns through (e.g. the coarse cell_id,
+    so the at-rest IVF-PQ index is ONE table and the query path never
+    joins two corpus-sized relations).
     """
     df = emb
     for mi, cents in enumerate(codebooks):
@@ -129,7 +134,7 @@ def pq_encode(
 
         return body
 
-    outs = [F.col(id_col)]
+    outs = [F.col(id_col)] + [F.col(c) for c in (keep_cols or [])]
     for mi in range(len(codebooks)):
         sub = F.slice(F.col(vec_col), mi * sub_dim + 1, sub_dim)
         dvv = dot_product(sub, sub)
@@ -195,6 +200,132 @@ def pq_adc_topk(
     scored = paired.select(
         query_id_col, id_col, adc.alias("adc_d2")
     )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_d2").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_d2", "rank")
+    )
+
+
+def coarse_probes(
+    queries: DataFrame,
+    coarse_cents: DataFrame,
+    n_probe: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Per-query n_probe nearest coarse cells by squared L2 — the IVF
+    probe-selection step, zero shuffle: centroids pack to ONE broadcast
+    row, the per-query ranking is array_sort over (d², cell) structs
+    inside a single projection, and the result explodes to
+    (query_id, cell) rows (Q·n_probe — tiny), ready for a broadcast
+    equi-join against the cell-assigned corpus. Tie-break (d² ASC,
+    cell ASC), the same total order the SQL oracle's ROW_NUMBER uses.
+    """
+    packed = pack_centroids(coarse_cents)
+
+    def _scored(sub, dvv):
+        def body(c):
+            return F.struct(
+                (dvv - F.lit(2.0) * dot_product(sub, c["cvec"]) + c["dcc"]).alias(
+                    "d2"
+                ),
+                c["cell"].alias("cell"),
+            )
+
+        return body
+
+    q = queries.crossJoin(F.broadcast(packed))
+    dqq = dot_product(query_vec_col, query_vec_col)
+    ranked = F.slice(
+        F.array_sort(F.transform(F.col("__cents"), _scored(F.col(query_vec_col), dqq))),
+        1,
+        n_probe,
+    )
+    return q.select(
+        query_id_col, F.explode(ranked).alias("__p")
+    ).select(query_id_col, F.col("__p.cell").alias("cell"))
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    coarse_cents: DataFrame,
+    codes: DataFrame,
+    codebooks: list[DataFrame],
+    sub_dim: int,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ (no-residual variant): ADC top-k restricted to each
+    query's ``n_probe`` coarse cells — the standard billion-scale ANN
+    layout (faiss IndexIVFPQ shape; residual encoding is a drop-in
+    refinement, see module docstring).
+
+    ``codes`` must carry ``cell_col`` — the at-rest IVF-PQ index is ONE
+    table of (id, cell, code_0..m-1) built by pq_encode(keep_cols=
+    ["cell"]), so candidate selection never joins two corpus-sized
+    relations. Scan cost per query: |corpus| · n_probe / n_cells code
+    rows, each paying m map lookups — neither the vectors nor the
+    unprobed cells are ever read. Plan shape: probes (Q·n_probe rows)
+    and LUTs (Q rows) both broadcast; candidate selection is a
+    broadcast HASH join on cell (the pruned-scan shape — with the
+    index written partitioned by cell it becomes partition pruning at
+    rest); the top-k Window gets WindowGroupLimit pushdown.
+    Approximate when a true neighbor lives in an unprobed cell;
+    n_probe = n_cells is exact-ADC (equals pq_adc_topk).
+    """
+    m = len(codebooks)
+    probes = coarse_probes(
+        queries, coarse_cents, n_probe, query_id_col, query_vec_col
+    )
+
+    # candidate codes: the cell-carrying index ⋈ broadcast probe pairs
+    cand = codes.join(F.broadcast(probes), probes["cell"] == codes[cell_col]).drop(
+        probes["cell"]
+    )
+
+    # per-query LUTs (reuses pq_adc_topk's construction)
+    q = queries
+    for mi, cents in enumerate(codebooks):
+        packed = pack_centroids(cents).select(
+            F.col("__cents").alias(f"__cents_{mi}")
+        )
+        q = q.crossJoin(F.broadcast(packed))
+
+    def _lut_entry(sub, dqq):
+        def body(c):
+            return F.struct(
+                c["cell"].alias("cell"),
+                (dqq - F.lit(2.0) * dot_product(sub, c["cvec"]) + c["dcc"]).alias(
+                    "d"
+                ),
+            )
+
+        return body
+
+    luts = [F.col(query_id_col)]
+    for mi in range(m):
+        sub = F.slice(F.col(query_vec_col), mi * sub_dim + 1, sub_dim)
+        dqq = dot_product(sub, sub)
+        luts.append(
+            F.map_from_entries(
+                F.transform(F.col(f"__cents_{mi}"), _lut_entry(sub, dqq))
+            ).alias(f"__lut_{mi}")
+        )
+    lut_rows = q.select(*luts)
+
+    paired = cand.join(F.broadcast(lut_rows), query_id_col)
+    adc = F.element_at(F.col("__lut_0"), F.col("code_0"))
+    for mi in range(1, m):
+        adc = adc + F.element_at(F.col(f"__lut_{mi}"), F.col(f"code_{mi}"))
+    scored = paired.select(query_id_col, id_col, adc.alias("adc_d2"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_d2").asc(), F.col(id_col).asc()
     )

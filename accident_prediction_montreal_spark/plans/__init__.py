@@ -53,14 +53,15 @@ from accident_prediction_montreal_spark.plans import wave14  # noqa: F401,E402
 # vacuous-pass coalesces, dataset-card/deciles NULL-token semantics)
 # plus every query those shared operators feed (curation pipeline,
 # token_hash, sequence_pack — the latter two via token_count's new
-# NULL->0 convention). Slots 27-41: the EMBEDDINGS-table fuzz campaign
+# NULL->0 convention). Slots 27-42: the EMBEDDINGS-table fuzz campaign
 # (session 2): the degenerate-vector contract rewrote NULL/zero-norm
 # handling across the whole similarity/ANN family, and sim_pq_adc_topk
-# is NEW (product quantization, full value oracle). Slots 42-50:
+# + sim_ivfpq_topk are NEW (product quantization + the composed IVF-PQ
+# layout, both with full value oracles). Slots 43-50:
 # r8-era unchanged queries, alphabetical (the ledger's oldest
 # evidence; the 14 displaced by the embeddings set lead _TAIL_HEAD
 # for r15). Every slot verified green locally at sf0.01 this round
-# (scripts/check_oracle.py, vanilla session — 263/263 full sweep).
+# (scripts/check_oracle.py, vanilla session — 264/264 full sweep).
 _PRIORITY = [
     # --- this round's changed code (25: see comment above) ---
     "llm_quality_cascade",
@@ -97,6 +98,7 @@ _PRIORITY = [
     # refresh slots; the displaced r8-era queries lead _TAIL_HEAD for
     # the r15 rotation instead.
     "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
     "sim_cosine_topk",
     "sim_cosine_topk_bucketed",
     "sim_embedding_stats",
@@ -120,7 +122,6 @@ _PRIORITY = [
     "j14_bloom_semi_join",
     "j15_point_in_polygon",
     "j16_interval_overlap",
-    "m12_oof_target_encode",
 ]
 
 # Positions 51+: the r8/r9-era queries NOT refreshed this round lead
@@ -130,6 +131,7 @@ _PRIORITY = [
 _TAIL_HEAD = [
     # r8-era queries displaced from the r14 refresh slots by the
     # embeddings-fuzz changed set — first in line for r15:
+    "m12_oof_target_encode",
     "m14_feature_corr",
     "mm_audio_frames",
     "mm_gif_decode",

@@ -220,9 +220,14 @@ def sim_ann_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degenerate vectors drop BEFORE the normalize: x / ||v|| on a zero
     # vector is an ANSI DIVIDE_BY_ZERO crash (r14 embeddings fuzz)
     emb = (
-        valid_vectors(load_table(spark, "embeddings", sf_dir))
+        valid_vectors(
+            load_table(spark, "embeddings", sf_dir), positive_norm=False
+        )
         .select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
         .withColumn("_n", l2_norm("_v"))
+        # one fold: the zero-norm drop reuses _n instead of a second
+        # sq_norm pass (degenerate-vector contract, cost-free form)
+        .filter(F.col("_n") > 0.0)
         .select(
             "vec_id",
             # try_divide, though zero norms are filtered: Catalyst can

@@ -202,6 +202,9 @@ EXTENDED = [
     "x26_orc_roundtrip",
     "x27_csv_roundtrip",
     "llm_line_dedup_incremental",
+    # appended r14:
+    "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
 ]
 
 # Fixed-cost drift canary (r9 verdict #3): the driver's r9 headline read

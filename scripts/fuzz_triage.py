@@ -10,7 +10,7 @@ element_at(arr, 0) on all-NULL frames) in a query the fixtures, the
 driver harness, and the determinism audit had all certified — this
 sweep asks which other queries have the same class of latent edge.
 
-Usage: python scripts/fuzz_triage.py [events|documents|embeddings] [n_draws]
+Usage: python scripts/fuzz_triage.py [events|documents|embeddings|curation] [n_draws]
 Prints one line per query: ok / MISMATCH / ERROR, then a summary.
 """
 
@@ -158,6 +158,55 @@ def embeddings_cases(n_draws: int):
     return G._materialize_embeddings, seeds + [draw() for _ in range(n_draws)]
 
 
+def curation_cases(n_draws: int):
+    """PAIRED documents + embeddings tables for the multi-table
+    composite (llm_curation_pipeline joins e.vec_id = doc_id % 100000):
+    every doc position gets an embedding row — possibly NULL or
+    zero-norm, which the pipeline's degenerate-vector contract must
+    absorb without diverging from its oracle."""
+    import test_generative_oracles as G
+
+    rng = random.Random(14)
+    comps = [-2.0, -1.0, -0.5, 0.0, 0.25, 0.5, 1.0, 2.0]
+
+    _, doc_cases = documents_cases(n_draws)
+
+    def emb_for(doc_rows):
+        out = []
+        for i in range(len(doc_rows)):
+            kind = rng.randint(0, 9)
+            vec = (
+                None
+                if kind == 0
+                else [0.0] * G._DIM
+                if kind == 1
+                else G._emb_vec(
+                    *(rng.choice(comps) for _ in range(rng.randint(4, 12)))
+                )
+            )
+            out.append((i, vec, rng.choice([None, 0, 1, 2])))
+        return out
+
+    def materialize(spark, td, pair):
+        doc_rows, emb_rows = pair
+        G._materialize(spark, td, doc_rows)
+        G._materialize_embeddings(spark, td, emb_rows)
+
+    return materialize, [(d, emb_for(d)) for d in doc_cases]
+
+
+def multi_table_queries(registry, tables: list[str]) -> list[str]:
+    out = []
+    for name, spec in registry.items():
+        if not spec.oracle:
+            continue
+        src = inspect.getsource(spec.fn)
+        used = [t for t in _TABLES if f'"{t}"' in src]
+        if used == tables:
+            out.append(name)
+    return out
+
+
 def main() -> int:
     table = sys.argv[1] if len(sys.argv) > 1 else "events"
     n_draws = int(sys.argv[2]) if len(sys.argv) > 2 else 5
@@ -179,8 +228,12 @@ def main() -> int:
         "events": events_cases,
         "documents": documents_cases,
         "embeddings": embeddings_cases,
+        "curation": curation_cases,
     }[table](n_draws)
-    names = single_table_queries(REGISTRY, table)
+    if table == "curation":
+        names = multi_table_queries(REGISTRY, ["documents", "embeddings"])
+    else:
+        names = single_table_queries(REGISTRY, table)
     print(f"{len(names)} {table}-only oracle queries x {len(cases)} cases",
           flush=True)
     bad: list[str] = []

@@ -106,3 +106,51 @@ def test_adc_scan_plan_shape(spark):
 
     assert len(re.findall(r"\bWindow \[", plan)) == 1
     assert "WindowGroupLimit" in plan
+
+
+def test_ivfpq_exact_at_full_probe_and_plan_shape(spark):
+    """n_probe = n_cells ⇒ IVF-PQ equals the unpruned ADC scan (pruning
+    is the ONLY approximation), and the candidate join is a broadcast
+    HASH join on cell — never a sort-merge or cartesian."""
+    from accident_prediction_montreal_spark.operators.kmeans import assign_cells
+    from accident_prediction_montreal_spark.operators.pq import ivfpq_topk
+
+    rows = [
+        (i, _vec(float(i % 7) - 3.0, float(i % 4) / 2, 1.0, -0.5))
+        for i in range(60)
+    ]
+    emb = _emb(spark, rows)
+    [coarse] = train_pq_codebooks(emb, m=1, k=4, n_iter=2, sub_dim=_DIM)
+    assigned = assign_cells(emb, coarse, vec_col="vec")
+    books = train_pq_codebooks(emb, m=2, k=4, n_iter=2, sub_dim=_SUB)
+    index = pq_encode(assigned, books, sub_dim=_SUB, keep_cols=["cell"])
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("query_vec")
+    )
+    full = ivfpq_topk(
+        queries, coarse, index, books, sub_dim=_SUB, k=3, n_probe=4
+    )
+    codes = pq_encode(emb, books, sub_dim=_SUB)
+    exact = pq_adc_topk(queries, codes, books, sub_dim=_SUB, k=3)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+    pruned = ivfpq_topk(
+        queries, coarse, index, books, sub_dim=_SUB, k=3, n_probe=1
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the cell-pruned candidate join
+    # pruning really prunes: every (query, hit) pair's corpus cell is
+    # one of that query's probed cells
+    from accident_prediction_montreal_spark.operators.pq import coarse_probes
+
+    probed = {
+        (r["query_id"], r["cell"])
+        for r in coarse_probes(queries, coarse, 1).collect()
+    }
+    cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    for r in pruned.collect():
+        assert (r["query_id"], cells[r["vec_id"]]) in probed
