@@ -39,11 +39,42 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from accident_prediction_montreal_spark.functions.vectors import dot_product
-from accident_prediction_montreal_spark.operators.kmeans import (
-    assign_cells,
-    pack_centroids,
-    update_centroids,
-)
+from accident_prediction_montreal_spark.operators.kmeans import pack_centroids
+
+
+def _pack_books(codebooks: list[DataFrame]) -> DataFrame:
+    """All m codebooks → ONE row with a column ``__cents_<mi>`` of
+    array<struct<cell, cvec, dcc>> per book.
+
+    The per-book form broadcast each codebook separately — m broadcast
+    exchanges (and m jobs) per consumer. One tagged union packs the
+    whole 〈m·k〉-row codebook set into a single broadcast row; each
+    book lands in its OWN column (collect_list skips the other books'
+    NULLed rows), so per-row consumers index a plain per-book array —
+    no per-row filtering — and every array_min / map_from_entries
+    result is value-identical to the per-book form.
+    """
+    tagged = None
+    for mi, book in enumerate(codebooks):
+        t = book.select(F.lit(mi).alias("mi"), "cell", "cvec")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    entry = F.struct(
+        F.col("cell"),
+        F.col("cvec"),
+        dot_product("cvec", "cvec").alias("dcc"),
+    )
+    return tagged.agg(
+        *[
+            F.collect_list(F.when(F.col("mi") == mi, entry)).alias(
+                f"__cents_{mi}"
+            )
+            for mi in range(len(codebooks))
+        ]
+    )
+
+
+def _book_entries(mi: int):
+    return F.col(f"__cents_{mi}")
 
 
 def train_pq_codebooks(
@@ -67,24 +98,140 @@ def train_pq_codebooks(
     fixture contract (TESTDATA.md) fixes dim, so this is a plan-time
     constant passed by the caller via ``sub_dim`` instead of a scan —
     see pq_sub_dim().
+
+    All ``m`` subspace fits are FUSED into one corpus pass per
+    iteration: the per-book loop form trained each subspace through its
+    own assign/update lineage, so every iteration cost m corpus scans
+    and m posexplode shuffles — and because consumers (pq_encode's
+    packed broadcasts, the ADC LUT build) each re-evaluate their
+    codebook argument, the whole train replayed once PER CONSUMER.
+    Here one projection computes all m argmins per row (the pq_encode
+    shape), one posexplode keyed (mi, cell, dim) updates every book in
+    a single K·dim-row shuffle, and the final (mi, cell, cvec) table is
+    persisted (cachereg lifecycle) so each returned book is a filter
+    over the cached 〈m·k〉-row result instead of a fresh Lloyd replay.
+    Per-book VALUES are bit-identical: same seeds (one shared
+    TakeOrdered), same fold-order distances and (d² ASC, cell ASC)
+    tie-break per subspace, and the DECIMAL(24,9) component sums are
+    order-independent by construction.
     """
     if sub_dim is None:
         sub_dim = pq_sub_dim(emb, m, vec_col)
-    books: list[DataFrame] = []
+    from accident_prediction_montreal_spark import cachereg
+
+    vecs = emb.select(id_col, vec_col)
+    seeds = vecs.orderBy(F.col(id_col).asc()).limit(k)
+    # (mi, cell, cvec) seed table: every subspace seeds from the same k
+    # smallest-id vectors, so one TakeOrdered feeds all m books.
+    cents_all = seeds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("mi"),
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "mi",
+        "cell",
+        F.slice(F.col("__v"), F.col("mi") * sub_dim + 1, F.lit(sub_dim)).alias(
+            "cvec"
+        ),
+    )
+    for _ in range(n_iter - 1):
+        assigned = _assign_all_subspaces(vecs, cents_all, m, sub_dim, vec_col)
+        cents_all = _update_all_subspaces(assigned, sub_dim, vec_col)
+    # coalesce(1): the table is <= m*k rows by construction (corpus-size
+    # independent), but its lineage ends in a 32-partition groupBy and
+    # CACHED plans skip AQE coalescing — without this every consumer
+    # pays a 32-task read of a 512-row cache.
+    cents_all = cents_all.coalesce(1).persist()
+    # site key carries the geometry: one query may train several codebook
+    # sets (IVF-PQ trains an m=1 coarse book AND the m=4 subspace books);
+    # a single shared site would unpersist the coarse book while its
+    # consumers are still lazy.
+    cachereg.register(
+        f"operators.pq.train_pq_codebooks[m={m},k={k},sub_dim={sub_dim}]",
+        cents_all,
+    )
+    return [
+        cents_all.filter(F.col("mi") == mi).select("cell", "cvec")
+        for mi in range(m)
+    ]
+
+
+def _assign_all_subspaces(
+    vecs: DataFrame, cents_all: DataFrame, m: int, sub_dim: int, vec_col: str
+) -> DataFrame:
+    """One projection → (vec, __cell_0..__cell_{m-1}): every subspace's
+    argmin against ONE broadcast packed row of all m books' centroids.
+    Same d² expression shape and (d² ASC, cell ASC) tie-break as
+    kmeans.assign_cells, evaluated per subspace slice."""
+    entry = F.struct(
+        F.col("cell"),
+        F.col("cvec"),
+        dot_product("cvec", "cvec").alias("dcc"),
+    )
+    packed = cents_all.agg(
+        *[
+            F.collect_list(F.when(F.col("mi") == mi, entry)).alias(
+                f"__cents_{mi}"
+            )
+            for mi in range(m)
+        ]
+    )
+    df = vecs.crossJoin(F.broadcast(packed))
+
+    cols = [F.col(vec_col)]
     for mi in range(m):
-        vecs = emb.select(
-            id_col, F.slice(F.col(vec_col), mi * sub_dim + 1, sub_dim).alias("vec")
+        sub = F.slice(F.col(vec_col), mi * sub_dim + 1, sub_dim)
+        dvv = dot_product(sub, sub)
+        best = F.array_min(
+            F.transform(
+                F.col(f"__cents_{mi}"),
+                lambda c: F.struct(
+                    (dvv - F.lit(2.0) * dot_product(sub, c["cvec"]) + c["dcc"]).alias(
+                        "d2"
+                    ),
+                    c["cell"].alias("cell"),
+                ),
+            )
         )
-        cents = (
-            vecs.orderBy(F.col(id_col).asc())
-            .limit(k)
-            .select(F.col(id_col).alias("cell"), F.col("vec").alias("cvec"))
-        )
-        for _ in range(n_iter - 1):
-            assigned = assign_cells(vecs, cents, id_col=id_col, vec_col="vec")
-            cents = update_centroids(assigned, vec_col="vec")
-        books.append(cents)
-    return books
+        cols.append(best["cell"].alias(f"__cell_{mi}"))
+    return df.select(*cols)
+
+
+def _update_all_subspaces(
+    assigned: DataFrame, sub_dim: int, vec_col: str
+) -> DataFrame:
+    """Every book's DECIMAL-exact centroid update in ONE posexplode +
+    groupBy(mi, cell, dim) shuffle (K·dim·m output rows, corpus-size
+    independent) — kmeans.update_centroids semantics per subspace."""
+    m_cells = F.array(
+        *[F.col(c) for c in assigned.columns if c.startswith("__cell_")]
+    )
+    exploded = assigned.select(
+        m_cells.alias("__cells"), F.posexplode(F.col(vec_col)).alias("fdim", "val")
+    ).select(
+        (F.col("fdim") / sub_dim).cast("int").alias("mi"),
+        F.element_at(
+            F.col("__cells"), (F.col("fdim") / sub_dim).cast("int") + 1
+        ).alias("cell"),
+        (F.col("fdim") % sub_dim).alias("dim"),
+        "val",
+    )
+    sums = exploded.groupBy("mi", "cell", "dim").agg(
+        F.sum(F.round(F.col("val"), 9).cast("decimal(24,9)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    comp = sums.select(
+        "mi",
+        "cell",
+        "dim",
+        F.round(F.col("s").cast("double") / F.col("n"), 9).alias("cval"),
+    )
+    return comp.groupBy("mi", "cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+            lambda x: x["cval"],
+        ).alias("cvec")
+    )
 
 
 def pq_sub_dim(emb: DataFrame, m: int, vec_col: str = "vec") -> int:
@@ -117,12 +264,8 @@ def pq_encode(
     so the at-rest IVF-PQ index is ONE table and the query path never
     joins two corpus-sized relations).
     """
-    df = emb
-    for mi, cents in enumerate(codebooks):
-        packed = pack_centroids(cents).select(
-            F.col("__cents").alias(f"__cents_{mi}")
-        )
-        df = df.crossJoin(F.broadcast(packed))
+    df = emb.crossJoin(F.broadcast(_pack_books(codebooks)))
+
     def _argmin(sub, dvv):
         def body(c):
             return F.struct(
@@ -138,9 +281,7 @@ def pq_encode(
     for mi in range(len(codebooks)):
         sub = F.slice(F.col(vec_col), mi * sub_dim + 1, sub_dim)
         dvv = dot_product(sub, sub)
-        best = F.array_min(
-            F.transform(F.col(f"__cents_{mi}"), _argmin(sub, dvv))
-        )
+        best = F.array_min(F.transform(_book_entries(mi), _argmin(sub, dvv)))
         outs.append(best["cell"].alias(f"code_{mi}"))
     return df.select(*outs)
 
@@ -165,12 +306,8 @@ def pq_adc_topk(
     (adc ASC, id ASC) row_number.
     """
     m = len(codebooks)
-    q = queries
-    for mi, cents in enumerate(codebooks):
-        packed = pack_centroids(cents).select(
-            F.col("__cents").alias(f"__cents_{mi}")
-        )
-        q = q.crossJoin(F.broadcast(packed))
+    q = queries.crossJoin(F.broadcast(_pack_books(codebooks)))
+
     def _lut_entry(sub, dqq):
         def body(c):
             return F.struct(
@@ -188,7 +325,7 @@ def pq_adc_topk(
         dqq = dot_product(sub, sub)
         luts.append(
             F.map_from_entries(
-                F.transform(F.col(f"__cents_{mi}"), _lut_entry(sub, dqq))
+                F.transform(_book_entries(mi), _lut_entry(sub, dqq))
             ).alias(f"__lut_{mi}")
         )
     lut_rows = q.select(*luts)
@@ -292,12 +429,7 @@ def ivfpq_topk(
     )
 
     # per-query LUTs (reuses pq_adc_topk's construction)
-    q = queries
-    for mi, cents in enumerate(codebooks):
-        packed = pack_centroids(cents).select(
-            F.col("__cents").alias(f"__cents_{mi}")
-        )
-        q = q.crossJoin(F.broadcast(packed))
+    q = queries.crossJoin(F.broadcast(_pack_books(codebooks)))
 
     def _lut_entry(sub, dqq):
         def body(c):
@@ -316,7 +448,7 @@ def ivfpq_topk(
         dqq = dot_product(sub, sub)
         luts.append(
             F.map_from_entries(
-                F.transform(F.col(f"__cents_{mi}"), _lut_entry(sub, dqq))
+                F.transform(_book_entries(mi), _lut_entry(sub, dqq))
             ).alias(f"__lut_{mi}")
         )
     lut_rows = q.select(*luts)
