@@ -311,11 +311,21 @@ def minhash_incremental_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     min_est_jaccard: float = 0.5,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup detection: new-batch documents that collide
     with an EXISTING corpus — the continuous-ingestion shape, where each
     arriving batch is checked against the historical index and only
     accepted rows join it.
+
+    ``corpus_index``, when given, is a prebuilt ``banded_signatures``
+    frame for ``corpus`` (columns doc, sig, band_id, band_hash —
+    typically the PERSISTED at-rest index) and replaces the internal
+    re-signature of the corpus: at production scale the index is at
+    rest on disk and a maintenance pass must probe it, not recompute a
+    corpus-wide MinHash per batch. Values are identical by definition
+    whenever the index was built by ``banded_signatures`` with the same
+    parameters over the same corpus.
 
     Candidates come from an equi-join of the new batch's band rows
     against the corpus band index on (band_id, band_hash) — cost scales
@@ -336,8 +346,12 @@ def minhash_incremental_pairs(
         "band_id",
         "band_hash",
     )
-    idx = banded_signatures(
-        corpus, id_col, text_col, num_hashes, bands, shingle_n
+    idx = (
+        corpus_index
+        if corpus_index is not None
+        else banded_signatures(
+            corpus, id_col, text_col, num_hashes, bands, shingle_n
+        )
     ).select(
         F.col("doc").alias("corpus_id"),
         F.col("sig").alias("__csig"),

@@ -69,13 +69,57 @@ def backfill_month_shards(
     handed. ``partition_col`` generalizes the shard grain (day keys for
     intra-month backfills, month keys for the reference shape).
     """
+    pending: list[tuple[str, str]] = []
     for mk in months:
         shard_dir = os.path.join(out_dir, f"{partition_col}={mk}")
         done = os.path.exists(os.path.join(shard_dir, "_SUCCESS"))
         if done and not overwrite:
             continue
-        shard_session = session_factory() if session_factory else spark
-        compute_shard(shard_session, mk).write.mode("overwrite").parquet(shard_dir)
+        pending.append((mk, shard_dir))
+    if session_factory is not None:
+        # Per-shard sessions are the reference's restart-isolation mode —
+        # strictly sequential (the factory may stop the previous session).
+        for mk, shard_dir in pending:
+            compute_shard(session_factory(), mk).write.mode("overwrite").parquet(
+                shard_dir
+            )
+    else:
+        # Shard writes are independent jobs on disjoint directories, so
+        # only their SUBMISSION order matters for semantics, not their
+        # completion order. Plans are still built in month order (callers
+        # may count/sequence compute_shard calls); the write ACTIONS are
+        # overlapped so N small jobs pay ~1 job's scheduling latency
+        # instead of N (each shard here is a sub-second job whose fixed
+        # cost — scheduling, file commit — dominates its compute). A
+        # failed shard propagates after the in-flight writes finish;
+        # shards that completed are _SUCCESS-marked and a re-run skips
+        # them — the same resume contract as the sequential loop.
+        shards = [(compute_shard(spark, mk), d) for mk, d in pending]
+        # Degree of write overlap: enough in-flight jobs to back-fill the
+        # tail of each small job with the next one's tasks, bounded by
+        # the session's core count so the pool never over-subscribes a
+        # small cluster (guide §2.6: 'enough to fill the tail, not so
+        # many that they fight for executors'). Scale-adaptive, not a
+        # local[32] constant: derives from the same env the session
+        # master uses, overridable per deployment.
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        default_par = max(2, int(cpus) // 2) if cpus.isdigit() else 8
+        par = int(os.environ.get("SPARK_GRAFT_BACKFILL_PAR", str(default_par)))
+        if len(shards) <= 1 or par <= 1:
+            for df, shard_dir in shards:
+                df.write.mode("overwrite").parquet(shard_dir)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(par, len(shards))) as ex:
+                futs = [
+                    ex.submit(
+                        lambda df=df, d=d: df.write.mode("overwrite").parquet(d)
+                    )
+                    for df, d in shards
+                ]
+                for f in futs:
+                    f.result()
     # One partitioned read, restricted to the REQUESTED months: out_dir may
     # hold shards from earlier runs with a different month list, and the
     # isin filter prunes those whole directories at the scan (partition_col

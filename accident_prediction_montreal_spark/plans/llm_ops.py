@@ -3247,13 +3247,22 @@ def st_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sessions = session_aggregates(events, gap="30 minutes")
 
-    # Static tier dimension, built once and broadcast into every batch.
+    # Static tier dimension — STATIC by contract, so persist and
+    # materialize it before the stream starts: the foreachBatch join is
+    # lazy per batch, and an unpersisted dim re-ran the full events
+    # scan + distinct exchange inside EVERY micro-batch (2x here, every
+    # trigger in production) just to rebuild the same broadcast table.
+    from accident_prediction_montreal_spark import cachereg
+
     dim = (
         load_table(spark, "events", sf_dir)
         .select("user_id")
         .distinct()
         .withColumn("tier", (F.col("user_id") % 5).cast("int"))
+        .persist()
     )
+    cachereg.register("plans.st_pipeline_capstone", dim)
+    dim.count()
 
     base = tempfile.mkdtemp(prefix="spark_graft_stcap_")
     out_dir, ckpt_dir = f"{base}/out", f"{base}/ckpt"

@@ -556,20 +556,30 @@ def _st_incremental_dedup_impl(
     # can't silently drift apart).
     from accident_prediction_montreal_spark.session import STATE_PARTITIONS
 
-    idx = (
+    # The full (doc, sig, band_id, band_hash) index is persisted — not
+    # the 3-column probe projection — because the batch-twin parity
+    # check needs the signatures too: feeding both consumers from ONE
+    # cached table removes the twin's second corpus-wide MinHash pass
+    # (measured: the twin check was re-signaturing all ~52.5k docs from
+    # scratch). Projections preserve the cached HashPartitioning, so
+    # the stream probe's join requirement is still satisfied from
+    # cache and only the stream side shuffles per micro-batch.
+    bands_full = (
         banded_signatures(docs)
-        .select(F.col("doc").alias("corpus_id"), "band_id", "band_hash")
         .repartition(STATE_PARTITIONS, "band_id", "band_hash")
         .persist()
     )
-    cachereg.register("plans.st_incremental_dedup", idx)
+    idx = bands_full.select(
+        F.col("doc").alias("corpus_id"), "band_id", "band_hash"
+    )
+    cachereg.register("plans.st_incremental_dedup", bands_full)
     # Materialize the index BEFORE the stream starts: it is the at-rest
     # side by contract, and building it lazily inside the first
     # micro-batch would run the signature aggregation under the sink
     # runner's small state-partition pin (8-way instead of the session's
     # full parallelism — measured ~4x slower on the 52.5k-doc corpus).
     _t0 = _time.perf_counter()
-    idx.count()
+    bands_full.count()
     if timings is not None:
         timings["index_build_s"] = round(_time.perf_counter() - _t0, 3)
 
@@ -631,7 +641,9 @@ def _st_incremental_dedup_impl(
     # Band-collision candidates from the batch twin (threshold 0 keeps
     # every collision so the sets are comparable pre-scoring).
     twin = (
-        minhash_incremental_pairs(new_batch, docs, min_est_jaccard=0.0)
+        minhash_incremental_pairs(
+            new_batch, docs, min_est_jaccard=0.0, corpus_index=bands_full
+        )
         .select("new_id", "corpus_id")
     )
     diff = streamed.join(twin, ["new_id", "corpus_id"], "left_anti").unionByName(
