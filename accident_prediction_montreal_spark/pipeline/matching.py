@@ -26,7 +26,12 @@ from accident_prediction_montreal_spark.operators.spatial import knn_join, knn_j
 
 
 def _top_k_centers(
-    accidents: DataFrame, road_centers: DataFrame, k: int, exhaustive: bool, cell_deg: float
+    accidents: DataFrame,
+    road_centers: DataFrame,
+    k: int,
+    exhaustive: bool,
+    cell_deg: float,
+    size_known: bool = False,
 ) -> DataFrame:
     kwargs = dict(
         k=k,
@@ -36,7 +41,16 @@ def _top_k_centers(
         right_coords=("center_lat", "center_long"),
     )
     if exhaustive:
-        out = knn_join(accidents, road_centers, **kwargs)
+        # size_known: the caller's auto-select already counted the
+        # (persisted) center side under a far tighter threshold, so
+        # knn_join's own broadcast-guard count would be a redundant
+        # second action on the same frame.
+        out = knn_join(
+            accidents,
+            road_centers,
+            max_broadcast_rows=None if size_known else 1_000_000,
+            **kwargs,
+        )
     else:
         out = knn_join_grid(accidents, road_centers, cell_deg=cell_deg, **kwargs)
     return out.select("accident_id", "loc_lat", "loc_long", "street_id")
@@ -91,12 +105,16 @@ def match_accidents_with_roads(
     points = road_points.select("street_id", "coord_lat", "coord_long")
 
     caches: list[DataFrame] = []
+    size_known = False
     if exhaustive is None:
         road_centers = road_centers.persist()
         caches.append(road_centers)
         exhaustive = road_centers.count() <= small_side_threshold
+        size_known = exhaustive
 
-    top_k = _top_k_centers(acc, road_centers, k, exhaustive, cell_deg).persist()
+    top_k = _top_k_centers(
+        acc, road_centers, k, exhaustive, cell_deg, size_known=size_known
+    ).persist()
 
     first_match = _closest_point(top_k.join(points, "street_id")).persist()
     accepted = first_match.filter(F.col("point_dist") < max_distance_m).select(

@@ -1209,6 +1209,13 @@ def _x21_ann_pruned_layout_impl(
     assigned, centroids = build_ivf_index(
         emb, n_cells=16, sample_fraction=0.25, max_iter=5
     )
+    # Two consumers (the layout write and the in-memory probe twin) —
+    # persisted so the assignment scan+argmax runs once; the write
+    # below is the materializing action (guide §5).
+    from accident_prediction_montreal_spark import cachereg
+
+    assigned = assigned.persist()
+    cachereg.register("plans.x21_ann_pruned_layout", assigned)
     if timings is not None:
         # build_ivf_index's MLlib fit is eager; assignment stays lazy
         # (it materializes inside the write below).
@@ -1262,7 +1269,12 @@ def _x21_ann_pruned_layout_impl(
         .limit(n_probe)
         .collect()
     ]
-    total_files = disk.select(F.input_file_name()).distinct().count()
+    # File-count for the pruning contract from the scan's FILE INDEX
+    # (df.inputFiles()), not a full-table input_file_name scan — driver
+    # metadata the planner already holds, zero executor work. The
+    # PRUNED count below must stay a scan: inputFiles() reports the
+    # unpruned relation (verified — partition filters don't reach it).
+    total_files = len(disk.inputFiles())
     pruned_files = (
         disk.filter(F.col("cell_id").isin(probe_cells))
         .withColumn("__f", F.input_file_name())

@@ -239,6 +239,13 @@ def sim_ann_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "embedding"
             ),
         )
+        # The normalized corpus feeds SIX consumers (stride count, the
+        # query sample x3, the exact baseline's corpus side, the KMeans
+        # fit sample, the assignment scan, the n_c count) — unpersisted,
+        # each replayed the scan + per-element normalize (guide §5:
+        # cache what is reused and expensive). The stride count below
+        # is already an action, so materialization costs nothing extra.
+        .persist()
     )
     # FIXED-SIZE query sample (~50 at any scale): recall estimation
     # needs a constant sample, not a corpus-proportional one — the
@@ -265,7 +272,7 @@ def sim_ann_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, n_cells=8, sample_fraction=0.25, max_iter=5
     )
     assigned = assigned.persist()
-    cachereg.register("plans.sim_ann_bucketed_recall", assigned)
+    cachereg.register("plans.sim_ann_bucketed_recall", assigned, emb)
     bucketed = ivf_cosine_topk_bucketed(
         queries, assigned, cents, k=k, n_probe=n_probe
     )

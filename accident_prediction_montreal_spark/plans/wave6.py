@@ -112,19 +112,29 @@ def g4_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
         .persist()
     )
-    nodes = nbr.select(F.col("a").alias("node")).distinct()
+    # nodes feeds the seed aggregate AND the initial dist frame, and the
+    # initial dist frame is itself referenced twice by round 0 (the
+    # relaxation join and the left join) — unpersisted, the nbr-distinct
+    # ran three times before the first relaxation (r14 measurement:
+    # ~1.4 s per replay at sf0.1, pure fixed cost). Node-sized frames,
+    # tiny at any scale (same argument as the per-round persists below).
+    nodes = nbr.select(F.col("a").alias("node")).distinct().persist()
     seed1 = nodes.agg(F.min("node").alias("__seed"))
-    dist = nodes.crossJoin(F.broadcast(seed1)).select(
-        "node",
-        F.when(F.col("node") == F.col("__seed"), 0)
-        .otherwise(_BFS_INF)
-        .alias("dist"),
+    dist = (
+        nodes.crossJoin(F.broadcast(seed1))
+        .select(
+            "node",
+            F.when(F.col("node") == F.col("__seed"), 0)
+            .otherwise(_BFS_INF)
+            .alias("dist"),
+        )
+        .persist()
     )
     # Each round references `dist` TWICE (relaxation join + left join):
     # left lazy, the per-round lineage doubles and round 1 re-executes
     # 2^rounds times (measured 5.6 s -> 1.4 s at sf1 with the per-round
     # persist). The frames are node-sized, tiny at any data scale.
-    frames = [nbr]
+    frames = [nbr, nodes, dist]
     for _ in range(_BFS_ROUNDS):
         cand = (
             nbr.join(dist, nbr["b"] == dist["node"])
