@@ -108,6 +108,11 @@ def triangle_stats(
     """
     from accident_prediction_montreal_spark import cachereg
 
+    # NOTE (r14): persisting the input edge list here was MEASURED a
+    # non-win (interleaved A/B at sf0.1: 3.4 s without vs 4.3 s with) —
+    # AQE's ReusedExchange already dedups the upstream distinct subtree
+    # across the three readers, and the explicit cache only added a
+    # materialization barrier. Left unpersisted deliberately.
     fwd = edges.select(F.col(u).alias("node"))
     rev = edges.select(F.col(v).alias("node"))
     deg = fwd.unionByName(rev).groupBy("node").agg(F.count(F.lit(1)).alias("d"))

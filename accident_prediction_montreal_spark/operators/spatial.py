@@ -431,6 +431,28 @@ def knn_join_grid_exact(
             left, right, k, cell_deg, left_id, right_id, left_coords, right_coords
         )
 
+    if n_right is not None and n_right <= 1_000_000:
+        # Round-0 short-circuit, the in-loop residue cost model applied
+        # to the WHOLE problem (r14; guide §1.2): when |left|·|right| is
+        # already inside ``fallback_budget_pairs``, a grid round cannot
+        # beat the one bounded broadcast join it would fall back to
+        # anyway — at bench scale the grid round + proof + escalation
+        # machinery was ~10 of the query's 15 jobs for zero benefit
+        # (every residue went to the fallback regardless). |left| is
+        # probed with a LIMIT-bounded count: each scan task stops after
+        # ≤ cap+1 rows, so the probe is O(budget) work at ANY data
+        # scale, never a full pass over left. Exactness is unchanged —
+        # the exhaustive join is the same fallback the loop trusts, and
+        # both paths share _dist_and_rank's deterministic tie-break.
+        cap = fallback_budget_pairs // max(n_right, 1)
+        if cap > 0 and left.select(left_id).limit(cap + 1).count() <= cap:
+            out = knn_join(
+                left, right, k, left_id, right_id, left_coords,
+                right_coords, max_broadcast_rows=None,
+            )
+            # Same materialize-and-cut contract as the grid path below.
+            return out.localCheckpoint(eager=True)
+
     remaining = left
     residue: DataFrame | None = None
     residue_bounds: DataFrame | None = None

@@ -2710,14 +2710,23 @@ def x13_small_files_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition(8).write.mode("overwrite").partitionBy("d").parquet(frag_dir)
 
     frag = spark.read.parquet(frag_dir)
-    n_before = frag.select(F.input_file_name()).distinct().count()
-    n_parts = frag.select("d").distinct().count()
+    # The three layout counts feed only the compaction ASSERTION below
+    # (the query's output computes its per-partition n_files from the
+    # scan regardless) — so take them from the scan's FILE INDEX
+    # (inputFiles / the d= path segments), driver metadata the planner
+    # already holds, instead of three full-table scan jobs (r14; the
+    # x21 pattern). Equivalent to the old input_file_name().distinct()
+    # counts: dynamic partitionBy writers never emit zero-row files, so
+    # every listed file contributes rows.
+    frag_files = frag.inputFiles()
+    n_before = len(frag_files)
+    n_parts = len({seg for f in frag_files for seg in f.split("/") if seg.startswith("d=")})
     compact_partitions(frag, out_dir, "d", max_records_per_file=25_000)
 
     # input_file_name is non-deterministic to the analyzer: project it
     # BEFORE the aggregate (a column reference is a legal agg argument).
     compacted = spark.read.parquet(out_dir).withColumn("__f", F.input_file_name())
-    n_after = compacted.select("__f").distinct().count()
+    n_after = len(spark.read.parquet(out_dir).inputFiles())
     # The hard invariant is n_after <= n_before; STRICT reduction is
     # only owed when fragmentation exists (more files than partition
     # values) — a corpus already at one file per partition has nothing

@@ -200,15 +200,53 @@ def test_knn_grid_exact_equals_exhaustive_even_with_empty_blocks(spark):
         ["id", "lat", "lon"],
     )
     for k in (1, 3):
+        # fallback_budget_pairs=0 disables the round-0 exhaustive
+        # short-circuit (this fixture is tiny, so the default budget
+        # would skip the grid machinery under test entirely).
         got = {
             (r["id"], r["rid"], r["knn_rank"])
-            for r in knn_join_grid_exact(left, right, k=k).collect()
+            for r in knn_join_grid_exact(
+                left, right, k=k, fallback_budget_pairs=0
+            ).collect()
         }
         want = {
             (r["id"], r["rid"], r["knn_rank"])
             for r in knn_join(left, right, k=k).collect()
         }
         assert got == want, f"k={k}"
+
+
+def test_knn_grid_exact_round0_short_circuit(spark):
+    """When |left|·|right| fits the fallback budget, the auto-cell eager
+    path takes one exhaustive broadcast join instead of a grid round —
+    and the result must be IDENTICAL (same rows, same deterministic
+    tie-breaks) to the grid-forced path on the same data."""
+    import random
+
+    from accident_prediction_montreal_spark.operators.spatial import (
+        knn_join_grid_exact,
+    )
+
+    rng = random.Random(3)
+    right = spark.createDataFrame(
+        [(i, 45.4 + rng.random() * 0.2, -73.7 + rng.random() * 0.2) for i in range(120)],
+        ["rid", "rlat", "rlon"],
+    )
+    left = spark.createDataFrame(
+        [(i, 45.4 + rng.random() * 0.2, -73.7 + rng.random() * 0.2) for i in range(30)],
+        ["id", "lat", "lon"],
+    )
+    fast = knn_join_grid_exact(left, right, k=3)          # short-circuits
+    slow = knn_join_grid_exact(left, right, k=3, fallback_budget_pairs=0)
+    key = lambda r: (r["id"], r["knn_rank"])  # noqa: E731
+    fast_rows = sorted(
+        ((r["id"], r["knn_rank"], r["rid"]) for r in fast.collect())
+    )
+    slow_rows = sorted(
+        ((r["id"], r["knn_rank"], r["rid"]) for r in slow.collect())
+    )
+    assert fast_rows == slow_rows
+    assert set(fast.columns) == set(slow.columns)
 
 
 def test_knn_grid_exact_tiny_cell_forces_escalation(spark):
