@@ -19,7 +19,10 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from accident_prediction_montreal_spark.functions.geo import haversine_meters
+from accident_prediction_montreal_spark.functions.geo import (
+    haversine_meters,
+    haversine_meters_coslat,
+)
 
 
 _EARTH_RADIUS_M = 6371000.0
@@ -700,7 +703,20 @@ def idw_interpolate(
     aggregation is a single map-side-combinable group-sum per sample, so
     the only shuffle is on ``sample_id``.
     """
-    d = haversine_meters(sample_coords[0], sample_coords[1], station_coords[0], station_coords[1])
+    # Per-ROW cosines hoisted out of the quadratic pair loop (bit-exact
+    # — haversine_meters_coslat is the same expression; r14, guide §1.2
+    # per-task work): |S|+|T| cosines instead of 2·|S|·|T|.
+    samples = samples.withColumn(
+        "__idw_cos_s", F.cos(F.radians(F.col(sample_coords[0])))
+    )
+    stations = stations.withColumn(
+        "__idw_cos_t", F.cos(F.radians(F.col(station_coords[0])))
+    )
+    d = haversine_meters_coslat(
+        sample_coords[0], sample_coords[1],
+        station_coords[0], station_coords[1],
+        "__idw_cos_s", "__idw_cos_t",
+    )
     # try_divide: a station exactly at the sample (d=0) yields a NULL
     # weight (ignored), identical to DuckDB's x/0→NULL — and it cannot
     # throw under ANSI mode, which the grading session runs with.
@@ -783,7 +799,14 @@ def idw_interpolate_radius(
     elif min_cos_lat < 0.05:
         use_grid = False
 
-    d = haversine_meters(s_lat, s_lon, t_lat, t_lon)
+    # Per-row cosines hoisted out of the candidate loop (bit-exact; the
+    # station side computes its cosine BEFORE the 9x cell replication,
+    # so it is also paid once per station, not once per replica).
+    samples = samples.withColumn("__idw_cos_s", F.cos(F.radians(F.col(s_lat))))
+    stations = stations.withColumn("__idw_cos_t", F.cos(F.radians(F.col(t_lat))))
+    d = haversine_meters_coslat(
+        s_lat, s_lon, t_lat, t_lon, "__idw_cos_s", "__idw_cos_t"
+    )
     if use_grid:
         # 1.05: curvature/rounding slack — oversizing cells is always
         # safe (more candidates), undersizing drops in-radius pairs.
