@@ -58,13 +58,32 @@ def weather_for_samples(
     key is (date, hour), and the aggregation is one map-side-combinable
     group-sum keyed on the sample id.
     """
-    obs = weather.join(F.broadcast(station_coords), "station_id")
-    joined = samples.select(sample_id, "date", "hour", "loc_lat", "loc_long").join(
-        obs, ["date", "hour"]
+    from accident_prediction_montreal_spark.functions.geo import (
+        haversine_meters_coslat,
     )
-    from accident_prediction_montreal_spark.functions.geo import haversine_meters
 
-    d = haversine_meters("loc_lat", "loc_long", "station_lat", "station_long")
+    # Per-side cosines hoisted out of the (sample x hourly-obs) pair
+    # loop — bit-exact (haversine_meters_coslat is the same expression;
+    # r14, see operators/spatial.idw_interpolate). The station cosine
+    # rides the broadcast dim, so it is paid once per STATION, not once
+    # per (station, hour, sample) row.
+    obs = weather.join(
+        F.broadcast(
+            station_coords.withColumn(
+                "__wx_cos_t", F.cos(F.radians(F.col("station_lat")))
+            )
+        ),
+        "station_id",
+    )
+    joined = (
+        samples.select(sample_id, "date", "hour", "loc_lat", "loc_long")
+        .withColumn("__wx_cos_s", F.cos(F.radians(F.col("loc_lat"))))
+        .join(obs, ["date", "hour"])
+    )
+    d = haversine_meters_coslat(
+        "loc_lat", "loc_long", "station_lat", "station_long",
+        "__wx_cos_s", "__wx_cos_t",
+    )
     joined = joined.withColumn("idw_w", F.lit(1.0) / F.pow(d, F.lit(2.0)))
 
     aggs = []
