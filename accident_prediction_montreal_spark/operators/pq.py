@@ -203,11 +203,18 @@ def _update_all_subspaces(
     """Every book's DECIMAL-exact centroid update in ONE posexplode +
     groupBy(mi, cell, dim) shuffle (K·dim·m output rows, corpus-size
     independent) — kmeans.update_centroids semantics per subspace."""
-    m_cells = F.array(
-        *[F.col(c) for c in assigned.columns if c.startswith("__cell_")]
-    )
+    cell_cols = [c for c in assigned.columns if c.startswith("__cell_")]
+    m_cells = F.array(*[F.col(c) for c in cell_cols])
     exploded = assigned.select(
         m_cells.alias("__cells"), F.posexplode(F.col(vec_col)).alias("fdim", "val")
+    ).filter(
+        # Trailing vector dims beyond m*sub_dim belong to NO subspace: a
+        # caller passing an explicit sub_dim with m*sub_dim < len(vec)
+        # would otherwise drive element_at(__cells, mi+1) out of bounds —
+        # an ANSI-mode error where the old per-book slicing silently
+        # ignored the tail. A trivially-true filter on the standard
+        # divisible path (pq_sub_dim enforces m*sub_dim == len(vec)).
+        F.col("fdim") < len(cell_cols) * sub_dim
     ).select(
         (F.col("fdim") / sub_dim).cast("int").alias("mi"),
         F.element_at(

@@ -59,10 +59,17 @@ def backfill_month_shards(
     one partitioned scan.
 
     ``compute_shard`` must NOT include the ``partition_col`` column (it
-    becomes the partition directory). Schemas may EVOLVE across shards —
-    a long-running backfill adds columns mid-run — when ``merge_schema``
-    is set the combined scan surfaces old shards' missing columns as
-    NULL (S2/x9 semantics); without it all shards must agree. With
+    becomes the partition directory), and — in the shared-session mode —
+    its shards must be INDEPENDENT: shard N's plan may not read shard
+    N-1's written output or rely on per-shard side effects, because the
+    writes overlap and a failed shard no longer stops later shards from
+    being submitted (a caller needing strict month-by-month sequencing
+    gets it via ``session_factory``, which stays sequential by
+    contract, or ``SPARK_GRAFT_BACKFILL_PAR=1``). Schemas may EVOLVE
+    across shards — a long-running backfill adds columns mid-run — when
+    ``merge_schema`` is set the combined scan surfaces old shards'
+    missing columns as NULL (S2/x9 semantics); without it all shards
+    must agree. With
     ``session_factory`` each pending shard gets a fresh session from the
     factory (the reference's per-month restart); the factory owns
     stop/reuse semantics — this loop never stops a session it was
@@ -94,30 +101,44 @@ def backfill_month_shards(
         # failed shard propagates after the in-flight writes finish;
         # shards that completed are _SUCCESS-marked and a re-run skips
         # them — the same resume contract as the sequential loop.
-        shards = [(compute_shard(spark, mk), d) for mk, d in pending]
         # Degree of write overlap: enough in-flight jobs to back-fill the
         # tail of each small job with the next one's tasks, bounded by
         # the session's core count so the pool never over-subscribes a
         # small cluster (guide §2.6: 'enough to fill the tail, not so
         # many that they fight for executors'). Scale-adaptive, not a
         # local[32] constant: derives from the same env the session
-        # master uses, overridable per deployment.
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        default_par = max(2, int(cpus) // 2) if cpus.isdigit() else 8
-        par = int(os.environ.get("SPARK_GRAFT_BACKFILL_PAR", str(default_par)))
-        if len(shards) <= 1 or par <= 1:
-            for df, shard_dir in shards:
-                df.write.mode("overwrite").parquet(shard_dir)
+        # master uses when set, else from the session's own parallelism,
+        # overridable per deployment.
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+        n_cores = (
+            int(cpus) if cpus.isdigit() else spark.sparkContext.defaultParallelism
+        )
+        default_par = max(2, n_cores // 2)
+        par_env = os.environ.get("SPARK_GRAFT_BACKFILL_PAR", "")
+        # Defensive parse, matching the SPARK_GRAFT_CPUS handling: a
+        # non-numeric value falls back to the default instead of
+        # crashing the whole backfill mid-run.
+        par = int(par_env) if par_env.isdigit() else default_par
+        if len(pending) <= 1 or par <= 1:
+            for mk, shard_dir in pending:
+                compute_shard(spark, mk).write.mode("overwrite").parquet(shard_dir)
         else:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(min(par, len(shards))) as ex:
-                futs = [
-                    ex.submit(
-                        lambda df=df, d=d: df.write.mode("overwrite").parquet(d)
+            with ThreadPoolExecutor(min(par, len(pending))) as ex:
+                # Plans are built in month order on the driver, but each
+                # write ACTION is submitted the moment its plan exists —
+                # shard N+1's (driver-side) Catalyst work overlaps shard
+                # N's (executor-side) write instead of paying the ~31
+                # serial plan builds up front (guide §2.6).
+                futs = []
+                for mk, d in pending:
+                    df = compute_shard(spark, mk)
+                    futs.append(
+                        ex.submit(
+                            lambda df=df, d=d: df.write.mode("overwrite").parquet(d)
+                        )
                     )
-                    for df, d in shards
-                ]
                 for f in futs:
                     f.result()
     # One partitioned read, restricted to the REQUESTED months: out_dir may
