@@ -527,26 +527,29 @@ def apm_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     weather = _weather(spark, sf_dir)
     stations = _stations(spark, sf_dir)
 
-    # Stage plan (r10 rework — measured breakdown in PERF.md r10): the
-    # r9 form paid FOUR sequential materialization barriers (match ckpt,
-    # pos-weather ckpt, pos ckpt, neg ckpt) and ran the EWMA + IDW
-    # weather pass TWICE — once per sample side. IDW is per-row, so ONE
-    # weather pass over the UNION of sample points computes the same
-    # values with the station join, the EWMA window and the group-sum
-    # paid once — also the true 100-TB shape (you'd never run the
-    # weather subsystem per sample side). Two barriers remain:
-    #   1. the kNN match (localCheckpoint — the deepest subtree; its
-    #      lineage under build_dataset's ~10-call fan-out costs more in
-    #      Catalyst re-analysis than the executors spend computing,
-    #      PERF.md r6/r7; on a real cluster use a reliable checkpoint
-    #      dir instead of localCheckpoint);
-    #   2. the fused weather frame (localCheckpoint, same reason).
-    # The assembled pos/neg frames themselves are shallow joins over
-    # those two checkpoints, so a plain persist (no eager barrier)
-    # handles build_dataset's fan-out: everything downstream computes in
-    # ONE action at the final aggregate.
+    # Stage plan (r10 rework, r15 de-barriered — measured breakdowns in
+    # PERF.md r10 and OPTIMIZATION_r15.md): the r9 form paid FOUR
+    # sequential materialization barriers and ran the EWMA + IDW weather
+    # pass TWICE — once per sample side. IDW is per-row, so ONE weather
+    # pass over the UNION of sample points computes the same values with
+    # the station join, the EWMA window and the group-sum paid once —
+    # also the true 100-TB shape (you'd never run the weather subsystem
+    # per sample side). r15: every checkpoint is LAZY (eager=False) —
+    # localCheckpoint truncates the LOGICAL plan to a LogicalRDD the
+    # moment it is called (the Catalyst shield build_dataset's ~10-call
+    # fan-out needs, PERF.md r6/r7), while the RDD itself materializes
+    # under the query's own final action, so the eager barrier actions
+    # bought nothing (interleaved A/B: jobs 90 -> 61, warm ~10.1 ->
+    # ~8.8 s, first-call 19-27 -> 10-11 s; results row-identical). The
+    # same applies to pos/neg below: a lazy checkpoint instead of a
+    # persist dedups build_dataset's fan-out the same way AND keeps its
+    # ~15 downstream DataFrame analyses over shallow RDD leaves. On a
+    # real cluster use a reliable checkpoint dir for executor-loss
+    # recovery.
     roads = road_features(road_points)
-    match = match_accidents_with_roads(accidents, road_points).localCheckpoint()
+    match = match_accidents_with_roads(accidents, road_points).localCheckpoint(
+        eager=False
+    )
     # Both bases feed TWO consumers (the fused weather union and their
     # own sample side) — persisted, or each recomputes per consumer
     # (the neg crossJoin+filter twice was the regression seen when the
@@ -577,13 +580,15 @@ def apm_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_points = pos_base.select(keys).unionByName(neg_base.select(keys))
     wx = weather_for_samples(
         all_points, smooth_risky_weather(weather), stations
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
-    pos = _add_date_features(pos_base.join(wx, "sample_id")).persist()
-    neg = _add_date_features(neg_base.join(wx, "sample_id")).persist()
-    cachereg.register(
-        "plans.apm_dataset_pipeline", pos, neg, pos_base, neg_base
+    pos = _add_date_features(pos_base.join(wx, "sample_id")).localCheckpoint(
+        eager=False
     )
+    neg = _add_date_features(neg_base.join(wx, "sample_id")).localCheckpoint(
+        eager=False
+    )
+    cachereg.register("plans.apm_dataset_pipeline", pos_base, neg_base)
 
     train, test = build_dataset(spark, pos, neg, split_date=_SPLIT_DATE)
     both = train.withColumn("split", F.lit("train")).unionByName(
