@@ -145,10 +145,30 @@ def test_ivf_bucketed_topk_exact_mode_matches_window_and_brute(spark):
     n_cells = cents.count()
 
     def canon(df):
-        return {
-            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 9))
-            for r in df.collect()
-        }
+        # Ranks are RE-DERIVED from the 1e-9-rounded cosine + the id
+        # tie-break instead of trusted from the plan: the three paths
+        # compute cosine through different arithmetic (numpy matmul vs
+        # JVM folds), and the synthetic vec() grid contains pairs whose
+        # true cosines against a query are equal to ~1e-21 — which of
+        # the two doubles compares greater is then per-path rounding
+        # noise, so raw row_number ranks can legally swap inside such a
+        # tie (observed: query 116's #2/#3 at 0.962239277 flipped on a
+        # host whose BLAS rounds differently). Re-ranking at the test's
+        # own 1e-9 granularity keeps the full exactness contract (same
+        # ids, same cosines to 1e-9, same order at every gap >= 1e-9)
+        # without asserting sub-1e-9 cross-path agreement no float
+        # implementation promises.
+        rows = sorted(
+            ((r["query_id"], round(r["cosine"], 9), r["vec_id"])
+             for r in df.collect()),
+            key=lambda t: (t[0], -t[1], t[2]),
+        )
+        out, rank, prev_q = set(), 0, None
+        for q, c, v in rows:
+            rank = rank + 1 if q == prev_q else 1
+            prev_q = q
+            out.add((q, v, rank, c))
+        return out
 
     got = canon(
         ivf_cosine_topk_bucketed(queries, assigned, cents, k=3, n_probe=n_cells)
