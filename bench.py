@@ -293,6 +293,11 @@ def canary_normalize(out: dict, sf: float) -> None:
         else (ordered[mid - 1] + ordered[mid]) / 2
     )
     out["canary_ratio"] = round(ratio, 4)
+    # r15 (r14 verdict ask #2): the same median under the name the
+    # driver's PERF comparison is asked to gate on — a top-level window-
+    # quality field readable without knowing the ratio/band mechanics.
+    # Duplicates canary_ratio by design (additions-only contract).
+    out["canary_median"] = round(ratio, 4)
     if not (NORM_BAND[0] <= ratio <= NORM_BAND[1]):
         out["canary_window"] = "turbulent"
         return

@@ -42,6 +42,9 @@ def test_normal_window_emits_norm_and_per_canary_ratios():
     assert out["canary_ratio"] == (rs[1] + rs[2]) / 2
     assert out["value_norm"] == round(10.0 * out["canary_ratio"], 3)
     assert bench.NORM_BAND[0] <= out["canary_ratio"] <= bench.NORM_BAND[1]
+    # r15: the window-quality gate field the driver's PERF comparison
+    # reads — always equal to the median ratio
+    assert out["canary_median"] == out["canary_ratio"]
 
 
 def test_turbulent_window_suppresses_norm():
@@ -53,8 +56,10 @@ def test_turbulent_window_suppresses_norm():
     bench.canary_normalize(out, 0.1)
     assert out["canary_window"] == "turbulent"
     assert "value_norm" not in out and "queries_norm" not in out
-    # raw + ratio still present for the reader
+    # raw + ratio still present for the reader — and canary_median stays
+    # present even on a turbulent window (it IS the quality signal)
     assert out["canary_ratio"] < bench.NORM_BAND[0]
+    assert out["canary_median"] == out["canary_ratio"]
     assert set(out["canary_ratios"]) == set(bench.CANARY) | set(
         bench.HEADLINE_CANARY
     )
