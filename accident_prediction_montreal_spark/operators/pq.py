@@ -97,72 +97,111 @@ def train_pq_codebooks(
     oracle. Subspace width is derived from the first row's length; the
     fixture contract (TESTDATA.md) fixes dim, so this is a plan-time
     constant passed by the caller via ``sub_dim`` instead of a scan —
-    see pq_sub_dim().
-
-    All ``m`` subspace fits are FUSED into one corpus pass per
-    iteration: the per-book loop form trained each subspace through its
-    own assign/update lineage, so every iteration cost m corpus scans
-    and m posexplode shuffles — and because consumers (pq_encode's
-    packed broadcasts, the ADC LUT build) each re-evaluate their
-    codebook argument, the whole train replayed once PER CONSUMER.
-    Here one projection computes all m argmins per row (the pq_encode
-    shape), one posexplode keyed (mi, cell, dim) updates every book in
-    a single K·dim-row shuffle, and the final (mi, cell, cvec) table is
-    persisted (cachereg lifecycle) so each returned book is a filter
-    over the cached 〈m·k〉-row result instead of a fresh Lloyd replay.
-    Per-book VALUES are bit-identical: same seeds (one shared
-    TakeOrdered), same fold-order distances and (d² ASC, cell ASC)
-    tie-break per subspace, and the DECIMAL(24,9) component sums are
-    order-independent by construction.
+    see pq_sub_dim(). Thin wrapper over :func:`train_books` with the
+    uniform disjoint layout [(i·sub_dim, sub_dim)].
     """
     if sub_dim is None:
         sub_dim = pq_sub_dim(emb, m, vec_col)
+    return train_books(
+        emb,
+        [(mi * sub_dim, sub_dim) for mi in range(m)],
+        k=k,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def train_books(
+    emb: DataFrame,
+    specs: list[tuple[int, int]],
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> list[DataFrame]:
+    """Fit one deterministic-Lloyd codebook per (offset, width) spec —
+    books may overlap (IVF-PQ's coarse full-dim book alongside the m
+    subspace books), so ONE corpus pass per iteration trains them ALL.
+
+    All fits are FUSED into one corpus pass per iteration: the per-book
+    loop form trained each book through its own assign/update lineage,
+    so every iteration cost one corpus scan and one posexplode shuffle
+    PER BOOK — and because consumers (pq_encode's packed broadcasts,
+    the ADC LUT build) each re-evaluate their codebook argument, the
+    whole train replayed once per consumer. Here one projection
+    computes every book's argmin per row, one posexplode keyed
+    (mi, cell, dim) updates every book in a single K·Σwidth-row
+    shuffle, and the final (mi, cell, cvec) table is persisted
+    (cachereg lifecycle) so each returned book is a filter over the
+    cached 〈n_books·k〉-row result instead of a fresh Lloyd replay.
+    Per-book VALUES are bit-identical to a standalone train: same
+    seeds (one shared TakeOrdered of the k smallest ids), same
+    fold-order distances and (d² ASC, cell ASC) tie-break per book,
+    and the DECIMAL(24,9) component sums are order-independent by
+    construction.
+    """
     from accident_prediction_montreal_spark import cachereg
 
+    n_books = len(specs)
     vecs = emb.select(id_col, vec_col)
     seeds = vecs.orderBy(F.col(id_col).asc()).limit(k)
-    # (mi, cell, cvec) seed table: every subspace seeds from the same k
-    # smallest-id vectors, so one TakeOrdered feeds all m books.
+    offsets = F.array(*[F.lit(o) for o, _ in specs])
+    widths = F.array(*[F.lit(w) for _, w in specs])
+    # (mi, cell, cvec) seed table: every book seeds from the same k
+    # smallest-id vectors, so one TakeOrdered feeds all books.
     cents_all = seeds.select(
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("mi"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_books - 1))).alias("mi"),
         F.col(id_col).alias("cell"),
         F.col(vec_col).alias("__v"),
     ).select(
         "mi",
         "cell",
-        F.slice(F.col("__v"), F.col("mi") * sub_dim + 1, F.lit(sub_dim)).alias(
-            "cvec"
-        ),
+        F.slice(
+            F.col("__v"),
+            F.element_at(offsets, F.col("mi") + 1) + 1,
+            F.element_at(widths, F.col("mi") + 1),
+        ).alias("cvec"),
     )
     for _ in range(n_iter - 1):
-        assigned = _assign_all_subspaces(vecs, cents_all, m, sub_dim, vec_col)
-        cents_all = _update_all_subspaces(assigned, sub_dim, vec_col)
-    # coalesce(1): the table is <= m*k rows by construction (corpus-size
-    # independent), but its lineage ends in a 32-partition groupBy and
-    # CACHED plans skip AQE coalescing — without this every consumer
-    # pays a 32-task read of a 512-row cache.
-    cents_all = cents_all.coalesce(1).persist()
+        assigned = _assign_books(vecs, cents_all, specs, vec_col)
+        cents_all = _update_books(assigned, specs, vec_col)
     # site key carries the geometry: one query may train several codebook
-    # sets (IVF-PQ trains an m=1 coarse book AND the m=4 subspace books);
-    # a single shared site would unpersist the coarse book while its
-    # consumers are still lazy.
-    cachereg.register(
-        f"operators.pq.train_pq_codebooks[m={m},k={k},sub_dim={sub_dim}]",
-        cents_all,
-    )
+    # sets with different layouts; a single shared site would unpersist
+    # one set while its consumers are still lazy.
+    spec_key = ",".join(f"{o}:{w}" for o, w in specs)
+    site = f"operators.pq.train_books[{spec_key},k={k}]"
+    # Release the site's PREVIOUS generation BEFORE persisting the new
+    # table, not after (r15 find): two train calls with the same
+    # geometry over the same corpus build canonically IDENTICAL plans,
+    # so persist-then-register no-opped the new persist against the old
+    # generation's cache entry and then released that entry — leaving
+    # the new table silently UNCACHED and the whole train replayed once
+    # per consumer (visible as 44 parquet scans in the r14/r15 before-
+    # captures, where sim_pq_adc_topk ran earlier in the session).
+    cachereg.release(site)
+    # coalesce(1): the table is <= n_books*k rows by construction
+    # (corpus-size independent), but its lineage ends in a 32-partition
+    # groupBy and CACHED plans skip AQE coalescing — without this every
+    # consumer pays a 32-task read of a 512-row cache.
+    cents_all = cents_all.coalesce(1).persist()
+    cachereg.register(site, cents_all)
     return [
         cents_all.filter(F.col("mi") == mi).select("cell", "cvec")
-        for mi in range(m)
+        for mi in range(n_books)
     ]
 
 
-def _assign_all_subspaces(
-    vecs: DataFrame, cents_all: DataFrame, m: int, sub_dim: int, vec_col: str
+def _assign_books(
+    vecs: DataFrame,
+    cents_all: DataFrame,
+    specs: list[tuple[int, int]],
+    vec_col: str,
 ) -> DataFrame:
-    """One projection → (vec, __cell_0..__cell_{m-1}): every subspace's
-    argmin against ONE broadcast packed row of all m books' centroids.
+    """One projection → (vec, __cell_0..__cell_{n-1}): every book's
+    argmin against ONE broadcast packed row of all books' centroids.
     Same d² expression shape and (d² ASC, cell ASC) tie-break as
-    kmeans.assign_cells, evaluated per subspace slice."""
+    kmeans.assign_cells, evaluated per book slice."""
     entry = F.struct(
         F.col("cell"),
         F.col("cvec"),
@@ -173,14 +212,14 @@ def _assign_all_subspaces(
             F.collect_list(F.when(F.col("mi") == mi, entry)).alias(
                 f"__cents_{mi}"
             )
-            for mi in range(m)
+            for mi in range(len(specs))
         ]
     )
     df = vecs.crossJoin(F.broadcast(packed))
 
     cols = [F.col(vec_col)]
-    for mi in range(m):
-        sub = F.slice(F.col(vec_col), mi * sub_dim + 1, sub_dim)
+    for mi, (off, width) in enumerate(specs):
+        sub = F.slice(F.col(vec_col), off + 1, width)
         dvv = dot_product(sub, sub)
         best = F.array_min(
             F.transform(
@@ -197,32 +236,40 @@ def _assign_all_subspaces(
     return df.select(*cols)
 
 
-def _update_all_subspaces(
-    assigned: DataFrame, sub_dim: int, vec_col: str
+def _update_books(
+    assigned: DataFrame, specs: list[tuple[int, int]], vec_col: str
 ) -> DataFrame:
     """Every book's DECIMAL-exact centroid update in ONE posexplode +
-    groupBy(mi, cell, dim) shuffle (K·dim·m output rows, corpus-size
-    independent) — kmeans.update_centroids semantics per subspace."""
+    groupBy(mi, cell, dim) shuffle (K·Σwidth output rows, corpus-size
+    independent) — kmeans.update_centroids semantics per book. Books
+    may overlap (the IVF-PQ coarse book spans the same components as
+    the subspace books), so each exploded component fans out to every
+    book whose [offset, offset+width) range covers it via an in-
+    expression array filter — components outside every book (an
+    explicit sub_dim with a trailing remainder) fan out to nothing,
+    which is also what keeps element_at in bounds under ANSI mode."""
     cell_cols = [c for c in assigned.columns if c.startswith("__cell_")]
     m_cells = F.array(*[F.col(c) for c in cell_cols])
-    exploded = assigned.select(
+    per_dim = assigned.select(
         m_cells.alias("__cells"), F.posexplode(F.col(vec_col)).alias("fdim", "val")
-    ).filter(
-        # Trailing vector dims beyond m*sub_dim belong to NO subspace: a
-        # caller passing an explicit sub_dim with m*sub_dim < len(vec)
-        # would otherwise drive element_at(__cells, mi+1) out of bounds —
-        # an ANSI-mode error where the old per-book slicing silently
-        # ignored the tail. A trivially-true filter on the standard
-        # divisible path (pq_sub_dim enforces m*sub_dim == len(vec)).
-        F.col("fdim") < len(cell_cols) * sub_dim
-    ).select(
-        (F.col("fdim") / sub_dim).cast("int").alias("mi"),
-        F.element_at(
-            F.col("__cells"), (F.col("fdim") / sub_dim).cast("int") + 1
-        ).alias("cell"),
-        (F.col("fdim") % sub_dim).alias("dim"),
-        "val",
     )
+    entries = F.array(
+        *[
+            F.when(
+                (F.col("fdim") >= off) & (F.col("fdim") < off + width),
+                F.struct(
+                    F.lit(mi).alias("mi"),
+                    F.element_at(F.col("__cells"), mi + 1).alias("cell"),
+                    (F.col("fdim") - off).alias("dim"),
+                    F.col("val").alias("val"),
+                ),
+            )
+            for mi, (off, width) in enumerate(specs)
+        ]
+    )
+    exploded = per_dim.select(
+        F.explode(F.filter(entries, lambda e: e.isNotNull())).alias("__e")
+    ).select("__e.*")
     sums = exploded.groupBy("mi", "cell", "dim").agg(
         F.sum(F.round(F.col("val"), 9).cast("decimal(24,9)")).alias("s"),
         F.count(F.lit(1)).alias("n"),

@@ -357,7 +357,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from accident_prediction_montreal_spark.operators.pq import (
         ivfpq_topk,
         pq_encode,
-        train_pq_codebooks,
+        train_books,
     )
 
     dim = _PQ_M * _PQ_SUBDIM
@@ -367,17 +367,27 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
     )
     # coarse quantizer = a 1-subspace codebook over the full dim: the
-    # same deterministic-Lloyd train loop the subspace books use
-    [coarse_cents] = train_pq_codebooks(
-        emb, m=1, k=_IVFPQ_COARSE_K, n_iter=_PQ_ITER, sub_dim=dim
+    # same deterministic-Lloyd train loop the subspace books use. The
+    # coarse book and the m subspace books train FUSED in one corpus
+    # pass per iteration (train_books with overlapping specs; r15 —
+    # guide §2.1 eliminate redundant passes): the per-book values are
+    # bit-identical to the two standalone trains (shared TakeOrdered
+    # seeds, same per-book slices/tie-breaks, DECIMAL-exact sums keyed
+    # (book, cell, dim)), but the corpus is scanned once per iteration
+    # instead of twice and ONE persisted table serves every consumer.
+    # Requires k equal across books (both are 8 here).
+    assert _IVFPQ_COARSE_K == _PQ_K
+    all_books = train_books(
+        emb,
+        [(0, dim)] + [(mi * _PQ_SUBDIM, _PQ_SUBDIM) for mi in range(_PQ_M)],
+        k=_PQ_K,
+        n_iter=_PQ_ITER,
     )
+    coarse_cents, books = all_books[0], all_books[1:]
     # ONE at-rest index table (vec_id, cell, code_0..3): coarse assign
     # then encode in the same lineage, so the query path never joins
     # two corpus-sized relations (pq_encode keep_cols).
     coarse_assigned = assign_cells(emb, coarse_cents, vec_col="vec")
-    books = train_pq_codebooks(
-        emb, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, sub_dim=_PQ_SUBDIM
-    )
     index = pq_encode(
         coarse_assigned, books, sub_dim=_PQ_SUBDIM, keep_cols=["cell"]
     )
