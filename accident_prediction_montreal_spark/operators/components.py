@@ -83,28 +83,79 @@ def connected_components(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
-        # Lazy checkpoint: the checksum below is the materializing
-        # action, so normalization + checksum cost one job, not two.
+        # Lazy checkpoint: the round-stats action below is the
+        # materializing action, so normalization + stats cost one job.
         .localCheckpoint(eager=False)
     )
 
-    def checksum(df: DataFrame) -> tuple:
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            # xor, not sum: order-insensitive and cannot overflow under ANSI
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+    def round_stats(df: DataFrame) -> tuple:
+        """One job → (checksum, is_star_forest).
 
-    prev = checksum(e)
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        cur = checksum(e)
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+        The edge set is a FIXPOINT of the star rounds iff it is a
+        min-rooted two-level star forest: (a) every u appears exactly
+        once and (b) no v appears as a u (then large_star maps each
+        child's sole smaller neighbor to itself and the root's min is
+        itself, and small_star's per-u min is the root — both rounds
+        reproduce the set). Detecting that structurally on the CURRENT
+        set terminates at round R instead of computing round R+1 just
+        to watch the checksum repeat (r15; guide §1.2 don't compute
+        what you throw away). Both node flags and the old
+        order-insensitive (count, xor-of-hashes) checksum come out of
+        ONE union→groupBy(node) pass, and the checksum comparison
+        stays as the backstop for any fixpoint the structural test
+        misses (there is none by the argument above, but the backstop
+        keeps the old termination behavior a superset of the new).
+        """
+        row = (
+            df.select(
+                F.col("u").alias("node"),
+                F.lit(1).alias("cu"),
+                F.lit(0).alias("cv"),
+                F.xxhash64("u", "v").alias("h"),
+            )
+            .unionAll(
+                df.select(
+                    F.col("v").alias("node"),
+                    F.lit(0).alias("cu"),
+                    F.lit(1).alias("cv"),
+                    F.lit(None).cast("long").alias("h"),
+                )
+            )
+            .groupBy("node")
+            .agg(
+                F.sum("cu").alias("nu"),
+                F.sum("cv").alias("nv"),
+                # per-node xor of the u-side edge hashes; the global xor
+                # below recombines them to the old whole-set checksum
+                # (xor is associative/commutative; aggregates skip the
+                # v-side NULLs)
+                F.bit_xor("h").alias("hx"),
+            )
+            .agg(
+                F.sum("nu").alias("n"),
+                F.bit_xor("hx").alias("h"),
+                F.coalesce(F.max("nu") <= 1, F.lit(True)).alias("u_once"),
+                F.coalesce(
+                    F.max((F.col("nu") > 0) & (F.col("nv") > 0)) == False,  # noqa: E712
+                    F.lit(True),
+                ).alias("disjoint"),
+            )
+            .collect()[0]
+        )
+        return (row["n"], row["h"]), bool(row["u_once"] and row["disjoint"])
+
+    prev, done = round_stats(e)
+    if not done:
+        for _ in range(max_iter):
+            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            cur, done = round_stats(e)
+            if done or cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_iter} rounds"
+            )
 
     children = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = (
