@@ -606,10 +606,27 @@ def _llm_embedding_refresh_impl(
             F.lit(facet).alias("facet"), "n"
         )
 
+    # Count facts from the cached DIFF, not from encoder passes (r15;
+    # guide §1.2 don't compute what you throw away): the encoder is a
+    # 1:1 row map, so |emb_recomputed| = |added ∪ changed|,
+    # |emb_carried| = |unchanged| and |emb_final| = |b| BY DEFINITION —
+    # and the ORACLE defines these three facets exactly this way
+    # (counts over the diff statuses / over b, _embedding_refresh_
+    # oracle above). The old branches re-ran the mapInPandas encoder
+    # (opaque to column pruning, invisible to AQE exchange reuse) once
+    # per count just to throw the vectors away — 3 of the plan's ~7
+    # encode passes. The encoder itself stays fully exercised where it
+    # carries information: the refresh-equals-recompute multiset
+    # checksum over the actual vectors.
     facts = (
-        doc_counts.unionByName(one("emb_recomputed", recomputed))
-        .unionByName(one("emb_carried", carried))
-        .unionByName(one("emb_final", refreshed))
+        doc_counts.unionByName(
+            one(
+                "emb_recomputed",
+                diff.filter(F.col("status").isin("added", "changed")),
+            )
+        )
+        .unionByName(one("emb_carried", diff.filter(F.col("status") == "unchanged")))
+        .unionByName(one("emb_final", b))
         .unionByName(mismatches)
     ).orderBy("facet")
     if timings is not None:
