@@ -908,8 +908,6 @@ def a20_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle, a8/x15's pattern.",
 )
 def a21_approx_topk_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from accident_prediction_montreal_spark.plans.registry import chk_row
-
     ev = load_table(spark, "events", sf_dir)
     keyed = ev.select(
         F.when(F.col("event_id") % 2 == 0, F.col("event_id") % 5)
@@ -957,22 +955,33 @@ def a21_approx_topk_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary = F.element_at(ex_counts_desc, F.size(ex_counts_desc))
     sk_items = F.transform(F.col("tk"), lambda e: e["item"])
     strict_above = F.filter(F.col("ex"), lambda e: e["cnt"] > boundary)
-    checks = [
-        chk_row("topk_counts_exact_on_skew", sk_counts_desc == ex_counts_desc),
-        chk_row(
-            "topk_items_match_exact",
-            F.forall(
-                strict_above,
-                lambda e: F.array_contains(sk_items, e["hh_key"]),
-            ),
-        ),
-        chk_row("topk_ordered_desc", ordered_ok),
-    ]
-    out = None
-    for c in checks:
-        row = both.select(*c)
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("chk")
+    # ONE pass over `both`, not a 3-branch union (the x21 restructure,
+    # r15): each union branch re-planned the sketch x exact crossJoin —
+    # two full events aggregates per check row. inline() emits the same
+    # three (chk, ok) rows from a single evaluation.
+    def _chk(chk: str, ok_col):
+        return F.struct(
+            F.lit(chk).alias("chk"), ok_col.cast("long").alias("ok")
+        )
+
+    return both.select(
+        F.inline(
+            F.array(
+                _chk(
+                    "topk_counts_exact_on_skew",
+                    sk_counts_desc == ex_counts_desc,
+                ),
+                _chk(
+                    "topk_items_match_exact",
+                    F.forall(
+                        strict_above,
+                        lambda e: F.array_contains(sk_items, e["hh_key"]),
+                    ),
+                ),
+                _chk("topk_ordered_desc", ordered_ok),
+            )
+        )
+    ).orderBy("chk")
 
 
 @register(
@@ -1199,8 +1208,6 @@ def _x21_ann_pruned_layout_impl(
         build_ivf_index,
         ivf_cosine_topk,
     )
-    from accident_prediction_montreal_spark.plans.registry import chk_row
-
     emb = load_table(spark, "embeddings", sf_dir)
     # Coarse quantizers train on a SAMPLE (standard IVF practice — the
     # layout contracts below are invariant to centroid quality): the
@@ -1284,27 +1291,36 @@ def _x21_ann_pruned_layout_impl(
     )
 
     both = hd.crossJoin(hm)
-    checks = [
-        chk_row(
-            "partition_pruning_files",
-            # a plain boolean literal, NOT `lit(int(..)) == 1`: the
-            # latter constructs a literal-vs-literal equality and was
-            # the source of the "trivially true equals predicate,
-            # '1 == 1'" WARN in the r11/r13 driver bench tails (r13
-            # verdict ask #4). Same check, same value, no Column `==`.
-            F.lit(bool(0 < pruned_files < total_files)),
-        ),
-        chk_row(
-            "pruned_equals_inmemory_topk",
-            (F.col("h") == F.col("hm")) & (F.col("n") == F.col("nm")),
-        ),
-        chk_row("topk_rows", F.col("n") == 3 * k),
-    ]
-    out = None
-    for c in checks:
-        row = both.select(*c)
-        out = row if out is None else out.unionByName(row)
-    out = out.orderBy("chk")
+    # ONE pass over `both`, not a 3-branch union: each union branch
+    # re-planned the crossJoin of the two top-k hash aggregates (the
+    # branches' exchanges are NOT AQE-reusable across union sides of
+    # independent single-row aggregates), so the disk and in-memory
+    # top-k subtrees executed once per check row. inline() emits the
+    # same three (chk, ok) rows from a single evaluation (r15, guide
+    # §1.2 don't compute what you throw away). The first check stays a
+    # plain boolean literal, NOT `lit(int(..)) == 1` — the latter was
+    # the "trivially true equals predicate" WARN source (r13 verdict
+    # ask #4).
+    def _chk(chk: str, ok_col):
+        return F.struct(
+            F.lit(chk).alias("chk"), ok_col.cast("long").alias("ok")
+        )
+
+    out = both.select(
+        F.inline(
+            F.array(
+                _chk(
+                    "partition_pruning_files",
+                    F.lit(bool(0 < pruned_files < total_files)),
+                ),
+                _chk(
+                    "pruned_equals_inmemory_topk",
+                    (F.col("h") == F.col("hm")) & (F.col("n") == F.col("nm")),
+                ),
+                _chk("topk_rows", F.col("n") == 3 * k),
+            )
+        )
+    ).orderBy("chk")
     if timings is not None:
         out = out.persist()
         out.count()
